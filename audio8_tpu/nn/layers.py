@@ -1,0 +1,217 @@
+"""Core layer primitives for the TPU-native speech stack.
+
+This is a from-scratch flax.linen layer library covering the slice of
+`eight_mile` the reference uses (`Dense`, `pytorch_conv1d`, `Conv1DSame`,
+GroupNorm/LayerNorm; see /root/reference/audio8/wav2vec2.py:9-21).
+Conventions are JAX-native:
+
+- activations are channel-last ``(B, T, C)`` everywhere (TPU lane dim = C),
+  never the torch ``(B, C, T)`` layout;
+- conv kernels are ``(K, C_in, C_out)`` (lax ``'WIO'``), dense kernels are
+  ``(C_in, C_out)`` — the fairseq checkpoint converter transposes;
+- every module takes a ``dtype`` (compute dtype, bfloat16 for speed runs) and
+  keeps params in ``param_dtype`` (float32 master copy).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch.nn.GELU defaults to the exact erf form; jax.nn.gelu defaults to the
+# tanh approximation, so pin the exact form for numerical parity.
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Dense(nn.Module):
+    """Linear layer; replaces eight_mile ``Dense``/``pytorch_linear``."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _kaiming_conv_init(key, shape, dtype):
+    """He-normal on fan_in = K * C_in, matching the reference's kaiming conv
+    init (/root/reference/audio8/wav2vec2.py:419)."""
+    k, c_in, _ = shape
+    std = math.sqrt(2.0 / (k * c_in))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Conv1D(nn.Module):
+    """Strided 1-D convolution over ``(B, T, C)``.
+
+    Equivalent of the reference's ``pytorch_conv1d`` blocks
+    (/root/reference/audio8/wav2vec2.py:399-456) but channel-last so the
+    feature dim rides the TPU lane dimension and XLA lowers to MXU matmuls.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = False
+    groups: int = 1
+    padding: Any = "VALID"  # int pair, 'VALID', or 'SAME'
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = _kaiming_conv_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (self.kernel_size, c_in // self.groups, self.features),
+            self.param_dtype,
+        )
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            padding = [tuple(self.padding)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=padding,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch epsilon (1e-5) and fp32 statistics."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over ``(B, T, C)`` with torch semantics (normalize over
+    (T, channels-in-group); eps 1e-5).
+
+    The reference applies ``GroupNorm(512, 512)`` — i.e. per-channel instance
+    norm over time — on the first conv block only
+    (/root/reference/audio8/wav2vec2.py:417-423).
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, c = x.shape
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
+        g = self.num_groups
+        x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
+        mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(b, t, c)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class PositionalConv(nn.Module):
+    """Grouped convolutional positional embedding with weight normalization.
+
+    TPU-native equivalent of the reference's weight-normed ``Conv1DSame``
+    pos-conv (/root/reference/audio8/wav2vec2.py:599-609): conv(d, d, k=128,
+    groups=16), kernel weight-normalized per-tap (torch ``weight_norm`` with
+    ``dim=2``), GELU activation. Follows fairseq padding semantics for even
+    kernels: pad k//2 both sides, drop the trailing output frame.
+
+    Params: ``weight_v`` ``(K, C_in/groups, C_out)``, ``weight_g`` ``(K, 1, 1)``,
+    ``bias`` ``(C_out,)``. At inference the normalized weight can be folded
+    (see :func:`audio8_tpu.models.convert.fold_weight_norm`).
+    """
+
+    features: int
+    kernel_size: int = 128
+    groups: int = 16
+    dropout_rate: float = 0.1  # only used to scale init, as in the reference
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        std = math.sqrt((4.0 * (1.0 - self.dropout_rate)) / (self.kernel_size * self.features))
+
+        def _v_init(key, shape, dtype):
+            return jax.random.normal(key, shape, dtype) * std
+
+        v = self.param(
+            "weight_v",
+            _v_init,
+            (self.kernel_size, c_in // self.groups, self.features),
+            self.param_dtype,
+        )
+
+        def _g_init(key, shape, dtype):
+            # weight_norm initializes g = ||v|| so the initial effective
+            # weight equals v.
+            return jnp.linalg.norm(
+                v.astype(jnp.float32), axis=(1, 2), keepdims=True
+            ).astype(dtype)
+
+        g = self.param("weight_g", _g_init, (self.kernel_size, 1, 1), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+
+        v32 = v.astype(jnp.float32)
+        norm = jnp.linalg.norm(v32, axis=(1, 2), keepdims=True)
+        kernel = (g.astype(jnp.float32) * v32 / (norm + 1e-12)).astype(self.dtype)
+
+        pad = self.kernel_size // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        if self.kernel_size % 2 == 0:
+            y = y[:, :-1, :]
+        y = y + bias.astype(self.dtype)
+        return gelu(y)

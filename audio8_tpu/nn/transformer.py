@@ -1,0 +1,419 @@
+"""Transformer encoder/decoder stacks.
+
+From-scratch replacements for the eight_mile ``TransformerEncoderStack`` /
+``TransformerDecoderStack`` surface the reference builds on
+(/root/reference/audio8/wav2vec2.py:613-622, text.py:201-210), designed for
+XLA on TPU:
+
+- static shapes end-to-end; padding handled by additive attention masks;
+- post-norm (``pre_norm=False``) matches the fairseq wav2vec2-base layout the
+  reference selects via ``layer_norms_after=True``;
+- decoder supports an explicit KV cache for O(T) incremental decode (the
+  reference re-runs the full prefix every step,
+  /root/reference/audio8/wav2vec2.py:991-1006 — deliberately fixed here);
+- optional Shaw-style relative position attention (``rpr_k``) used by the
+  paired text encoder (/root/reference/audio8/text.py:122-134).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audio8_tpu.nn.layers import Dense, LayerNorm, gelu
+
+Dtype = Any
+
+NEG_INF = -1e9  # large-negative instead of -inf: keeps bf16/softmax NaN-free
+
+
+def _activation(name: str):
+    if name == "gelu":
+        return gelu
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"Unknown activation {name!r}")
+
+
+class KVCache:
+    """Pytree holding per-layer decode state with a static max length."""
+
+    @staticmethod
+    def init(batch: int, num_layers: int, num_heads: int, max_len: int, d_head: int, dtype) -> dict:
+        shape = (num_layers, batch, num_heads, max_len, d_head)
+        return {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "index": jnp.zeros((), jnp.int32),
+        }
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with separate Q/K/V/O projections.
+
+    Separate projections keep a 1:1 param mapping to fairseq checkpoints
+    (w_Q/w_K/w_V/w_O naming mirrors the reference key maps at
+    /root/reference/audio8/wav2vec2.py:40-47).
+    """
+
+    num_heads: int
+    d_model: int
+    d_k: Optional[int] = None  # total key/query dim; defaults to d_model
+    scale: bool = True
+    rpr_k: Optional[int] = None
+    rpr_value_on: bool = False
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d_qk = self.d_k if self.d_k is not None else self.d_model
+        assert d_qk % self.num_heads == 0
+        self.d_head = d_qk // self.num_heads
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.w_Q = Dense(d_qk, **dd)
+        self.w_K = Dense(d_qk, **dd)
+        self.w_V = Dense(d_qk, **dd)
+        self.w_O = Dense(self.d_model, **dd)
+        if self.rpr_k is not None:
+            self.rpr_key_emb = nn.Embed(
+                2 * self.rpr_k + 1, self.d_head, dtype=self.dtype, param_dtype=self.param_dtype
+            )
+            if self.rpr_value_on:
+                self.rpr_value_emb = nn.Embed(
+                    2 * self.rpr_k + 1, self.d_head, dtype=self.dtype, param_dtype=self.param_dtype
+                )
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.d_head).transpose(0, 2, 1, 3)
+
+    def _rel_ids(self, t_q: int, t_k: int, q_offset) -> jnp.ndarray:
+        qi = jnp.arange(t_q)[:, None] + q_offset
+        kj = jnp.arange(t_k)[None, :]
+        return jnp.clip(kj - qi, -self.rpr_k, self.rpr_k) + self.rpr_k
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        cache: Optional[dict] = None,
+        cache_index=None,
+    ) -> jnp.ndarray:
+        """mask: boolean, broadcastable to (B, H, T_q, T_k); True = attend.
+
+        When ``cache`` is given (a dict with 'k'/'v' of shape
+        (B, H, T_max, d_head)), the new key/value rows are written at
+        ``cache_index`` and attention runs over the full static cache with
+        positions >= cache_index + T_new masked out; returns (out, cache).
+        """
+        q = self._split(self.w_Q(query))
+        k = self._split(self.w_K(key))
+        v = self._split(self.w_V(value))
+
+        if self.scale:
+            q = q * (1.0 / jnp.sqrt(jnp.array(self.d_head, jnp.float32))).astype(q.dtype)
+
+        q_offset = 0
+        if cache is not None:
+            t_new = k.shape[2]
+            cache = dict(cache)
+            cache["k"] = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, cache_index, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, cache_index, 0))
+            k, v = cache["k"], cache["v"]
+            t_max = k.shape[2]
+            valid = jnp.arange(t_max)[None, None, None, :] < (cache_index + t_new)
+            mask = valid if mask is None else jnp.logical_and(mask, valid)
+            q_offset = cache_index
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if self.rpr_k is not None:
+            rel = self.rpr_key_emb(self._rel_ids(q.shape[2], k.shape[2], q_offset))
+            logits = logits + jnp.einsum(
+                "bhqd,qkd->bhqk", q, rel, preferred_element_type=jnp.float32
+            )
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if self.rpr_k is not None and self.rpr_value_on:
+            rel_v = self.rpr_value_emb(self._rel_ids(q.shape[2], k.shape[2], q_offset))
+            out = out + jnp.einsum("bhqk,qkd->bhqd", probs, rel_v).astype(self.dtype)
+        b, h, t, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+        out = self.w_O(out)
+        if cache is not None:
+            return out, cache
+        return out
+
+
+class FFN(nn.Module):
+    d_ff: int
+    d_model: int
+    activation: str = "gelu"
+    dropout_rate: float = 0.0
+    ffn_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.expand = Dense(self.d_ff, **dd)
+        self.contract = Dense(self.d_model, **dd)
+        self.drop = nn.Dropout(self.ffn_dropout_rate)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = _activation(self.activation)(self.expand(x))
+        h = self.drop(h, deterministic=deterministic)
+        return self.contract(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    num_heads: int
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    ffn_dropout_rate: float = 0.0
+    activation: str = "gelu"
+    pre_norm: bool = False  # False = post-norm (wav2vec2-base layout)
+    d_k: Optional[int] = None
+    rpr_k: Optional[int] = None
+    rpr_value_on: bool = False
+    scale: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.self_attn = MultiHeadAttention(
+            num_heads=self.num_heads,
+            d_model=self.d_model,
+            d_k=self.d_k,
+            scale=self.scale,
+            rpr_k=self.rpr_k,
+            rpr_value_on=self.rpr_value_on,
+            dropout_rate=self.dropout_rate,
+            **dd,
+        )
+        self.ffn = FFN(
+            d_ff=self.d_ff,
+            d_model=self.d_model,
+            activation=self.activation,
+            ffn_dropout_rate=self.ffn_dropout_rate,
+            **dd,
+        )
+        # ln_attn == fairseq self_attn_layer_norm, ln_ffn == final_layer_norm
+        self.ln_attn = LayerNorm(**dd)
+        self.ln_ffn = LayerNorm(**dd)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        if self.pre_norm:
+            h = self.ln_attn(x)
+            x = x + self.drop(self.self_attn(h, h, h, mask, deterministic), deterministic=deterministic)
+            h = self.ln_ffn(x)
+            x = x + self.drop(self.ffn(h, deterministic), deterministic=deterministic)
+        else:
+            x = x + self.drop(self.self_attn(x, x, x, mask, deterministic), deterministic=deterministic)
+            x = self.ln_attn(x)
+            x = x + self.drop(self.ffn(x, deterministic), deterministic=deterministic)
+            x = self.ln_ffn(x)
+        return x
+
+
+class TransformerEncoderStack(nn.Module):
+    num_heads: int
+    d_model: int
+    num_layers: int
+    d_ff: Optional[int] = None
+    dropout_rate: float = 0.1
+    ffn_dropout_rate: float = 0.0
+    activation: str = "gelu"
+    pre_norm: bool = False
+    d_k: Optional[int] = None
+    rpr_k: Optional[int] = None
+    rpr_value_on: bool = False
+    scale: bool = True
+    layer_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d_ff = self.d_ff or 4 * self.d_model
+        self.encoders = [
+            TransformerEncoderLayer(
+                num_heads=self.num_heads,
+                d_model=self.d_model,
+                d_ff=d_ff,
+                dropout_rate=self.dropout_rate,
+                ffn_dropout_rate=self.ffn_dropout_rate,
+                activation=self.activation,
+                pre_norm=self.pre_norm,
+                d_k=self.d_k,
+                rpr_k=self.rpr_k,
+                rpr_value_on=self.rpr_value_on,
+                scale=self.scale,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.pre_norm:
+            self.ln_out = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        use_layer_drop = self.layer_drop > 0.0 and not deterministic
+        if use_layer_drop:
+            keys = jax.random.split(self.make_rng("dropout"), len(self.encoders))
+        for i, layer in enumerate(self.encoders):
+            y = layer(x, mask, deterministic)
+            if use_layer_drop:
+                # Stochastic depth (LayerDrop): drop the whole layer for the
+                # whole batch. Compute-and-select keeps shapes static for XLA.
+                keep = jax.random.bernoulli(keys[i], 1.0 - self.layer_drop)
+                x = jnp.where(keep, y, x)
+            else:
+                x = y
+        if self.pre_norm:
+            x = self.ln_out(x)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    num_heads: int
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    activation: str = "gelu"
+    pre_norm: bool = True
+    scale: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        mha = dict(num_heads=self.num_heads, d_model=self.d_model, scale=self.scale,
+                   dropout_rate=self.dropout_rate, **dd)
+        self.self_attn = MultiHeadAttention(**mha)
+        self.src_attn = MultiHeadAttention(**mha)
+        self.ffn = FFN(d_ff=self.d_ff, d_model=self.d_model, activation=self.activation, **dd)
+        self.ln_self = LayerNorm(**dd)
+        self.ln_src = LayerNorm(**dd)
+        self.ln_ffn = LayerNorm(**dd)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _sublayers(self, x, memory, src_mask, tgt_mask, deterministic,
+                   self_cache=None, cache_index=None):
+        det = deterministic
+        if self.pre_norm:
+            h = self.ln_self(x)
+            if self_cache is not None:
+                attn, self_cache = self.self_attn(h, h, h, tgt_mask, det, self_cache, cache_index)
+            else:
+                attn = self.self_attn(h, h, h, tgt_mask, det)
+            x = x + self.drop(attn, deterministic=det)
+            h = self.ln_src(x)
+            attn = self.src_attn(h, memory, memory, src_mask, det)
+            x = x + self.drop(attn, deterministic=det)
+            h = self.ln_ffn(x)
+            x = x + self.drop(self.ffn(h, det), deterministic=det)
+        else:
+            if self_cache is not None:
+                attn, self_cache = self.self_attn(x, x, x, tgt_mask, det, self_cache, cache_index)
+            else:
+                attn = self.self_attn(x, x, x, tgt_mask, det)
+            x = self.ln_self(x + self.drop(attn, deterministic=det))
+            attn = self.src_attn(x, memory, memory, src_mask, det)
+            x = self.ln_src(x + self.drop(attn, deterministic=det))
+            x = self.ln_ffn(x + self.drop(self.ffn(x, det), deterministic=det))
+        return x, self_cache
+
+    def __call__(self, x, memory, src_mask=None, tgt_mask=None, deterministic: bool = True):
+        x, _ = self._sublayers(x, memory, src_mask, tgt_mask, deterministic)
+        return x
+
+    def step(self, x, memory, src_mask, self_cache, cache_index, deterministic: bool = True):
+        """Single-token decode step using the KV cache (no tgt mask needed —
+        cache masking covers causality)."""
+        x, self_cache = self._sublayers(
+            x, memory, src_mask, None, deterministic,
+            self_cache=self_cache, cache_index=cache_index,
+        )
+        return x, self_cache
+
+
+class TransformerDecoderStack(nn.Module):
+    num_heads: int
+    d_model: int
+    num_layers: int
+    d_ff: Optional[int] = None
+    dropout_rate: float = 0.1
+    activation: str = "gelu"
+    pre_norm: bool = True
+    scale: bool = True
+    layer_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d_ff = self.d_ff or 4 * self.d_model
+        self.decoders = [
+            TransformerDecoderLayer(
+                num_heads=self.num_heads,
+                d_model=self.d_model,
+                d_ff=d_ff,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                pre_norm=self.pre_norm,
+                scale=self.scale,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.pre_norm:
+            self.ln_out = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, x, memory, src_mask=None, tgt_mask=None, deterministic: bool = True):
+        for layer in self.decoders:
+            x = layer(x, memory, src_mask, tgt_mask, deterministic)
+        if self.pre_norm:
+            x = self.ln_out(x)
+        return x
+
+    def init_cache(self, batch: int, max_len: int, dtype=None) -> dict:
+        d_head = self.d_model // self.num_heads
+        return KVCache.init(batch, self.num_layers, self.num_heads, max_len, d_head,
+                            dtype or self.dtype)
+
+    def step(self, x, memory, src_mask, cache: dict, deterministic: bool = True):
+        """One decode step for all layers; returns (out, updated cache)."""
+        idx = cache["index"]
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.decoders):
+            layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+            x, layer_cache = layer.step(x, memory, src_mask, layer_cache, idx, deterministic)
+            new_k.append(layer_cache["k"])
+            new_v.append(layer_cache["v"])
+        if self.pre_norm:
+            x = self.ln_out(x)
+        cache = {
+            "k": jnp.stack(new_k),
+            "v": jnp.stack(new_v),
+            "index": idx + 1,
+        }
+        return x, cache
+
+
+def subsequent_mask(size: int) -> jnp.ndarray:
+    """Causal mask (1, 1, T, T), True where position j <= i may be attended."""
+    return jnp.tril(jnp.ones((size, size), jnp.bool_))[None, None, :, :]

@@ -1,0 +1,7 @@
+from audio8_tpu.ops.masks import (
+    sequence_mask,
+    span_mask,
+    num_spans,
+    compact_mask_indices,
+)
+from audio8_tpu.ops.ctc import ctc_loss, ctc_greedy_decode
