@@ -1,0 +1,128 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's per-script argparse splatting (``**vars(args)``
+into model factories, /root/reference/audio8/train.py:198) with explicit
+dataclasses. CLI entry points parse flags into these.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+# Per-sample-rate conv feature stacks: (channels, kernel, stride), mirroring
+# /root/reference/audio8/wav2vec2.py:26-29. 16 kHz total stride 320
+# (receptive field 400 samples); 8 kHz total stride 160.
+CONV_FEATURES = {
+    16: [(512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 2, 2), (512, 2, 2)],
+    8: [(512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 2, 2), (512, 2, 2)],
+}
+
+# Pretraining constants (/root/reference/audio8/wav2vec2.py:31-35)
+START_TEMP = 2.0
+END_TEMP = 0.5
+TEMP_DECAY_FACTOR = 0.999995
+XE_WGT = 0.1
+DIVERSITY_WGT = 10.0
+
+
+def conv_output_length(length: int, conv_features) -> int:
+    """Exact output frame count of the strided conv stack for an input of
+    ``length`` samples."""
+    for _, k, s in conv_features:
+        length = (length - k) // s + 1
+    return length
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Wav2Vec2Encoder hyperparameters (downstream defaults;
+    /root/reference/audio8/wav2vec2.py:660-694)."""
+
+    sample_rate: int = 16
+    d_model: int = 768
+    num_heads: int = 12
+    num_layers: int = 12
+    dropout: float = 0.1
+    d_ff: Optional[int] = None
+    dropout_input: float = 0.0
+    dropout_features: float = 0.0
+    timestep_masking: float = 0.5
+    channel_masking: float = 0.1
+    timestep_mask_len: int = 10
+    channel_mask_len: int = 64
+    layer_drop: float = 0.0
+    freeze_fx: bool = True
+    conv_pos_kernel: int = 128
+    conv_pos_groups: int = 16
+
+    @property
+    def conv_features(self) -> List[Tuple[int, int, int]]:
+        return CONV_FEATURES[self.sample_rate]
+
+    @property
+    def fx_dim(self) -> int:
+        return self.conv_features[-1][0]
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig(EncoderConfig):
+    """Wav2Vec2Model pretraining hyperparameters
+    (/root/reference/audio8/wav2vec2.py:219-259 defaults)."""
+
+    num_vq_vars: int = 320
+    num_vq_groups: int = 2
+    final_dim: int = 256
+    start_temp: float = START_TEMP
+    end_temp: float = END_TEMP
+    temp_decay_factor: float = TEMP_DECAY_FACTOR
+    dropout_input: float = 0.1
+    dropout_features: float = 0.1
+    timestep_masking: float = 0.65
+    channel_masking: float = 0.0
+    n_negatives: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class AcousticConfig(EncoderConfig):
+    """CTC acoustic model (/root/reference/audio8/wav2vec2.py:262-296)."""
+
+    num_labels: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class PooledConfig(EncoderConfig):
+    """Pooled utterance encoder (/root/reference/audio8/wav2vec2.py:773-846)."""
+
+    reduction_type: str = "sha"
+    reduction_d_k: int = 64
+    final_output_dim: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    """Paired text tower (/root/reference/audio8/text.py:103-134)."""
+
+    vocab_size: int = 0
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 8
+    dropout: float = 0.1
+    d_ff: int = 2048
+    rpr_k: Optional[int] = 8
+    reduction_type: str = "max"
+    reduction_d_k: int = 64
+    encoder_type: str = "transformer"  # or 'bow'
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Seq2seq text decoder (/root/reference/audio8/train_seq2seq.py:38-92)."""
+
+    vocab_size: int = 0
+    d_model: int = 768
+    num_heads: int = 4
+    num_layers: int = 2
+    dropout: float = 0.1
+    d_ff: Optional[int] = None
+    layer_drop: float = 0.0
+    max_len: int = 1200
