@@ -1,0 +1,76 @@
+"""Host audio IO.
+
+The reference reads audio with python-soundfile/libsndfile
+(/root/reference/audio8/data.py:22-33) and resamples with
+``scipy.signal.resample`` (data.py:36-52). soundfile is not a dependency
+here: WAV decode uses scipy's C reader with the same float normalization
+convention; FLAC decode goes through the native C++ decoder when built
+(audio8_tpu/csrc) and raises a clear error otherwise.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """Match soundfile's default float conversion: ints scale to [-1, 1)."""
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 mono-or-multichannel array, sample_rate)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    return _pcm_to_float(data), sr
+
+
+def _read_flac(path: str) -> tuple[np.ndarray, int]:
+    try:
+        from audio8_tpu.csrc import native  # type: ignore
+
+        data, sr = native.read_flac(path)
+        return _pcm_to_float(np.asarray(data)), sr
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"FLAC decode for {path!r} needs the native extension; build it "
+            "with `python -m audio8_tpu.csrc.build`"
+        ) from e
+
+
+class SoundfileAudioReader:
+    """File -> float32 waveform, optional truncation (data.py:22-33)."""
+
+    def transform(self, audio: np.ndarray) -> np.ndarray:
+        return audio.astype(np.float32)
+
+    def read(self, file: str, max_length: int = -1) -> np.ndarray:
+        if file.lower().endswith(".flac"):
+            wav, _ = _read_flac(file)
+        else:
+            wav, _ = read_wav(file)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        wav = self.transform(wav)
+        if max_length > 0:
+            return wav[:max_length]
+        return wav
+
+
+class AudioResampleReader(SoundfileAudioReader):
+    """FFT resample by target/input ratio (data.py:36-52)."""
+
+    def __init__(self, sample_factor: float):
+        self.sample_factor = sample_factor
+
+    def transform(self, wav: np.ndarray) -> np.ndarray:
+        import scipy.signal
+
+        num = int(len(wav) * self.sample_factor)
+        return scipy.signal.resample(wav, num).astype(np.float32)

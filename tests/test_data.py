@@ -1,0 +1,153 @@
+"""Data pipeline tests on tiny synthetic WAV fixtures (SURVEY.md §4c)."""
+import os
+
+import numpy as np
+import pytest
+
+from audio8_tpu.data.audio import SoundfileAudioReader, AudioResampleReader, read_wav
+from audio8_tpu.data.datasets import (
+    AudioFileDataset,
+    AudioTextLetterDataset,
+    BucketingAudioDataset,
+    PrefetchLoader,
+    batch_by_size,
+    find_fit,
+)
+from audio8_tpu.models.text import TextVectorizer
+from audio8_tpu.utils import Offsets
+
+
+def write_wav(path, n, sr=16000, seed=0):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    data = (rng.normal(size=n) * 8000).astype(np.int16)
+    wavfile.write(path, sr, data)
+    return data
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    """Tiny manifest + transcripts: 6 wav files of varying lengths."""
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    lengths = [8000, 12000, 16000, 20000, 24000, 32000]
+    words = ["CAT", "DOG BIT", "SO IT GOES", "A", "HELLO WORLD", "YES NO"]
+    tsv = tmp_path / "train.tsv"
+    ltr = tmp_path / "train.ltr"
+    with open(tsv, "w") as tf, open(ltr, "w") as lf:
+        tf.write(str(audio_dir) + "\n")
+        for i, (n, w) in enumerate(zip(lengths, words)):
+            name = f"clip{i}.wav"
+            write_wav(str(audio_dir / name), n, seed=i)
+            tf.write(f"{name}\t{n}\n")
+            letters = " ".join("|".join(w.split()).replace("", " ").split()) + " |"
+            lf.write(letters + "\n")
+    return tmp_path
+
+
+def letter_vocab():
+    letters = sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ|"))
+    toks = list(Offsets.VALUES) + letters
+    return {t: i for i, t in enumerate(toks)}
+
+
+def test_read_wav_roundtrip(tmp_path):
+    p = str(tmp_path / "x.wav")
+    data = write_wav(p, 1000)
+    wav, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(wav, data.astype(np.float32) / 32768.0)
+
+
+def test_resample_reader(tmp_path):
+    p = str(tmp_path / "x.wav")
+    write_wav(p, 1000)
+    r = AudioResampleReader(0.5)
+    wav = r.read(p)
+    assert len(wav) == 500
+    assert wav.dtype == np.float32
+
+
+def test_batch_by_size():
+    sizes = [100, 90, 80, 50, 40]
+    batches = batch_by_size(list(range(5)), sizes, max_tokens=200, max_sentences=128)
+    # greedy: [0] (2*100=200 ok, 3*100>200 at idx2 close)... verify budget
+    for b in batches:
+        mx = max(sizes[i] for i in b)
+        assert len(b) * mx <= 200 or len(b) == 1
+    assert sorted(i for b in batches for i in b) == list(range(5))
+
+
+def test_find_fit():
+    assert find_fit(1000, [256, 512, 2048]) == 512
+    assert find_fit(100, [256, 512]) == 0
+    assert find_fit(5000, [256, 512, 2048]) == 2048
+
+
+def test_audio_text_dataset(corpus):
+    vec = TextVectorizer(letter_vocab())
+    ds = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, target_tokens_per_batch=40000,
+        is_infinite=False, shuffle=False, pad_to_multiple=4000,
+        text_pad_multiple=8,
+    )
+    batches = list(iter(ds))
+    assert batches
+    total = sum(len(b["files"]) for b in batches)
+    assert total == 6
+    for b in batches:
+        assert b["signal"].shape[1] % 4000 == 0
+        assert b["signal"].dtype == np.float32
+        assert b["token_ids"].shape[1] % 8 == 0
+        assert (b["signal_lengths"] <= b["signal"].shape[1]).all()
+        # padding beyond lengths is zero / PAD
+        for i, l in enumerate(b["signal_lengths"]):
+            assert np.all(b["signal"][i, l:] == 0.0)
+        for i, l in enumerate(b["token_lengths"]):
+            assert np.all(b["token_ids"][i, l:] == Offsets.PAD)
+    # batches are emitted longest-first (desc sort)
+    assert batches[0]["signal_lengths"].max() == 32000
+
+
+def test_audio_text_dataset_sharding(corpus):
+    vec = TextVectorizer(letter_vocab())
+    common = dict(target_tokens_per_batch=33000, is_infinite=False, shuffle=False)
+    all_files = set()
+    for shard in range(2):
+        ds = AudioTextLetterDataset(
+            str(corpus / "train.tsv"), vec, shard_index=shard, num_shards=2, **common)
+        for b in iter(ds):
+            all_files.update(b["files"])
+    assert len(all_files) == 6
+
+
+def test_audio_file_dataset_dense_batches(corpus):
+    ds = AudioFileDataset(
+        str(corpus / "train.tsv"), max_length=20000,
+        target_tokens_per_batch=30000, shuffle=False)
+    it = iter(ds)
+    b = next(it)
+    assert b.ndim == 2
+    assert b.shape[0] * b.shape[1] >= 16000  # dense, min-cropped
+    assert b.dtype == np.float32
+
+
+def test_bucketing_dataset(corpus):
+    buckets = [8000, 16000, 24000]
+    ds = BucketingAudioDataset(
+        buckets, str(corpus / "train.tsv"), max_length=32000,
+        target_tokens_per_batch=24000, shuffle=False)
+    it = iter(ds)
+    shapes = {next(it).shape[1] for _ in range(6)}
+    assert shapes.issubset(set(buckets))
+
+
+def test_prefetch_loader(corpus):
+    vec = TextVectorizer(letter_vocab())
+    ds = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, target_tokens_per_batch=40000,
+        is_infinite=False, shuffle=False)
+    direct = [b["files"] for b in iter(ds)]
+    loaded = [b["files"] for b in PrefetchLoader(ds, prefetch=2)]
+    assert direct == loaded
