@@ -1,0 +1,119 @@
+"""Device mesh + sharding rules.
+
+The reference is pure data-parallel DDP over NCCL
+(/root/reference/audio8/train.py:266-268, SURVEY.md §2.6-2.7). Here
+parallelism is expressed TPU-natively as a ``jax.sharding.Mesh`` with
+``NamedSharding`` annotations and XLA-inserted collectives over ICI:
+
+- axis ``'data'``: batch dimension (DP; gradient psum replaces DDP
+  allreduce);
+- axis ``'model'``: optional tensor parallelism over attention heads /
+  FFN hidden (the transformer dominates FLOPs; the conv stack stays
+  replicated).
+
+Rules are (regex over the '/'-joined param path) -> PartitionSpec, first
+match wins.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh; data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# DP only: everything replicated
+DP_ONLY_RULES: List[Tuple[str, P]] = [
+    (r".*", P()),
+]
+
+# Tensor parallelism over the transformer; conv stack + norms replicated.
+# Dense kernels are (in, out). Attention QKV and FFN expand split the output
+# dim; attention O and FFN contract split the input dim — the standard
+# Megatron layout so each pair needs a single psum (inserted by XLA).
+TP_RULES: List[Tuple[str, P]] = [
+    (r".*self_attn/w_[QKV]/kernel$", P(None, "model")),
+    (r".*self_attn/w_[QKV]/bias$", P("model")),
+    (r".*self_attn/w_O/kernel$", P("model", None)),
+    (r".*src_attn/w_[QKV]/kernel$", P(None, "model")),
+    (r".*src_attn/w_[QKV]/bias$", P("model")),
+    (r".*src_attn/w_O/kernel$", P("model", None)),
+    (r".*ffn/expand/kernel$", P(None, "model")),
+    (r".*ffn/expand/bias$", P("model")),
+    (r".*ffn/contract/kernel$", P("model", None)),
+    (r".*", P()),
+]
+
+
+def _spec_for(path: str, rules: Sequence[Tuple[str, P]]) -> P:
+    for pat, spec in rules:
+        if re.match(pat, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_shardings(params: Any, mesh: Mesh,
+                    rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+    """Tree of NamedShardings matching ``params`` by path rules. Specs that
+    don't divide the dim evenly fall back to replication on that axis."""
+
+    def one(path, leaf):
+        spec = _spec_for(_path_str(path), rules)
+        # validate divisibility; drop axes that don't divide
+        fixed = []
+        for d, axis in enumerate(spec):
+            if axis is None:
+                fixed.append(None)
+                continue
+            size = mesh.shape[axis]
+            if d < leaf.ndim and leaf.shape[d] % size == 0:
+                fixed.append(axis)
+            else:
+                fixed.append(None)
+        if len(fixed) < leaf.ndim:
+            fixed += [None] * (leaf.ndim - len(fixed))
+        return NamedSharding(mesh, P(*fixed[: leaf.ndim]))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+    """Place a host param tree onto the mesh per the rules."""
+    shardings = param_shardings(params, mesh, rules)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

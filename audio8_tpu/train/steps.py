@@ -1,0 +1,252 @@
+"""Jitted training/eval step factories for the four workloads.
+
+Each factory closes over the model + optimizer and returns jit-compiled
+functions. Data-dependent values (token counts, batch sizes) stay dynamic;
+phase changes (freeze/unfreeze at unfreeze_enc_after_step,
+/root/reference/audio8/train.py:296-297) are static arguments, costing one
+recompile at the boundary instead of per-step Python branching.
+
+Gradient accumulation follows the reference semantics
+(/root/reference/audio8/train.py:300-326): accumulate grads and counts over
+micro-steps, then scale the summed gradient by 1/total_examples, clip by
+global norm, and step. Under pjit the DDP allreduce of counters+grads is
+just XLA collectives over the 'data' mesh axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio8_tpu.config import START_TEMP, END_TEMP, TEMP_DECAY_FACTOR
+from audio8_tpu.models.wav2vec2 import wav2vec2_pretrain_loss
+from audio8_tpu.ops.ctc import ctc_loss
+from audio8_tpu.utils import Offsets
+
+
+def clean_targets(targets: jnp.ndarray, token_lengths: jnp.ndarray):
+    """Drop PAD/EOS from CTC targets (reference CTCLoss masks them,
+    /root/reference/audio8/ctc.py:193-194). PAD/EOS only occur as suffix in
+    this pipeline, so adjusting lengths suffices; padded tail is set PAD."""
+    keep = (targets != Offsets.PAD) & (targets != Offsets.EOS)
+    lengths = jnp.sum(keep, axis=-1)
+    return targets, lengths
+
+
+def current_temperature(step: jnp.ndarray, start=START_TEMP, end=END_TEMP,
+                        decay=TEMP_DECAY_FACTOR) -> jnp.ndarray:
+    """Gumbel temperature anneal (wav2vec2.py:495-496). NOTE: the reference
+    driver never calls set_num_updates so its temperature stays at START
+    (SURVEY.md quirks); we anneal properly."""
+    return jnp.maximum(start * decay ** step.astype(jnp.float32), end)
+
+
+# --------------------------------------------------------------------- CTC
+
+
+def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
+                   loss_reduction: str = "sum"):
+    """Returns (grad_fn, update_fn, eval_fn) for CTC fine-tuning."""
+
+    @functools.partial(jax.jit, static_argnames=("freeze",))
+    def grad_fn(params, batch, rng, freeze: bool = True):
+        signal = batch["signal"]
+        signal_lengths = batch["signal_lengths"]
+        targets, target_lengths = clean_targets(batch["token_ids"], batch["token_lengths"])
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1)}
+            log_probs, pad_mask = model.apply(
+                {"params": p}, signal, signal_lengths, train=True, freeze=freeze,
+                rngs=rngs)
+            frame_lengths = jnp.sum(pad_mask, axis=-1)
+            loss = ctc_loss(log_probs, frame_lengths, targets, target_lengths,
+                            blank=Offsets.GO, reduction=loss_reduction)
+            return loss, {}
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        batch_size = jnp.asarray(signal.shape[0], jnp.float32)
+        num_tokens = jnp.sum(target_lengths).astype(jnp.float32)
+        return loss, grads, batch_size, num_tokens
+
+    @jax.jit
+    def update_fn(state, grads, total_examples):
+        # scale_grads(num_gpus / batch_size) after DDP mean == divide the
+        # summed gradient by the global example count (train.py:323)
+        return state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
+            clip_norm=clip)
+
+    @jax.jit
+    def eval_fn(params, batch):
+        signal = batch["signal"]
+        signal_lengths = batch["signal_lengths"]
+        targets, target_lengths = clean_targets(batch["token_ids"], batch["token_lengths"])
+        log_probs, pad_mask = model.apply(
+            {"params": params}, signal, signal_lengths, train=False, freeze=True)
+        frame_lengths = jnp.sum(pad_mask, axis=-1)
+        loss = ctc_loss(log_probs, frame_lengths, targets, target_lengths,
+                        blank=Offsets.GO, reduction=loss_reduction)
+        frames = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        return loss, frames, frame_lengths
+
+    return grad_fn, update_fn, eval_fn
+
+
+# ---------------------------------------------------------------- pretrain
+
+
+def make_pretrain_steps(model, tx: optax.GradientTransformation,
+                        clip: float = 1.0, n_negatives: int = 100):
+    cfg = model.config
+    n_vars = cfg.num_vq_vars * cfg.num_vq_groups
+
+    @jax.jit
+    def train_step(state, signal, rng):
+        temp = current_temperature(state.step, cfg.start_temp, cfg.end_temp,
+                                   cfg.temp_decay_factor)
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1),
+                    "gumbel": jax.random.fold_in(rng, 2)}
+            c, t, ppl, valid = model.apply(
+                {"params": p}, signal, train=True, temperature=temp, rngs=rngs)
+            return wav2vec2_pretrain_loss(
+                c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars, n_negatives)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm, temperature=temp)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(params, signal, rng, step):
+        temp = current_temperature(step, cfg.start_temp, cfg.end_temp,
+                                   cfg.temp_decay_factor)
+        rngs = {"mask": jax.random.fold_in(rng, 1),
+                "gumbel": jax.random.fold_in(rng, 2)}
+        c, t, ppl, valid = model.apply(
+            {"params": params}, signal, train=False, temperature=temp, rngs=rngs)
+        loss, metrics = wav2vec2_pretrain_loss(
+            c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars, n_negatives)
+        return loss, metrics
+
+    return train_step, eval_step
+
+
+# ---------------------------------------------------------------- seq2seq
+
+
+def sequence_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
+                  reduction: str = "sum") -> jnp.ndarray:
+    """NLL over non-PAD target positions (eight_mile SequenceLoss equiv)."""
+    nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    mask = (targets != Offsets.PAD).astype(jnp.float32)
+    total = jnp.sum(nll * mask)
+    if reduction == "sum":
+        return total
+    return total / jnp.maximum(jnp.sum(mask), 1.0)  # 'token'
+
+
+def make_seq2seq_steps(model, tx: optax.GradientTransformation,
+                       clip: float = 25.0, loss_reduction: str = "sum"):
+    @functools.partial(jax.jit, static_argnames=("freeze",))
+    def grad_fn(params, batch, rng, freeze: bool = True):
+        signal = batch["signal"]
+        signal_lengths = batch["signal_lengths"]
+        # teacher forcing: shift targets (train_seq2seq.py:100-105)
+        dst = batch["token_ids"][:, :-1]
+        tgt = batch["token_ids"][:, 1:]
+        dst_lengths = batch["token_lengths"] - 1
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1)}
+            log_probs = model.apply(
+                {"params": p}, signal, signal_lengths, dst, dst_lengths,
+                train=True, freeze=freeze, rngs=rngs)
+            return sequence_loss(log_probs, tgt, loss_reduction), {}
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        batch_size = jnp.asarray(signal.shape[0], jnp.float32)
+        num_tokens = jnp.sum(dst_lengths).astype(jnp.float32)
+        return loss, grads, batch_size, num_tokens
+
+    @jax.jit
+    def update_fn(state, grads, total_examples):
+        return state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
+            clip_norm=clip)
+
+    @functools.partial(jax.jit, static_argnames=("max_output_len",))
+    def decode_fn(params, batch, max_output_len: int = 100):
+        toks, lengths = model.apply(
+            {"params": params}, batch["signal"], batch["signal_lengths"],
+            max_output_len, method=type(model).decode)
+        return toks, lengths
+
+    @jax.jit
+    def eval_loss_fn(params, batch):
+        dst = batch["token_ids"][:, :-1]
+        tgt = batch["token_ids"][:, 1:]
+        dst_lengths = batch["token_lengths"] - 1
+        log_probs = model.apply(
+            {"params": params}, batch["signal"], batch["signal_lengths"],
+            dst, dst_lengths, train=False, freeze=True)
+        return sequence_loss(log_probs, tgt, loss_reduction)
+
+    return grad_fn, update_fn, decode_fn, eval_loss_fn
+
+
+# ------------------------------------------------------------------ paired
+
+
+def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
+                      clip: float = 25.0):
+    """Dual-encoder CLIP training; params = {'model': ..., 'loss': ...} so
+    the temperature trains with everything else (the reference wraps the
+    loss module in the optimizer for this, pretrain_paired.py:250-254)."""
+
+    @functools.partial(jax.jit, static_argnames=("freeze_audio", "freeze_text"))
+    def grad_fn(params, batch, rng, freeze_audio: bool = True, freeze_text: bool = True):
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1)}
+            a, t = model.apply(
+                {"params": p["model"]}, batch["signal"], batch["signal_lengths"],
+                batch["token_ids"], batch["token_lengths"], train=True,
+                freeze_audio=freeze_audio, freeze_text=freeze_text, rngs=rngs)
+            loss, metrics = loss_module.apply({"params": p["loss"]}, a, t)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        batch_size = jnp.asarray(batch["signal"].shape[0], jnp.float32)
+        num_tokens = jnp.sum(batch["token_lengths"]).astype(jnp.float32)
+        return loss, metrics, grads, batch_size, num_tokens
+
+    @jax.jit
+    def update_fn(state, grads, total_examples):
+        return state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
+            clip_norm=clip)
+
+    @jax.jit
+    def eval_fn(params, batch):
+        a, t = model.apply(
+            {"params": params["model"]}, batch["signal"], batch["signal_lengths"],
+            batch["token_ids"], batch["token_lengths"], train=False)
+        return loss_module.apply({"params": params["loss"]}, a, t)
+
+    return grad_fn, update_fn, eval_fn
+
+
+def accumulate_grads(acc, grads):
+    """Elementwise add of gradient pytrees (grad-accum buffer)."""
+    if acc is None:
+        return grads
+    return jax.tree_util.tree_map(jnp.add, acc, grads)
