@@ -1,0 +1,208 @@
+"""fairseq wav2vec2 checkpoint -> JAX param pytree conversion.
+
+Equivalent of the reference's key maps + ``load_fairseq_bin``
+(/root/reference/audio8/wav2vec2.py:39-186) and the offline converter
+(convert_wav2vec2_checkpoint.py). Instead of literal rename tables, the
+mapping is generated structurally; tensors are re-laid-out for JAX:
+
+- Linear ``weight`` (out, in)        -> Dense ``kernel`` (in, out)   [.T]
+- Conv1d ``weight`` (out, in/g, k)   -> Conv1D ``kernel`` (k, in/g, out)
+- weight-norm pos-conv ``weight_v``  -> (k, in/g, out); ``weight_g``
+  (1, 1, k) -> (k, 1, 1)
+- norm ``weight``/``bias``           -> ``scale``/``bias``
+- quantizer ``vars`` (1, G*V, d)     -> (G*V, d)
+
+Two source layouts are handled, matching the reference maps:
+pretrained wav2vec2 (keys like ``encoder.layers.N...``) and fine-tuned CTC
+(``w2v_encoder.w2v_model...`` + ``w2v_encoder.proj``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _conv(x) -> np.ndarray:  # (out, in/g, k) -> (k, in/g, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 1, 0)))
+
+
+def _set(tree: Dict, path: List[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value, np.float32)
+
+
+def _encoder_assignments(num_layers: int, num_fx_layers: int):
+    """(fairseq_key, our_path, transform) for the shared encoder body.
+
+    Paths are relative to our ``Wav2Vec2Encoder`` params tree and fairseq
+    keys relative to the wav2vec2 model root.
+    """
+    out = []
+    # conv feature extractor
+    for i in range(num_fx_layers):
+        out.append((f"feature_extractor.conv_layers.{i}.0.weight",
+                    ["feature_extractor", f"conv_{i}", "kernel"], _conv))
+    out.append(("feature_extractor.conv_layers.0.2.weight",
+                ["feature_extractor", "norm_0", "scale"], np.asarray))
+    out.append(("feature_extractor.conv_layers.0.2.bias",
+                ["feature_extractor", "norm_0", "bias"], np.asarray))
+    # post-fx layer norm + input projection + mask embedding
+    out.append(("layer_norm.weight", ["layer_norm", "scale"], np.asarray))
+    out.append(("layer_norm.bias", ["layer_norm", "bias"], np.asarray))
+    out.append(("post_extract_proj.weight", ["proj_to_input", "kernel"], _t))
+    out.append(("post_extract_proj.bias", ["proj_to_input", "bias"], np.asarray))
+    out.append(("mask_emb", ["mask_emb"], np.asarray))
+    # conv positional embedding (weight-normed)
+    out.append(("encoder.pos_conv.0.weight_v", ["encoder", "pos_conv", "weight_v"], _conv))
+    out.append(("encoder.pos_conv.0.weight_g", ["encoder", "pos_conv", "weight_g"],
+                lambda x: np.transpose(np.asarray(x), (2, 1, 0))))
+    out.append(("encoder.pos_conv.0.bias", ["encoder", "pos_conv", "bias"], np.asarray))
+    # pre-transformer layer norm
+    out.append(("encoder.layer_norm.weight", ["encoder", "ln", "scale"], np.asarray))
+    out.append(("encoder.layer_norm.bias", ["encoder", "ln", "bias"], np.asarray))
+    # transformer layers (fairseq post-norm: self_attn_layer_norm after
+    # attention == our ln_attn; final_layer_norm after FFN == our ln_ffn;
+    # same correspondence as the reference maps, wav2vec2.py:49-56)
+    for i in range(num_layers):
+        base = f"encoder.layers.{i}"
+        ours = ["encoder", "transformer", f"layer_{i}"]
+        for fs, mine in (("q_proj", "w_Q"), ("k_proj", "w_K"),
+                         ("v_proj", "w_V"), ("out_proj", "w_O")):
+            out.append((f"{base}.self_attn.{fs}.weight",
+                        ours + ["self_attn", mine, "kernel"], _t))
+            out.append((f"{base}.self_attn.{fs}.bias",
+                        ours + ["self_attn", mine, "bias"], np.asarray))
+        out.append((f"{base}.self_attn_layer_norm.weight", ours + ["ln_attn", "scale"], np.asarray))
+        out.append((f"{base}.self_attn_layer_norm.bias", ours + ["ln_attn", "bias"], np.asarray))
+        out.append((f"{base}.fc1.weight", ours + ["ffn", "expand", "kernel"], _t))
+        out.append((f"{base}.fc1.bias", ours + ["ffn", "expand", "bias"], np.asarray))
+        out.append((f"{base}.fc2.weight", ours + ["ffn", "contract", "kernel"], _t))
+        out.append((f"{base}.fc2.bias", ours + ["ffn", "contract", "bias"], np.asarray))
+        out.append((f"{base}.final_layer_norm.weight", ours + ["ln_ffn", "scale"], np.asarray))
+        out.append((f"{base}.final_layer_norm.bias", ours + ["ln_ffn", "bias"], np.asarray))
+    return out
+
+
+def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
+                             num_fx_layers: int = 7) -> Tuple[Dict, Dict]:
+    """fairseq pretrained wav2vec2 'model' dict -> Wav2Vec2Model params.
+
+    Returns (params, report) with report['missing'/'unexpected'] like
+    ``load_fairseq_bin`` (wav2vec2.py:171-186)."""
+    state = dict(state)
+    params: Dict = {}
+    missing: List[str] = []
+    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers):
+        if key in state:
+            _set(params, path, tf(state.pop(key)))
+        else:
+            missing.append(key)
+    extra = [
+        ("quantizer.vars", ["quantizer", "vars"],
+         lambda x: np.asarray(x)[0]),
+        ("quantizer.weight_proj.weight", ["quantizer", "weight_proj", "kernel"], _t),
+        ("quantizer.weight_proj.bias", ["quantizer", "weight_proj", "bias"], np.asarray),
+        ("project_q.weight", ["project_q", "kernel"], _t),
+        ("project_q.bias", ["project_q", "bias"], np.asarray),
+        ("final_proj.weight", ["final_proj", "kernel"], _t),
+        ("final_proj.bias", ["final_proj", "bias"], np.asarray),
+    ]
+    for key, path, tf in extra:
+        if key in state:
+            _set(params, path, tf(state.pop(key)))
+        else:
+            missing.append(key)
+    return params, {"missing": missing, "unexpected": sorted(state.keys())}
+
+
+def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
+                      num_fx_layers: int = 7) -> Tuple[Dict, Dict]:
+    """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
+    Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
+    w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
+    state = dict(state)
+    prefix = "w2v_encoder.w2v_model."
+    params: Dict = {}
+    missing: List[str] = []
+    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers):
+        full = prefix + key
+        if full in state:
+            _set(params, ["encoder"] + path, tf(state.pop(full)))
+        else:
+            missing.append(full)
+    for key, path, tf in (
+        ("w2v_encoder.proj.weight", ["proj", "kernel"], _t),
+        ("w2v_encoder.proj.bias", ["proj", "bias"], np.asarray),
+    ):
+        if key in state:
+            _set(params, path, tf(state.pop(key)))
+        else:
+            missing.append(key)
+    # quantizer/projection keys legitimately absent in CTC checkpoints
+    leftovers = sorted(k for k in state if not k.startswith(prefix + "quantizer")
+                       and not k.startswith(prefix + "project_q"))
+    return params, {"missing": missing, "unexpected": leftovers}
+
+
+def load_torch_file(bin_file: str) -> Dict[str, Any]:
+    """Load a fairseq ``.pt`` and return its 'model' state dict as numpy."""
+    import torch
+
+    blob = torch.load(bin_file, map_location="cpu", weights_only=False)
+    model = blob.get("model", blob)
+    return {k: v.detach().numpy() if hasattr(v, "detach") else v
+            for k, v in model.items()}
+
+
+def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
+                     sr: int = 16) -> Tuple[Dict, Dict]:
+    """Reference-shaped entry point (wav2vec2.py:171-186): returns
+    (params, {'missing': [...], 'unexpected': [...]})."""
+    state = load_torch_file(bin_file)
+    num_fx = 7 if sr == 16 else 6
+    if ctc:
+        return convert_ctc_state(state, num_layers, num_fx)
+    return convert_pretrained_state(state, num_layers, num_fx)
+
+
+def merge_params(target: Dict, loaded: Dict) -> Dict:
+    """Overlay loaded params onto a freshly-initialized tree (missing keys —
+    e.g. the CTC head when warm-starting from pretrained — keep their
+    initialization)."""
+    out = dict(target)
+    for k, v in loaded.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def fold_weight_norm(params: Dict) -> Dict:
+    """Inference-time optimization: fold the pos-conv weight norm
+    (g * v/||v||) into a single kernel so each forward skips the norm."""
+    import jax.numpy as jnp
+
+    def fold(node):
+        if isinstance(node, dict) and "weight_v" in node and "weight_g" in node:
+            v = np.asarray(node["weight_v"], np.float64)
+            g = np.asarray(node["weight_g"], np.float64)
+            norm = np.linalg.norm(v, axis=(1, 2), keepdims=True)
+            kernel = (g * v / (norm + 1e-12)).astype(np.float32)
+            # keep decomposed form but pre-normalized so g == ||v||
+            return {"weight_v": kernel,
+                    "weight_g": norm.astype(np.float32) * 0 + np.linalg.norm(
+                        kernel, axis=(1, 2), keepdims=True).astype(np.float32),
+                    "bias": node["bias"]}
+        if isinstance(node, dict):
+            return {k: fold(v) for k, v in node.items()}
+        return node
+
+    return fold(params)
