@@ -1,0 +1,100 @@
+"""Shared CLI plumbing: logging, restart/warm-start resolution, device setup."""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from audio8_tpu.models.convert import load_fairseq_bin, merge_params
+from audio8_tpu.train.checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    parse_checkpoint_step,
+)
+
+logger = logging.getLogger("audio8_tpu")
+
+
+def setup(distributed: bool = False) -> Tuple[int, int]:
+    """Initialize multi-host JAX if requested; returns (process_index,
+    process_count). Replaces init_distributed/NCCL
+    (/root/reference/audio8/train.py:141; SURVEY.md §2.7)."""
+    if distributed and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    rank = jax.process_index()
+    world = jax.process_count()
+    logging.basicConfig(
+        level=logging.INFO if rank == 0 else logging.WARN,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    logger.info("Devices: %d (%s), process %d/%d",
+                jax.device_count(), jax.default_backend(), rank, world)
+    return rank, world
+
+
+def resolve_restart(
+    restart_from: Optional[str],
+    init_params: Dict,
+    state_template: Any = None,
+    ctc: bool = False,
+    num_layers: int = 12,
+    sr: int = 16,
+    restart_tt: Optional[str] = None,
+) -> Tuple[Dict, Optional[Any], int]:
+    """Resolve --restart_from like the reference (train.py:215-252):
+
+    - fairseq ``.pt``: convert (pretrained first, then CTC fallback), merge
+      onto the initialized tree, start at step 0;
+    - a directory: pick the latest ``checkpoint-step-N``;
+    - an a8t checkpoint: restore full TrainState when the template matches,
+      else params-only; step parsed from the name unless restart_tt='ignore'.
+
+    Returns (params, restored_state_or_None, global_step).
+    """
+    if not restart_from:
+        return init_params, None, 0
+    if restart_from.endswith(".pt"):
+        try:
+            loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr)
+            if report["missing"]:
+                raise ValueError(f"missing keys: {report['missing'][:3]}...")
+            # pretrained tree loads under encoder.* for downstream models
+            if ctc:
+                loaded = {"encoder": loaded} if "encoder" not in loaded else loaded
+        except Exception:
+            loaded, report = load_fairseq_bin(restart_from, ctc=True, num_layers=num_layers, sr=sr)
+        logger.info("fairseq load report: missing=%s unexpected=%s",
+                    report["missing"][:5], report["unexpected"][:5])
+        return merge_params(init_params, loaded), None, 0
+
+    path = restart_from
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_METADATA")):
+        try:
+            path, _ = find_latest_checkpoint(path)
+        except FileNotFoundError:
+            pass
+    step = 0 if restart_tt == "ignore" else parse_checkpoint_step(path)
+    if state_template is not None:
+        try:
+            state = load_checkpoint(path, state_template)
+            return state.params, state, int(state.step)
+        except Exception as e:
+            logger.info("Full-state restore failed (%s); trying params-only", e)
+    loaded = load_checkpoint(path)
+    params = loaded.get("params", loaded) if isinstance(loaded, dict) else loaded.params
+    return merge_params(init_params, jax.tree_util.tree_map(np.asarray, params)), None, step
+
+
+def add_common_model_args(parser):
+    parser.add_argument("--d_model", type=int, default=768)
+    parser.add_argument("--d_ff", type=int, default=3072)
+    parser.add_argument("--num_heads", type=int, default=12)
+    parser.add_argument("--num_layers", type=int, default=12)
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--layer_drop", type=float, default=0.0)
+    parser.add_argument("--input_sample_rate", type=int, default=16_000)
+    parser.add_argument("--target_sample_rate", type=int, default=16_000)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (fp32 params)")

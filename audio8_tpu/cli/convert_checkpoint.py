@@ -1,0 +1,61 @@
+"""Offline fairseq .pt -> a8t checkpoint converter.
+
+Equivalent of /root/reference/audio8/convert_wav2vec2_checkpoint.py: builds
+the matching model, converts the fairseq state dict, RAISES if any source
+key is unmapped (convert_wav2vec2_checkpoint.py:59-60), and writes an Orbax
+checkpoint.
+"""
+from __future__ import annotations
+
+import logging
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+
+from audio8_tpu.cli.common import add_common_model_args
+from audio8_tpu.config import AcousticConfig, PretrainConfig
+from audio8_tpu.models.convert import load_fairseq_bin, merge_params
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel, Wav2Vec2Model
+from audio8_tpu.train.checkpoint import save_checkpoint
+from audio8_tpu.utils import str2bool
+
+logger = logging.getLogger("audio8_tpu.convert")
+
+
+def main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="fairseq .pt file")
+    parser.add_argument("--output", required=True, help="output checkpoint base")
+    parser.add_argument("--ctc", type=str2bool, default=False,
+                        help="fine-tuned CTC checkpoint (vs pretrained)")
+    parser.add_argument("--num_labels", type=int, default=32)
+    add_common_model_args(parser)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    sr = args.target_sample_rate // 1000
+    params, report = load_fairseq_bin(args.input, ctc=args.ctc,
+                                      num_layers=args.num_layers, sr=sr)
+    if report["missing"] or report["unexpected"]:
+        raise ValueError(f"Unmapped checkpoint keys: {report}")
+
+    if args.ctc:
+        model = Wav2Vec2AcousticModel(config=AcousticConfig(
+            num_labels=args.num_labels, sample_rate=sr, d_model=args.d_model,
+            num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff))
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
+    else:
+        model = Wav2Vec2Model(config=PretrainConfig(
+            sample_rate=sr, d_model=args.d_model, num_heads=args.num_heads,
+            num_layers=args.num_layers, d_ff=args.d_ff))
+        rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+                "gumbel": jax.random.PRNGKey(2)}
+        init = model.init(rngs, jnp.zeros((1, 16000)), train=False)["params"]
+    merged = merge_params(init, params)
+    path = save_checkpoint({"params": merged}, args.output, 0)
+    logger.info("Wrote %s", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Offline eval/decode harness: WER/CER (greedy + optional beam/LM).
+
+Equivalent of /root/reference/audio8/test.py: load an a8t or converted
+fairseq-CTC checkpoint, stream the validation set, accumulate CER/WER from
+greedy decode, and optionally prefix-beam-search (+LM) WER.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.config import AcousticConfig
+from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
+from audio8_tpu.models.text import TextVectorizer, read_vocab_list
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+from audio8_tpu.ops import metrics as M
+from audio8_tpu.utils import Offsets, revlut, str2bool
+
+logger = logging.getLogger("audio8_tpu.test")
+
+
+def build_eval_fn(model):
+    @jax.jit
+    def eval_fn(params, signal, signal_lengths):
+        log_probs, pad_mask = model.apply(
+            {"params": params}, signal, signal_lengths, train=False, freeze=True)
+        return log_probs, jnp.sum(pad_mask, axis=-1)
+
+    return eval_fn
+
+
+def run_step(index2vocab, log_probs, frame_lengths, batch, verbose=False,
+             ctc_decoder=None, postproc_fn=M.postproc_letters):
+    step_metrics = M.ctc_metrics(
+        log_probs, batch["token_ids"], frame_lengths, index2vocab,
+        postproc_fn=postproc_fn)
+    step_metrics["wbeam_errors"] = 0
+    if ctc_decoder is not None:
+        transcriptions = ctc_decoder.run(log_probs, frame_lengths, n_best=1)
+        for b, transcription in enumerate(transcriptions):
+            text = "".join(transcription)
+            if verbose:
+                print(text)
+            werr, _ = M.decode_text_wer(text, batch["token_ids"][b], index2vocab,
+                                        postproc_fn=postproc_fn)
+            step_metrics["wbeam_errors"] += werr
+    return step_metrics
+
+
+def evaluate(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--basedir", type=str)
+    parser.add_argument("--root_dir")
+    parser.add_argument("--checkpoint")
+    parser.add_argument("--valid_dataset", type=str, help="e.g. dev-other.tsv")
+    parser.add_argument("--dict_file", type=str, default="dict.ltr.txt")
+    parser.add_argument("--max_sample_len", type=int, default=325_000)
+    parser.add_argument("--verbose", type=str2bool, default=False)
+    parser.add_argument("--valid_steps", type=int, default=40_000)
+    parser.add_argument("--steps_per_update", type=int, default=100)
+    parser.add_argument("--vocab_file")
+    parser.add_argument("--target_tokens_per_batch", type=int, default=700_000)
+    parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
+    parser.add_argument("--lm")
+    parser.add_argument("--beam", type=int, default=1)
+    parser.add_argument("--alpha", type=float, default=0.7)
+    parser.add_argument("--beta", type=float, default=5.0)
+    parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    add_common_model_args(parser)
+    args = parser.parse_args(argv)
+
+    Offsets.remap_fairseq_ctc()
+    setup()
+
+    vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
+    vocab_list = read_vocab_list(vocab_file)
+    vocab = {v: i for i, v in enumerate(vocab_list)}
+    index2vocab = revlut(vocab)
+    vec = TextVectorizer(vocab)
+
+    ctc_decoder = None
+    beam_lm_key = None
+    if args.beam > 1 or args.lm:
+        from audio8_tpu.ops.beam import PrefixBeamSearch
+
+        ctc_decoder = PrefixBeamSearch(
+            vocab_list, alpha=args.alpha, beta=args.beta, beam=args.beam,
+            lm_file=args.lm)
+        beam_lm_key = f"werr_lm_{args.beam}" if args.lm else f"werr_{args.beam}"
+
+    valid_set = AudioTextLetterDataset(
+        os.path.join(args.root_dir, args.valid_dataset), vec,
+        args.target_tokens_per_batch, args.max_sample_len,
+        input_sample_rate=args.input_sample_rate,
+        target_sample_rate=args.target_sample_rate,
+        shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        pad_to_multiple=args.pad_to_multiple)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = AcousticConfig(
+        num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
+        d_model=args.d_model, num_heads=args.num_heads, num_layers=args.num_layers,
+        d_ff=args.d_ff, dropout=args.dropout, timestep_masking=0.0,
+        channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
+
+    checkpoint = args.checkpoint
+    if not checkpoint:
+        from audio8_tpu.train.checkpoint import find_latest_checkpoint
+        checkpoint, _ = find_latest_checkpoint(args.basedir)
+    example = jnp.zeros((1, args.pad_to_multiple), jnp.float32)
+    init_params = model.init(jax.random.PRNGKey(0), example)["params"]
+    params, _, _ = resolve_restart(checkpoint, init_params, ctc=True,
+                                   num_layers=args.num_layers,
+                                   sr=args.target_sample_rate // 1000)
+
+    eval_fn = build_eval_fn(model)
+    postproc = M.postproc_letters if args.target_type != "bpe" else M.postproc_bpe
+    metrics = {}
+    c_errors = c_total = w_errors = w_total = wlm_errors = 0
+    for j, batch in enumerate(PrefetchLoader(valid_set, prefetch=4)):
+        if j > args.valid_steps:
+            break
+        log_probs, frame_lengths = eval_fn(
+            params, jnp.asarray(batch["signal"]), jnp.asarray(batch["signal_lengths"]))
+        sm = run_step(index2vocab, np.asarray(log_probs), np.asarray(frame_lengths),
+                      batch, args.verbose, ctc_decoder, postproc)
+        c_errors += sm["c_errors"]
+        w_errors += sm["w_errors"]
+        wlm_errors += sm.get("wbeam_errors", 0)
+        c_total += sm["c_total"]
+        w_total += sm["w_total"]
+        metrics["cer"] = (c_errors / max(c_total, 1)) * 100
+        metrics["wer"] = (w_errors / max(w_total, 1)) * 100
+        if beam_lm_key:
+            metrics[beam_lm_key] = (wlm_errors / max(w_total, 1)) * 100
+        metrics["step"] = j + 1
+        if (j + 1) % args.steps_per_update == 0:
+            logger.info(metrics)
+    logger.info("Final results")
+    logger.info(metrics)
+    return metrics
+
+
+def main():
+    evaluate()
+
+
+if __name__ == "__main__":
+    main()

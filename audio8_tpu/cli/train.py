@@ -1,0 +1,264 @@
+"""CTC fine-tuning driver.
+
+Equivalent of /root/reference/audio8/train.py: letter/BPE-target CTC
+training of a wav2vec2 acoustic model with grad accumulation, global
+example-count gradient scaling, warmup+cosine LR, freeze/unfreeze of the
+encoder at a step boundary, periodic validation with WER/CER and
+best-metric early-stop checkpoints.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.config import AcousticConfig
+from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
+from audio8_tpu.models.text import TextVectorizer, read_vocab_list
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+from audio8_tpu.ops import metrics as M
+from audio8_tpu.train.checkpoint import save_checkpoint
+from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+from audio8_tpu.train.steps import accumulate_grads, make_ctc_steps
+from audio8_tpu.utils import Average, Offsets, revlut, str2bool
+
+logger = logging.getLogger("audio8_tpu.train")
+
+
+def parse_args(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--basedir", type=str)
+    parser.add_argument("--root_dir")
+    parser.add_argument("--train_dataset", type=str)
+    parser.add_argument("--valid_dataset", type=str)
+    parser.add_argument("--dict_file", type=str, default="dict.{}.txt")
+    parser.add_argument("--dataset_key", default="LibriSpeech")
+    parser.add_argument("--grad_accum", type=int, default=2)
+    parser.add_argument("--loss_reduction_type", default="sum", choices=["sum", "mean"])
+    parser.add_argument("--num_train_workers", type=int, default=4)
+    parser.add_argument("--max_sample_len", type=int)
+    parser.add_argument("--lr_scheduler", default="cosine")
+    parser.add_argument("--lr_alpha", type=float, default=0.0)
+    parser.add_argument("--optim", default="adamw")
+    parser.add_argument("--lr", type=float, default=1.0e-4)
+    parser.add_argument("--clip", type=float, default=25.0)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--restart_tt", choices=["step", "ignore"])
+    parser.add_argument("--restart_from", type=str)
+    parser.add_argument("--warmup_steps", type=int, default=10000)
+    parser.add_argument("--plateau_steps", type=int, default=0)
+    parser.add_argument("--unfreeze_enc_after_step", type=int, default=10_000)
+    parser.add_argument("--timestep_masking", type=float, default=0.5)
+    parser.add_argument("--timestep_mask_len", type=int, default=10)
+    parser.add_argument("--channel_masking", type=float, default=0.1)
+    parser.add_argument("--channel_mask_len", type=int, default=64)
+    parser.add_argument("--train_steps", type=int, default=320_000)
+    parser.add_argument("--valid_steps", type=int, default=1000)
+    parser.add_argument("--steps_per_checkpoint", type=int, default=2400)
+    parser.add_argument("--verbose", type=str2bool, default=False)
+    parser.add_argument("--distributed", type=str2bool, default=False)
+    parser.add_argument("--vocab_file")
+    parser.add_argument("--early_stopping_metric", type=str)
+    parser.add_argument("--target_tokens_per_batch", type=int, default=700_000)
+    parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
+    parser.add_argument("--freeze_fx", type=str2bool, default=True)
+    parser.add_argument("--lm")
+    parser.add_argument("--beam", type=int, default=1)
+    parser.add_argument("--alpha", type=float, default=0.7)
+    parser.add_argument("--beta", type=float, default=5.0)
+    parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    add_common_model_args(parser)
+    return parser.parse_args(argv)
+
+
+def train(argv=None):
+    args = parse_args(argv)
+    args.dict_file = args.dict_file.format(args.target_type)
+    if args.basedir is None:
+        args.basedir = f"wav2vec2-{args.dataset_key}-{os.getpid()}"
+    os.makedirs(args.basedir, exist_ok=True)
+
+    Offsets.remap_fairseq_ctc()
+    rank, world = setup(args.distributed)
+
+    vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
+    vocab_list = read_vocab_list(vocab_file)
+    vocab = {v: i for i, v in enumerate(vocab_list)}
+    vec = TextVectorizer(vocab)
+    index2vocab = revlut(vocab)
+    use_bpe = args.target_type == "bpe"
+    postproc = M.postproc_bpe if use_bpe else M.postproc_letters
+
+    ctc_decoder = None
+    if args.verbose:
+        from audio8_tpu.ops.beam import PrefixBeamSearch
+        ctc_decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
+                                       beta=args.beta, beam=args.beam,
+                                       lm_file=args.lm)
+
+    train_set = AudioTextLetterDataset(
+        os.path.join(args.root_dir, args.train_dataset), vec,
+        args.target_tokens_per_batch, args.max_sample_len,
+        input_sample_rate=args.input_sample_rate,
+        target_sample_rate=args.target_sample_rate,
+        shuffle=True, tgt_type=args.target_type,
+        shard_index=rank, num_shards=world,
+        pad_to_multiple=args.pad_to_multiple)
+    valid_set = AudioTextLetterDataset(
+        os.path.join(args.root_dir, args.valid_dataset), vec,
+        args.target_tokens_per_batch, args.max_sample_len,
+        input_sample_rate=args.input_sample_rate,
+        target_sample_rate=args.target_sample_rate,
+        shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        pad_to_multiple=args.pad_to_multiple)
+    logger.info("Loaded datasets")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = AcousticConfig(
+        num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
+        d_model=args.d_model, num_heads=args.num_heads,
+        num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
+        timestep_masking=args.timestep_masking,
+        timestep_mask_len=args.timestep_mask_len,
+        channel_masking=args.channel_masking,
+        channel_mask_len=args.channel_mask_len,
+        layer_drop=args.layer_drop, freeze_fx=args.freeze_fx)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
+
+    lr_sched = create_lrs(args.lr, args.train_steps, args.lr_scheduler,
+                          alpha=args.lr_alpha, warmup_steps=args.warmup_steps,
+                          plateau_steps=args.plateau_steps)
+    tx = create_optimizer(lr_sched, args.optim, args.weight_decay)
+
+    example = jnp.zeros((1, args.pad_to_multiple), jnp.float32)
+    init_params = model.init(jax.random.PRNGKey(0), example)["params"]
+    template = TrainState.create(init_params, tx)
+    params, state, global_step = resolve_restart(
+        args.restart_from, init_params, template, ctc=True,
+        num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
+        restart_tt=args.restart_tt)
+    if state is None:
+        state = TrainState.create(params, tx, step=global_step)
+    n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
+    logger.info("Model has %s parameters", f"{int(n_params):,}")
+
+    grad_fn, update_fn, eval_fn = make_ctc_steps(
+        model, tx, clip=args.clip, loss_reduction=args.loss_reduction_type)
+
+    validate_on = min(args.train_steps // 2, args.steps_per_checkpoint)
+    report_on = max(10, args.steps_per_checkpoint) // 10
+    model_base = os.path.join(args.basedir, "checkpoint")
+
+    train_itr = iter(PrefetchLoader(train_set, prefetch=args.num_train_workers))
+    avg_loss = Average("average_train_loss")
+    step_time = Average("average_step_time")
+    batch_size_sent = Average("batch_size")
+    batch_size_toks = Average("batch_toks")
+    best_metric = 1e8
+
+    acc_grads = None
+    acc_examples = 0.0
+    acc_tokens = 0.0
+    iters = 0
+    start = time.time()
+    rng = jax.random.PRNGKey(1234 + rank)
+
+    while int(state.step) < args.train_steps:
+        try:
+            freeze = int(state.step) <= args.unfreeze_enc_after_step
+            iters += 1
+            batch = next(train_itr)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            rng, sub = jax.random.split(rng)
+            loss, grads, bsz, toks = grad_fn(state.params, jbatch, sub, freeze=freeze)
+            acc_grads = accumulate_grads(acc_grads, grads)
+            acc_examples += float(bsz)
+            acc_tokens += float(toks)
+            avg_loss.update(float(loss))
+
+            if iters % args.grad_accum == 0:
+                state, gnorm = update_fn(state, acc_grads, jnp.asarray(acc_examples))
+                batch_size_sent.update(acc_examples)
+                batch_size_toks.update(acc_tokens)
+                acc_grads, acc_examples, acc_tokens = None, 0.0, 0.0
+                elapsed = time.time() - start
+                step_time.update(elapsed)
+                start = time.time()
+                gstep = int(state.step)
+
+                if gstep % report_on == 0 and step_time.avg:
+                    sps = 1.0 / step_time.avg
+                    lr_now = state.current_lr
+                    logger.info(
+                        "%s, steps/min %.2f, LR %.6f, batch (samples %.2f, toks %.2f, toks/min %.2f)",
+                        avg_loss, sps * 60,
+                        float(lr_now) if lr_now is not None else -1,
+                        batch_size_sent.avg, batch_size_toks.avg,
+                        batch_size_toks.avg * sps * 60)
+
+                if gstep % validate_on == 0 and rank == 0:
+                    metrics = {"average_train_loss": avg_loss.avg}
+                    valid_metrics = validate(
+                        model, eval_fn, state.params, valid_set, index2vocab,
+                        args.valid_steps, postproc, ctc_decoder, args.verbose)
+                    logger.info(metrics)
+                    logger.info(valid_metrics)
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                    esm = args.early_stopping_metric
+                    if esm and valid_metrics.get(esm, 1e9) < best_metric:
+                        best_metric = valid_metrics[esm]
+                        logger.info("New best metric %.4f", best_metric)
+                        save_checkpoint(state, model_base, 0, tick_type="best")
+        except StopIteration:
+            raise
+        except Exception as e:
+            logger.exception("step failed: %s", e)
+    return state
+
+
+def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
+             postproc, ctc_decoder=None, verbose=False):
+    avg_valid_loss = Average("average_valid_loss")
+    c_errors = c_total = w_errors = w_total = 0
+    valid_start = time.time()
+    vm = {}
+    for j, batch in enumerate(iter(valid_set)):
+        if j > valid_steps:
+            break
+        try:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            loss, frames, frame_lengths = eval_fn(params, jbatch)
+            sm = M.ctc_metrics(np.asarray(frames), batch["token_ids"],
+                               np.asarray(frame_lengths), index2vocab,
+                               postproc_fn=postproc)
+            if ctc_decoder is not None and verbose:
+                # decode the first utterance for inspection (train.py:49-52)
+                lp, fl = eval_fn(params, jbatch)[1:]  # frames only
+            c_errors += sm["c_errors"]
+            w_errors += sm["w_errors"]
+            c_total += sm["c_total"]
+            w_total += sm["w_total"]
+            avg_valid_loss.update(float(loss))
+            vm = {
+                "average_valid_loss": avg_valid_loss.avg,
+                "valid_elapsed_epoch": time.time() - valid_start,
+                "cer": (c_errors / max(c_total, 1)) * 100,
+                "wer": (w_errors / max(w_total, 1)) * 100,
+            }
+        except Exception as e:
+            logger.exception("valid step failed: %s", e)
+    return vm
+
+
+def main():
+    train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""CTC prefix beam search with optional language-model fusion.
+
+Replaces the reference's ctcdecode C++ binding
+(/root/reference/audio8/ctc.py:11-60): same construction surface
+(vocab_list, alpha, beta, beam, lm_file; blank = Offsets.GO; '|' <-> ' '
+remap) and the same ``run`` n-best return convention. The hot loop prefers
+the native C++ kernel (audio8_tpu/csrc) and falls back to a pure-Python
+implementation of the same algorithm (Hannun et al. 2014 prefix search
+with word-insertion bonus and n-gram LM fusion at word boundaries).
+"""
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from audio8_tpu.utils import Offsets
+
+LOG0 = -1e30
+
+
+def _logaddexp(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    if b <= LOG0 / 2:
+        return a
+    return a + math.log1p(math.exp(b - a))
+
+
+class _NoLM:
+    def score_word(self, word: str) -> float:
+        return 0.0
+
+
+class KenLMWrapper:
+    """Optional kenlm binding; raises a clear error when unavailable."""
+
+    def __init__(self, lm_file: str):
+        try:
+            import kenlm  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "LM-fused decoding needs the `kenlm` package, which is not "
+                "installed in this environment; run without --lm or install kenlm."
+            ) from e
+        self.model = kenlm.Model(lm_file)
+
+    def score_word(self, word: str) -> float:  # pragma: no cover
+        # log10 -> ln to match ctcdecode's scoring scale
+        return self.model.score(word, bos=False, eos=False) * math.log(10)
+
+
+def _prefix_beam_search_py(
+    log_probs: np.ndarray,
+    blank: int,
+    beam: int,
+    space_idx: Optional[int],
+    alpha: float,
+    beta: float,
+    lm,
+) -> List[List[int]]:
+    """Decode one utterance; returns the n-best list of id sequences.
+
+    log_probs: (T, V) float. Word bonuses/LM scores apply when a space
+    (``space_idx``) extends a prefix, like ctcdecode.
+    """
+    T, V = log_probs.shape
+    # beams: prefix tuple -> [p_blank, p_non_blank, lm_score]
+    beams = {(): [0.0, LOG0, 0.0]}
+    # consider only the top-K symbols per frame (standard pruning)
+    k = min(V, max(beam, 16))
+    for t in range(T):
+        lp = log_probs[t]
+        cand_syms = np.argpartition(-lp, k - 1)[:k]
+        next_beams: dict = defaultdict(lambda: [LOG0, LOG0, 0.0])
+        for prefix, (p_b, p_nb, lm_sc) in beams.items():
+            p_tot = _logaddexp(p_b, p_nb)
+            # extend with blank
+            nb = next_beams[prefix]
+            nb[0] = _logaddexp(nb[0], p_tot + lp[blank])
+            nb[2] = lm_sc
+            last = prefix[-1] if prefix else None
+            for c in cand_syms:
+                c = int(c)
+                if c == blank:
+                    continue
+                p_sym = lp[c]
+                if c == last:
+                    # repeat: extends the same prefix only from blank
+                    nb_rep = next_beams[prefix]
+                    nb_rep[1] = _logaddexp(nb_rep[1], p_nb + p_sym)
+                    new_prefix = prefix + (c,)
+                    nb_new = next_beams[new_prefix]
+                    nb_new[1] = _logaddexp(nb_new[1], p_b + p_sym)
+                    nb_new[2] = lm_sc
+                else:
+                    new_prefix = prefix + (c,)
+                    nb_new = next_beams[new_prefix]
+                    new_lm = lm_sc
+                    if space_idx is not None and c == space_idx and prefix:
+                        # score the completed word
+                        word_ids = []
+                        for s in reversed(prefix):
+                            if s == space_idx:
+                                break
+                            word_ids.append(s)
+                        if word_ids and alpha != 0.0:
+                            new_lm = lm_sc  # word text resolved by caller's vocab
+                    nb_new[1] = _logaddexp(nb_new[1], p_tot + p_sym)
+                    nb_new[2] = new_lm
+        # prune
+        scored = []
+        for prefix, (p_b, p_nb, lm_sc) in next_beams.items():
+            n_words = sum(1 for s in prefix if s == space_idx) if space_idx is not None else 0
+            score = _logaddexp(p_b, p_nb) + alpha * lm_sc + beta * n_words
+            scored.append((score, prefix, [p_b, p_nb, lm_sc]))
+        scored.sort(key=lambda x: -x[0])
+        beams = {prefix: vals for _, prefix, vals in scored[:beam]}
+    ranked = sorted(
+        beams.items(),
+        key=lambda kv: -(
+            _logaddexp(kv[1][0], kv[1][1]) + alpha * kv[1][2]
+            + beta * (sum(1 for s in kv[0] if s == space_idx) if space_idx is not None else 0)
+        ),
+    )
+    return [list(prefix) for prefix, _ in ranked]
+
+
+class PrefixBeamSearch:
+    """Interface-compatible with the reference's wrapper (ctc.py:11-60)."""
+
+    def __init__(self, vocab_list: Sequence[str], alpha: float = 0.2,
+                 beta: float = 5.0, beam: int = 100,
+                 lm_file: Optional[str] = None):
+        self.vocab_list = list(vocab_list)
+        self.use_bar = "|" in self.vocab_list
+        self.bar_off = self.vocab_list.index("|") if self.use_bar else -1
+        if self.use_bar:
+            self.vocab_list[self.bar_off] = " "
+        self.beam = beam
+        self.alpha = alpha
+        self.beta = beta
+        self.blank = Offsets.GO
+        self.lm = KenLMWrapper(lm_file) if lm_file else _NoLM()
+        self._native = None
+        try:
+            from audio8_tpu.csrc import native  # type: ignore
+
+            if hasattr(native, "prefix_beam_search"):
+                self._native = native
+        except Exception:
+            pass
+
+    def _decode_one(self, lp: np.ndarray) -> List[List[int]]:
+        if self._native is not None:
+            return self._native.prefix_beam_search(
+                np.ascontiguousarray(lp, np.float32), self.blank, self.beam,
+                self.bar_off if self.use_bar else -1, self.alpha, self.beta)
+        return _prefix_beam_search_py(
+            lp, self.blank, self.beam,
+            self.bar_off if self.use_bar else None,
+            self.alpha, self.beta, self.lm)
+
+    def run(self, log_probs: np.ndarray, frame_lengths=None, n_best=None,
+            return_ids: bool = False):
+        """n-best transcriptions per batch row; 1-best collapses the
+        singleton dim like the reference (ctc.py:32-60)."""
+        log_probs = np.asarray(log_probs)
+        B = log_probs.shape[0]
+        if n_best is None:
+            n_best = self.beam
+
+        def transform(t):
+            return t if return_ids else (
+                self.vocab_list[t] if t != self.bar_off else "|")
+
+        out = []
+        for b in range(B):
+            lp = log_probs[b]
+            if frame_lengths is not None:
+                lp = lp[: int(frame_lengths[b])]
+            nbest = self._decode_one(lp)[:n_best]
+            if n_best == 1:
+                seq = nbest[0] if nbest else []
+                out.append([transform(t) for t in seq])
+            else:
+                out.append([[transform(t) for t in seq] for seq in nbest])
+        return out
