@@ -35,8 +35,9 @@ def _read_flac(path: str) -> tuple[np.ndarray, int]:
     try:
         from audio8_tpu.csrc import native  # type: ignore
 
-        data, sr = native.read_flac(path)
-        return _pcm_to_float(np.asarray(data)), sr
+        data, sr, bps = native.read_flac(path)
+        scale = float(1 << (bps - 1)) if bps > 1 else 1.0
+        return np.asarray(data, np.float32) / scale, sr
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             f"FLAC decode for {path!r} needs the native extension; build it "
