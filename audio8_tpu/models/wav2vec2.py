@@ -442,12 +442,9 @@ def sample_negative_indices(
     return jnp.minimum(r, vc - 1).astype(jnp.int32)
 
 
-def _cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """torch.cosine_similarity semantics over the last axis."""
-    dot = jnp.sum(a * b, axis=-1)
-    na = jnp.sqrt(jnp.sum(a * a, axis=-1))
-    nb = jnp.sqrt(jnp.sum(b * b, axis=-1))
-    return dot / jnp.maximum(na * nb, eps)
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
 
 
 def wav2vec2_pretrain_loss(
@@ -465,18 +462,25 @@ def wav2vec2_pretrain_loss(
     [positive target; sampled negative targets]; cross-entropy against index
     0, averaged over valid slots; plus DIVERSITY_WGT*(n_vars - ppl)/n_vars.
     Returns (loss, metrics dict).
+
+    TPU-first formulation: cosine similarity is bilinear in the normalized
+    vectors, so ALL pairwise sims are one (M, M) MXU matmul per utterance
+    and negatives gather scalars from it. The reference's layout
+    (gather (N, B, T, C) candidate *vectors* then reduce,
+    wav2vec2.py:383-385) would make the backward pass a huge scatter-add —
+    O(N*C) more HBM traffic for identical math.
     """
     b, m, c = context_masked.shape
     vc = jnp.sum(valid, axis=-1)
     neg_idx = sample_negative_indices(key, b, m, n_negatives, vc)  # (B,M,N)
-    negs = jnp.take_along_axis(
-        targets_masked[:, :, None, :], neg_idx[..., None], axis=1
-    )  # gather over slot axis: (B, M, N, C)
 
-    cand = jnp.concatenate([targets_masked[:, :, None, :], negs], axis=2)  # (B,M,1+N,C)
-    logits = _cosine_similarity(
-        context_masked[:, :, None, :].astype(jnp.float32), cand.astype(jnp.float32)
-    )  # (B, M, 1+N)
+    c_hat = _l2_normalize(context_masked.astype(jnp.float32))
+    t_hat = _l2_normalize(targets_masked.astype(jnp.float32))
+    sims = jnp.einsum("bmc,bnc->bmn", c_hat, t_hat,
+                      preferred_element_type=jnp.float32)  # (B, M, M)
+    pos = jnp.diagonal(sims, axis1=1, axis2=2)  # (B, M)
+    negs = jnp.take_along_axis(sims, neg_idx, axis=2)  # (B, M, N) scalars
+    logits = jnp.concatenate([pos[..., None], negs], axis=2)  # (B, M, 1+N)
 
     logz = jax.nn.logsumexp(logits, axis=-1)
     xe = logz - logits[..., 0]  # -log softmax[0]

@@ -84,7 +84,7 @@ def ctc_forward_alphas(
     return alpha_final, ext
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "reduction"))
+@functools.partial(jax.jit, static_argnames=("blank", "reduction", "impl"))
 def ctc_loss(
     log_probs: jnp.ndarray,
     input_lengths: jnp.ndarray,
@@ -93,23 +93,39 @@ def ctc_loss(
     blank: int = 0,
     reduction: str = "sum",
     zero_infinity: bool = True,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Negative log-likelihood of the target labelling under CTC.
 
     Matches ``torch.nn.functional.ctc_loss`` semantics (sum/mean/none
     reductions, zero_infinity) as exercised by the reference's ``CTCLoss``.
+
+    impl: 'scan' (lax.scan band recursion), 'pallas' (fused
+    forward-backward TPU kernel with custom VJP), or 'auto' (pallas on TPU
+    when the state fits comfortably in VMEM, else scan).
     """
-    alpha, _ = ctc_forward_alphas(log_probs, targets, input_lengths, blank)
-    s_last = 2 * target_lengths  # index of final blank state
-    a_blank = jnp.take_along_axis(alpha, s_last[:, None], axis=1)[:, 0]
-    a_label = jnp.take_along_axis(
-        alpha, jnp.maximum(s_last - 1, 0)[:, None], axis=1
-    )[:, 0]
-    a_label = jnp.where(target_lengths > 0, a_label, NEG_INF)
-    ll = jnp.logaddexp(a_blank, a_label)
-    loss = -ll
-    if zero_infinity:
-        loss = jnp.where(loss >= -NEG_INF / 2, 0.0, loss)
+    if impl == "auto":
+        s_pad = ((2 * targets.shape[1] + 1) + 127) // 128 * 128
+        b_pad = (log_probs.shape[0] + 7) // 8 * 8
+        fits = 4 * b_pad * s_pad * 4 <= 4 * 1024 * 1024  # 4 (B,S) f32 tiles
+        impl = "pallas" if (jax.default_backend() == "tpu" and fits) else "scan"
+    if impl == "pallas":
+        from audio8_tpu.ops.pallas.ctc_kernel import ctc_loss_pallas
+
+        loss = ctc_loss_pallas(log_probs, input_lengths, targets,
+                               target_lengths, blank)
+    else:
+        alpha, _ = ctc_forward_alphas(log_probs, targets, input_lengths, blank)
+        s_last = 2 * target_lengths  # index of final blank state
+        a_blank = jnp.take_along_axis(alpha, s_last[:, None], axis=1)[:, 0]
+        a_label = jnp.take_along_axis(
+            alpha, jnp.maximum(s_last - 1, 0)[:, None], axis=1
+        )[:, 0]
+        a_label = jnp.where(target_lengths > 0, a_label, NEG_INF)
+        ll = jnp.logaddexp(a_blank, a_label)
+        loss = -ll
+        if zero_infinity:
+            loss = jnp.where(loss >= -NEG_INF / 2, 0.0, loss)
     if reduction == "sum":
         return jnp.sum(loss)
     if reduction == "mean":

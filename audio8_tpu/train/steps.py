@@ -73,7 +73,7 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
         num_tokens = jnp.sum(target_lengths).astype(jnp.float32)
         return loss, grads, batch_size, num_tokens
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update_fn(state, grads, total_examples):
         # scale_grads(num_gpus / batch_size) after DDP mean == divide the
         # summed gradient by the global example count (train.py:323)
@@ -105,7 +105,7 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
     cfg = model.config
     n_vars = cfg.num_vq_vars * cfg.num_vq_groups
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, signal, rng):
         temp = current_temperature(state.step, cfg.start_temp, cfg.end_temp,
                                    cfg.temp_decay_factor)
@@ -177,7 +177,7 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
         num_tokens = jnp.sum(dst_lengths).astype(jnp.float32)
         return loss, grads, batch_size, num_tokens
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update_fn(state, grads, total_examples):
         return state.apply_gradients(
             grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
@@ -229,7 +229,7 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
         num_tokens = jnp.sum(batch["token_lengths"]).astype(jnp.float32)
         return loss, metrics, grads, batch_size, num_tokens
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update_fn(state, grads, total_examples):
         return state.apply_gradients(
             grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
