@@ -61,6 +61,8 @@ def parse_args(argv=None):
     parser.add_argument("--steps_per_checkpoint", type=int, default=1000)
     parser.add_argument("--distributed", type=str2bool, default=False)
     parser.add_argument("--n_negatives", type=int, default=100)
+    parser.add_argument("--profile_dir", type=str,
+                        help="capture a jax.profiler trace window here")
     add_common_model_args(parser)
     return parser.parse_args(argv)
 
@@ -121,6 +123,9 @@ def train(argv=None):
     train_step, eval_step = make_pretrain_steps(
         model, tx, clip=args.clip, n_negatives=args.n_negatives)
 
+    from audio8_tpu.train.profiler import StepProfiler
+    profiler = StepProfiler(args.profile_dir)
+
     update_on = args.steps_per_checkpoint
     validate_on = update_on * 10
     report_on = max(10, update_on) // 10
@@ -137,6 +142,7 @@ def train(argv=None):
         batch = jnp.asarray(next(train_itr))
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
+        profiler.step(int(state.step))
         avg_loss.update(float(metrics["loss"]))
         step_time.update(time.time() - start)
         steps = int(state.step)

@@ -59,6 +59,9 @@ def parse_args(argv=None):
     parser.add_argument("--dict_file", default="dict.{}.txt")
     parser.add_argument("--subword_model_file")
     parser.add_argument("--subword_vocab_file")
+    parser.add_argument("--warmstart_text", type=str,
+                        help="npz file to warm-start the text tower "
+                             "(load_tlm_npz equivalent)")
     parser.add_argument("--init_temp", type=float, default=0.07)
     parser.add_argument("--learn_temp", type=str2bool, default=True)
     parser.add_argument("--output_dim", type=int, default=256)
@@ -143,6 +146,15 @@ def train(argv=None):
     mp = model.init(jax.random.PRNGKey(0), example_audio,
                     jnp.asarray([args.pad_to_multiple] * 2), example_text,
                     jnp.asarray([8, 8]))["params"]
+    if args.warmstart_text:
+        from audio8_tpu.models.warmstart import load_tlm_npz
+        import numpy as _np
+        te, report = load_tlm_npz(
+            jax.tree_util.tree_map(_np.asarray, mp["text_encoder"]),
+            args.warmstart_text)
+        logger.info("warmstart_text: loaded=%d unexpected=%s",
+                    len(report["loaded"]), report["unexpected"][:5])
+        mp = dict(mp, text_encoder=te)
     dummy = jnp.zeros((2, args.output_dim))
     lp = loss_module.init(jax.random.PRNGKey(1), dummy, dummy)["params"]
     init_params = {"model": mp, "loss": lp}

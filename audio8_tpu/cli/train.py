@@ -73,6 +73,8 @@ def parse_args(argv=None):
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--profile_dir", type=str,
+                        help="capture a jax.profiler trace window here")
     add_common_model_args(parser)
     return parser.parse_args(argv)
 
@@ -151,6 +153,9 @@ def train(argv=None):
     grad_fn, update_fn, eval_fn = make_ctc_steps(
         model, tx, clip=args.clip, loss_reduction=args.loss_reduction_type)
 
+    from audio8_tpu.train.profiler import StepProfiler
+    profiler = StepProfiler(args.profile_dir)
+
     validate_on = min(args.train_steps // 2, args.steps_per_checkpoint)
     report_on = max(10, args.steps_per_checkpoint) // 10
     model_base = os.path.join(args.basedir, "checkpoint")
@@ -187,6 +192,7 @@ def train(argv=None):
                 batch_size_sent.update(acc_examples)
                 batch_size_toks.update(acc_tokens)
                 acc_grads, acc_examples, acc_tokens = None, 0.0, 0.0
+                profiler.step(int(state.step))
                 elapsed = time.time() - start
                 step_time.update(elapsed)
                 start = time.time()

@@ -46,6 +46,11 @@ def create_lrs(
             decay = lr * (1.0 - frac) * (1.0 - alpha) + lr * alpha
         elif sched_type in ("invtime", "inverse-time"):
             decay = lr / (1.0 + frac)
+        elif sched_type == "exponential":
+            # eight_mile exponential: lr * decay_rate^(t/decay_steps); use
+            # alpha as the end-of-schedule fraction (default 0 -> 0.01 floor)
+            rate = alpha if alpha > 0 else 0.01
+            decay = lr * rate ** frac
         elif sched_type == "constant":
             decay = jnp.asarray(lr, jnp.float32)
         else:
