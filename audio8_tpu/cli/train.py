@@ -244,8 +244,14 @@ def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
                                np.asarray(frame_lengths), index2vocab,
                                postproc_fn=postproc)
             if ctc_decoder is not None and verbose:
-                # decode the first utterance for inspection (train.py:49-52)
-                lp, fl = eval_fn(params, jbatch)[1:]  # frames only
+                # beam-decode the first utterance for inspection, mirroring
+                # the reference's verbose validation (train.py:49-52)
+                lp, pm = model.apply(
+                    {"params": params}, jbatch["signal"][:1],
+                    jbatch["signal_lengths"][:1], train=False, freeze=True)
+                fl = np.asarray(jnp.sum(pm, axis=-1))
+                transcriptions = ctc_decoder.run(np.asarray(lp), fl, n_best=1)
+                print("".join(transcriptions[0]))
             c_errors += sm["c_errors"]
             w_errors += sm["w_errors"]
             c_total += sm["c_total"]

@@ -276,8 +276,11 @@ def _ctc_bwd(blank, res, g):
     de = de[:, :b, :s].transpose(1, 0, 2)  # (B, T, S)
     # scatter state-gradients onto the vocabulary with a one-hot matmul
     onehot = jax.nn.one_hot(ext, v, dtype=jnp.float32)  # (B, S, V)
+    # full f32 precision: the default TPU bf16 matmul costs ~1e-3 in the
+    # gradient, which is large relative to CTC occupancy values
     dlp = jnp.einsum("bts,bsv->btv", de, onehot,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     dlp = dlp * g[:, None, None]
     return dlp, None, None, None
 

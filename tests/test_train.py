@@ -130,13 +130,14 @@ def test_ctc_step_sharded_dp():
     bs = batch_sharding(mesh)
     batch = {k: jax.device_put(v, bs) for k, v in batch_np.items()}
     grad_fn, update_fn, _ = make_ctc_steps(model, tx)
+    params_host = jax.device_get(params)  # before donation invalidates them
     loss, grads, bsz, _ = grad_fn(state.params, batch, jax.random.PRNGKey(0), freeze=True)
     state, gnorm = update_fn(state, grads, bsz)
     assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
 
     # single-device replica for numerical agreement
     loss1, *_ = make_ctc_steps(model, tx)[0](
-        jax.device_get(params), {k: jnp.asarray(v) for k, v in batch_np.items()},
+        params_host, {k: jnp.asarray(v) for k, v in batch_np.items()},
         jax.random.PRNGKey(0), freeze=True)
     np.testing.assert_allclose(float(loss), float(loss1), rtol=1e-4)
 
