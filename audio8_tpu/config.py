@@ -54,6 +54,9 @@ class EncoderConfig:
     freeze_fx: bool = True
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
+    # Pallas flash-attention for encoder self-attention on TPU (skips
+    # attention-prob dropout; set False for exact dropout semantics)
+    flash_attention: bool = True
 
     @property
     def conv_features(self) -> List[Tuple[int, int, int]]:

@@ -210,6 +210,7 @@ class AudioTransformerEncoder(nn.Module):
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     layer_drop: float = 0.0
+    flash_attention: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -225,7 +226,7 @@ class AudioTransformerEncoder(nn.Module):
             num_heads=self.num_heads, d_model=self.d_model,
             num_layers=self.num_layers, d_ff=self.d_ff or 4 * self.d_model,
             dropout_rate=self.dropout, activation="gelu", pre_norm=False,
-            layer_drop=self.layer_drop, **dd,
+            layer_drop=self.layer_drop, flash=self.flash_attention, **dd,
         )
 
     def __call__(self, x, pad_mask=None, train: bool = False):
@@ -265,7 +266,7 @@ class Wav2Vec2Encoder(nn.Module):
             d_model=cfg.d_model, num_heads=cfg.num_heads,
             num_layers=cfg.num_layers, dropout=cfg.dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, **dd)
+            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
@@ -391,7 +392,7 @@ class Wav2Vec2Model(nn.Module):
             d_model=cfg.d_model, num_heads=cfg.num_heads,
             num_layers=cfg.num_layers, dropout=cfg.dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, **dd)
+            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(
@@ -413,6 +414,13 @@ class Wav2Vec2Model(nn.Module):
         time_mask = span_mask(self.make_rng("mask"), b, t,
                               cfg.timestep_masking, cfg.timestep_mask_len)
         features = jnp.where(time_mask[..., None], self.mask_emb.astype(features.dtype), features)
+        if train and cfg.channel_masking > 0.0:
+            # channel span masking zeroes feature channels across time.
+            # (The reference's equivalent branch is shape-broken and dead by
+            # default, wav2vec2.py:941-944 — implemented properly here.)
+            cm = span_mask(self.make_rng("mask"), b, features.shape[-1],
+                           cfg.channel_masking, cfg.channel_mask_len)
+            features = jnp.where(cm[:, None, :], 0.0, features)
 
         capacity = num_spans(t, cfg.timestep_masking, cfg.timestep_mask_len) * cfg.timestep_mask_len
         idx, valid = compact_mask_indices(time_mask, capacity)

@@ -20,6 +20,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from audio8_tpu.nn.layers import Dense, LayerNorm, gelu
@@ -65,6 +66,7 @@ class MultiHeadAttention(nn.Module):
     rpr_k: Optional[int] = None
     rpr_value_on: bool = False
     dropout_rate: float = 0.0
+    flash: bool = False  # use the Pallas flash-attention kernel on TPU
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -91,6 +93,52 @@ class MultiHeadAttention(nn.Module):
         b, t, _ = x.shape
         return x.reshape(b, t, self.num_heads, self.d_head).transpose(0, 2, 1, 3)
 
+    def _flash(self, q, k, v, mask):
+        """Run the Pallas TPU flash-attention kernel on (B, H, T, dh) inputs.
+
+        ``mask`` may be None (dense) or a boolean pad mask broadcastable to
+        (B, 1, 1, T) — expressed to the kernel as segment ids so padded
+        keys/queries only attend within the pad segment. T is padded up to
+        a lane multiple for the kernel and sliced back after.
+        """
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, SegmentIds, flash_attention)
+
+        b, h, t, dh = q.shape
+        t_pad = (t + 127) // 128 * 128
+        pad = t_pad - t
+
+        if mask is not None:
+            key_valid = jnp.broadcast_to(
+                jnp.squeeze(mask, axis=(1, 2)) if mask.ndim == 4 else mask,
+                (b, t))
+            seg = jnp.where(key_valid, 1, 0).astype(jnp.int32)
+        elif pad:
+            seg = jnp.ones((b, t), jnp.int32)
+        else:
+            seg = None
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q = jnp.pad(q, widths)
+            k = jnp.pad(k, widths)
+            v = jnp.pad(v, widths)
+            if seg is not None:
+                seg = jnp.pad(seg, ((0, 0), (0, pad)))  # pads get segment 0
+        segment_ids = None if seg is None else SegmentIds(q=seg, kv=seg)
+
+        block = min(512, t_pad)
+        sizes = BlockSizes(
+            block_q=block, block_k_major=block, block_k=block, block_b=1,
+            block_q_major_dkv=block, block_k_major_dkv=block,
+            block_k_dkv=block, block_q_dkv=block,
+            block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+        )
+        out = flash_attention(
+            q, k, v, segment_ids=segment_ids, causal=False,
+            sm_scale=(1.0 / float(np.sqrt(self.d_head))) if self.scale else 1.0,
+            block_sizes=sizes)
+        return out[:, :, :t, :]
+
     def _rel_ids(self, t_q: int, t_k: int, q_offset) -> jnp.ndarray:
         qi = jnp.arange(t_q)[:, None] + q_offset
         kj = jnp.arange(t_k)[None, :]
@@ -116,6 +164,20 @@ class MultiHeadAttention(nn.Module):
         q = self._split(self.w_Q(query))
         k = self._split(self.w_K(key))
         v = self._split(self.w_V(value))
+
+        if (
+            self.flash
+            and cache is None
+            and self.rpr_k is None
+            and jax.default_backend() == "tpu"
+        ):
+            # Pallas flash-attention path (jax.experimental.pallas.ops.tpu).
+            # NOTE: skips attention-probability dropout — acceptable for this
+            # model family; disable `flash` for exact dropout semantics.
+            out = self._flash(q, k, v, mask)
+            out = out.transpose(0, 2, 1, 3).reshape(
+                out.shape[0], out.shape[2], -1)
+            return self.w_O(out)
 
         if self.scale:
             q = q * (1.0 / jnp.sqrt(jnp.array(self.d_head, jnp.float32))).astype(q.dtype)
@@ -187,6 +249,7 @@ class TransformerEncoderLayer(nn.Module):
     rpr_k: Optional[int] = None
     rpr_value_on: bool = False
     scale: bool = True
+    flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -200,6 +263,7 @@ class TransformerEncoderLayer(nn.Module):
             rpr_k=self.rpr_k,
             rpr_value_on=self.rpr_value_on,
             dropout_rate=self.dropout_rate,
+            flash=self.flash,
             **dd,
         )
         self.ffn = FFN(
@@ -242,6 +306,7 @@ class TransformerEncoderStack(nn.Module):
     rpr_value_on: bool = False
     scale: bool = True
     layer_drop: float = 0.0
+    flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -260,6 +325,7 @@ class TransformerEncoderStack(nn.Module):
                 rpr_k=self.rpr_k,
                 rpr_value_on=self.rpr_value_on,
                 scale=self.scale,
+                flash=self.flash,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
