@@ -55,8 +55,10 @@ class EncoderConfig:
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     # Pallas flash-attention for encoder self-attention on TPU (skips
-    # attention-prob dropout; set False for exact dropout semantics)
-    flash_attention: bool = True
+    # attention-prob dropout). Off by default: at wav2vec2's short frame
+    # counts (~550) XLA's fused attention is faster (measured on v5e);
+    # enable for long-clip buckets where O(T^2) HBM traffic dominates.
+    flash_attention: bool = False
 
     @property
     def conv_features(self) -> List[Tuple[int, int, int]]:

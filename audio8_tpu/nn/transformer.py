@@ -126,7 +126,8 @@ class MultiHeadAttention(nn.Module):
                 seg = jnp.pad(seg, ((0, 0), (0, pad)))  # pads get segment 0
         segment_ids = None if seg is None else SegmentIds(q=seg, kv=seg)
 
-        block = min(512, t_pad)
+        # largest power-of-two block that divides the padded length
+        block = max(bs for bs in (512, 256, 128) if t_pad % bs == 0)
         sizes = BlockSizes(
             block_q=block, block_k_major=block, block_k=block, block_b=1,
             block_q_major_dkv=block, block_k_major_dkv=block,

@@ -1,0 +1,82 @@
+"""ARPA n-gram language model for beam-search fusion.
+
+The reference fuses KenLM through ctcdecode (alpha/beta weights,
+/root/reference/audio8/ctc.py:12-30). kenlm isn't available in this
+environment, so this is a self-contained ARPA reader with standard
+backoff scoring; ``PrefixBeamSearch`` uses it for word-level fusion at
+'|' boundaries. Scores are natural-log (ARPA log10 converted), matching
+ctcdecode's scale.
+"""
+from __future__ import annotations
+
+import gzip
+import math
+from typing import Dict, Sequence, Tuple
+
+LOG10 = math.log(10.0)
+
+
+class ArpaLM:
+    """Backoff n-gram LM loaded from an ARPA file (optionally gzipped)."""
+
+    def __init__(self, path: str):
+        self.ngrams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
+        self.order = 0
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            section = 0
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("\\data\\"):
+                    continue
+                if line.startswith("\\") and "-grams:" in line:
+                    section = int(line[1:line.index("-")])
+                    self.order = max(self.order, section)
+                    continue
+                if line.startswith("\\end\\"):
+                    break
+                if section == 0:
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    parts = line.split()
+                    if len(parts) < section + 1:
+                        continue
+                    prob = float(parts[0])
+                    words = tuple(parts[1:section + 1])
+                    backoff = float(parts[section + 1]) if len(parts) > section + 1 else 0.0
+                else:
+                    prob = float(parts[0])
+                    words = tuple(parts[1].split())
+                    backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                self.ngrams[words] = (prob * LOG10, backoff * LOG10)
+
+    def logp(self, word: str, context: Tuple[str, ...]) -> float:
+        """ln P(word | context) with standard backoff; OOV falls back to
+        <unk> or a -100 floor like kenlm."""
+        context = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        while True:
+            entry = self.ngrams.get(context + (word,))
+            if entry is not None:
+                return entry[0]
+            if not context:
+                unk = self.ngrams.get(("<unk>",))
+                return unk[0] if unk is not None else -100.0 * LOG10
+            bo = self.ngrams.get(context)
+            backoff = bo[1] if bo is not None else 0.0
+            context = context[1:]
+            entry = self.ngrams.get(context + (word,))
+            if entry is not None:
+                return backoff + entry[0]
+            if not context:
+                # apply accumulated backoff to unigram/unk
+                unk = self.ngrams.get((word,)) or self.ngrams.get(("<unk>",))
+                return backoff + (unk[0] if unk is not None else -100.0 * LOG10)
+
+    def score_sequence(self, words: Sequence[str]) -> float:
+        total = 0.0
+        ctx: Tuple[str, ...] = ()
+        for w in words:
+            total += self.logp(w, ctx)
+            ctx = ctx + (w,)
+        return total
