@@ -29,27 +29,22 @@ def _logaddexp(a: float, b: float) -> float:
     return a + math.log1p(math.exp(b - a))
 
 
-class _NoLM:
-    def score_word(self, word: str) -> float:
-        return 0.0
+def _load_lm(lm_file: str):
+    """kenlm if installed, else the built-in ARPA reader (audio8_tpu.ops.lm)."""
+    try:  # pragma: no cover - kenlm absent in this environment
+        import kenlm  # type: ignore
 
+        model = kenlm.Model(lm_file)
 
-class KenLMWrapper:
-    """Optional kenlm binding; raises a clear error when unavailable."""
+        class _KenLM:
+            def logp(self, word, context):
+                return model.score(word, bos=False, eos=False) * math.log(10)
 
-    def __init__(self, lm_file: str):
-        try:
-            import kenlm  # type: ignore
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "LM-fused decoding needs the `kenlm` package, which is not "
-                "installed in this environment; run without --lm or install kenlm."
-            ) from e
-        self.model = kenlm.Model(lm_file)
+        return _KenLM()
+    except ImportError:
+        from audio8_tpu.ops.lm import ArpaLM
 
-    def score_word(self, word: str) -> float:  # pragma: no cover
-        # log10 -> ln to match ctcdecode's scoring scale
-        return self.model.score(word, bos=False, eos=False) * math.log(10)
+        return ArpaLM(lm_file)
 
 
 def _prefix_beam_search_py(
@@ -59,25 +54,40 @@ def _prefix_beam_search_py(
     space_idx: Optional[int],
     alpha: float,
     beta: float,
-    lm,
+    lm=None,
+    id2sym=None,
 ) -> List[List[int]]:
     """Decode one utterance; returns the n-best list of id sequences.
 
-    log_probs: (T, V) float. Word bonuses/LM scores apply when a space
-    (``space_idx``) extends a prefix, like ctcdecode.
+    log_probs: (T, V) float. When an LM is given, completed words (at
+    ``space_idx`` boundaries) are scored with weight ``alpha`` and each
+    word adds insertion bonus ``beta`` — ctcdecode's fusion scheme.
     """
     T, V = log_probs.shape
     # beams: prefix tuple -> [p_blank, p_non_blank, lm_score]
     beams = {(): [0.0, LOG0, 0.0]}
-    # consider only the top-K symbols per frame (standard pruning)
     k = min(V, max(beam, 16))
+
+    def word_ending_at(prefix) -> str:
+        chars = []
+        for s_id in reversed(prefix):
+            if s_id == space_idx:
+                break
+            chars.append(id2sym[s_id] if id2sym else str(s_id))
+        return "".join(reversed(chars))
+
+    def context_words(prefix) -> tuple:
+        if id2sym is None:
+            return ()
+        text = "".join(id2sym[i] for i in prefix)
+        return tuple(w for w in text.split(" ") if w)
+
     for t in range(T):
         lp = log_probs[t]
         cand_syms = np.argpartition(-lp, k - 1)[:k]
         next_beams: dict = defaultdict(lambda: [LOG0, LOG0, 0.0])
         for prefix, (p_b, p_nb, lm_sc) in beams.items():
             p_tot = _logaddexp(p_b, p_nb)
-            # extend with blank
             nb = next_beams[prefix]
             nb[0] = _logaddexp(nb[0], p_tot + lp[blank])
             nb[2] = lm_sc
@@ -88,7 +98,6 @@ def _prefix_beam_search_py(
                     continue
                 p_sym = lp[c]
                 if c == last:
-                    # repeat: extends the same prefix only from blank
                     nb_rep = next_beams[prefix]
                     nb_rep[1] = _logaddexp(nb_rep[1], p_nb + p_sym)
                     new_prefix = prefix + (c,)
@@ -99,21 +108,19 @@ def _prefix_beam_search_py(
                     new_prefix = prefix + (c,)
                     nb_new = next_beams[new_prefix]
                     new_lm = lm_sc
-                    if space_idx is not None and c == space_idx and prefix:
-                        # score the completed word
-                        word_ids = []
-                        for s in reversed(prefix):
-                            if s == space_idx:
-                                break
-                            word_ids.append(s)
-                        if word_ids and alpha != 0.0:
-                            new_lm = lm_sc  # word text resolved by caller's vocab
+                    if (lm is not None and space_idx is not None
+                            and c == space_idx and prefix
+                            and prefix[-1] != space_idx):
+                        word = word_ending_at(prefix)
+                        if word:
+                            ctx = context_words(prefix[: len(prefix) - len(word)])
+                            new_lm = lm_sc + lm.logp(word, ctx)
                     nb_new[1] = _logaddexp(nb_new[1], p_tot + p_sym)
                     nb_new[2] = new_lm
-        # prune
         scored = []
         for prefix, (p_b, p_nb, lm_sc) in next_beams.items():
-            n_words = sum(1 for s in prefix if s == space_idx) if space_idx is not None else 0
+            n_words = (sum(1 for s_id in prefix if s_id == space_idx)
+                       if space_idx is not None else 0)
             score = _logaddexp(p_b, p_nb) + alpha * lm_sc + beta * n_words
             scored.append((score, prefix, [p_b, p_nb, lm_sc]))
         scored.sort(key=lambda x: -x[0])
@@ -122,7 +129,8 @@ def _prefix_beam_search_py(
         beams.items(),
         key=lambda kv: -(
             _logaddexp(kv[1][0], kv[1][1]) + alpha * kv[1][2]
-            + beta * (sum(1 for s in kv[0] if s == space_idx) if space_idx is not None else 0)
+            + beta * (sum(1 for s_id in kv[0] if s_id == space_idx)
+                      if space_idx is not None else 0)
         ),
     )
     return [list(prefix) for prefix, _ in ranked]
@@ -143,7 +151,7 @@ class PrefixBeamSearch:
         self.alpha = alpha
         self.beta = beta
         self.blank = Offsets.GO
-        self.lm = KenLMWrapper(lm_file) if lm_file else _NoLM()
+        self.lm = _load_lm(lm_file) if lm_file else None
         self._native = None
         try:
             from audio8_tpu.csrc import native  # type: ignore
@@ -154,14 +162,15 @@ class PrefixBeamSearch:
             pass
 
     def _decode_one(self, lp: np.ndarray) -> List[List[int]]:
-        if self._native is not None:
+        # native path has no LM hook yet: use it only for LM-free decoding
+        if self._native is not None and self.lm is None:
             return self._native.prefix_beam_search(
                 np.ascontiguousarray(lp, np.float32), self.blank, self.beam,
                 self.bar_off if self.use_bar else -1, self.alpha, self.beta)
         return _prefix_beam_search_py(
             lp, self.blank, self.beam,
             self.bar_off if self.use_bar else None,
-            self.alpha, self.beta, self.lm)
+            self.alpha, self.beta, self.lm, self.vocab_list)
 
     def run(self, log_probs: np.ndarray, frame_lengths=None, n_best=None,
             return_ids: bool = False):

@@ -1,0 +1,82 @@
+"""ARPA LM parsing/backoff and LM-fused prefix beam search."""
+import math
+
+import numpy as np
+import pytest
+
+from audio8_tpu.ops.beam import PrefixBeamSearch, _prefix_beam_search_py
+from audio8_tpu.ops.lm import ArpaLM
+from audio8_tpu.utils import Offsets
+
+ARPA = """\\data\\
+ngram 1=5
+ngram 2=2
+
+\\1-grams:
+-0.30103\tCAT\t-0.30103
+-0.69897\tDOG\t-0.30103
+-1.00000\tSAT\t-0.30103
+-1.30103\t<unk>
+-0.47712\tTHE\t-0.17609
+
+\\2-grams:
+-0.17609\tTHE CAT
+-0.60206\tCAT SAT
+
+\\end\\
+"""
+
+
+@pytest.fixture
+def lm(tmp_path):
+    f = tmp_path / "lm.arpa"
+    f.write_text(ARPA)
+    return ArpaLM(str(f))
+
+
+def test_arpa_parse_and_unigram(lm):
+    assert lm.order == 2
+    np.testing.assert_allclose(lm.logp("CAT", ()), -0.30103 * math.log(10), rtol=1e-6)
+    # OOV -> <unk>
+    np.testing.assert_allclose(lm.logp("ZEBRA", ()), -1.30103 * math.log(10), rtol=1e-6)
+
+
+def test_arpa_bigram_and_backoff(lm):
+    # direct bigram
+    np.testing.assert_allclose(lm.logp("CAT", ("THE",)), -0.17609 * math.log(10), rtol=1e-6)
+    # backoff: P(DOG | THE) = backoff(THE) * P(DOG)
+    want = (-0.17609 + -0.69897) * math.log(10)
+    np.testing.assert_allclose(lm.logp("DOG", ("THE",)), want, rtol=1e-6)
+
+
+def test_lm_fusion_steers_beam(tmp_path):
+    """Acoustically ambiguous CAT vs CAS: the LM should pick CAT."""
+    f = tmp_path / "lm.arpa"
+    f.write_text(ARPA)
+    vocab = list(Offsets.VALUES) + ["A", "C", "S", "T", "|"]
+    sym = {v: i for i, v in enumerate(vocab)}
+    T = 8
+    V = len(vocab)
+    lp = np.full((T, V), -8.0, np.float32)
+
+    def put(t, ch, p):
+        lp[t, sym[ch]] = p
+
+    blank = Offsets.GO
+    # C A ?(T/S tie) |
+    put(0, "C", -0.1); put(1, "A", -0.1)
+    lp[2, sym["T"]] = -0.69; lp[2, sym["S"]] = -0.69  # tie
+    put(3, "|", -0.1)
+    for t in range(4, T):
+        lp[t, blank] = -0.01
+
+    pbs_no_lm = PrefixBeamSearch(vocab, alpha=0.0, beta=0.0, beam=8)
+    pbs_lm = PrefixBeamSearch(vocab, alpha=1.0, beta=0.0, beam=8,
+                              lm_file=str(f))
+    with_lm = "".join(pbs_lm.run(lp[None], n_best=1)[0]).replace("|", "").strip()
+    assert with_lm == "CAT"
+    # n-best without LM contains both hypotheses near the top
+    nb = pbs_no_lm.run(lp[None], n_best=4, return_ids=True)[0]
+    texts = {"".join(vocab[i] for i in seq) for seq in nb}
+    assert any("CAT" in t.replace(" ", "") for t in texts)
+    assert any("CAS" in t.replace(" ", "") for t in texts)

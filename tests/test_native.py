@@ -37,7 +37,7 @@ def test_native_edit_distance_matches_python():
 # ----------------------------------------------------------------- beam search
 
 def test_native_beam_matches_python_beam():
-    from audio8_tpu.ops.beam import _prefix_beam_search_py, _NoLM
+    from audio8_tpu.ops.beam import _prefix_beam_search_py
 
     rng = np.random.default_rng(1)
     for trial in range(5):
@@ -47,7 +47,7 @@ def test_native_beam_matches_python_beam():
         lp = lp.astype(np.float32)
         got = native.prefix_beam_search(lp, blank=0, beam=8, space_idx=-1,
                                         alpha=0.0, beta=0.0, n_best=1)
-        want = _prefix_beam_search_py(lp, 0, 8, None, 0.0, 0.0, _NoLM())
+        want = _prefix_beam_search_py(lp, 0, 8, None, 0.0, 0.0, None)
         assert got[0] == want[0], (trial, got[0], want[0])
 
 
