@@ -207,7 +207,10 @@ def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
         try:
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
             loss = eval_loss_fn(params, jbatch)
+            # round the decode horizon up to a multiple of 32 so the jitted
+            # decode compiles for a handful of lengths, not per batch
             max_len = int(batch["token_lengths"].max())
+            max_len = (max_len + 31) // 32 * 32
             toks, _ = decode_fn(params, jbatch, max_output_len=max_len)
             decoded = [row.tolist() for row in np.asarray(toks)]
             sm = M.decode_metrics(decoded, batch["token_ids"][:, 1:],
