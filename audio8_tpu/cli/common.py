@@ -60,9 +60,12 @@ def resolve_restart(
             loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr)
             if report["missing"]:
                 raise ValueError(f"missing keys: {report['missing'][:3]}...")
-            # pretrained tree loads under encoder.* for downstream models
             if ctc:
-                loaded = {"encoder": loaded} if "encoder" not in loaded else loaded
+                # a pretrained Wav2Vec2Model tree warm-starts the downstream
+                # model's ``encoder`` submodule (quantizer/projection keys are
+                # dropped by merge_params), mirroring the reference's
+                # load_fairseq_bin(model.encoder, ...) at train.py:221
+                loaded = {"encoder": loaded}
         except Exception:
             loaded, report = load_fairseq_bin(restart_from, ctc=True, num_layers=num_layers, sr=sr)
         logger.info("fairseq load report: missing=%s unexpected=%s",

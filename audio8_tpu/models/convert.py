@@ -172,14 +172,24 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
     return convert_pretrained_state(state, num_layers, num_fx)
 
 
-def merge_params(target: Dict, loaded: Dict) -> Dict:
-    """Overlay loaded params onto a freshly-initialized tree (missing keys —
-    e.g. the CTC head when warm-starting from pretrained — keep their
-    initialization)."""
+def merge_params(target: Dict, loaded: Dict, _dropped: Optional[list] = None) -> Dict:
+    """Overlay loaded params onto a freshly-initialized tree.
+
+    - keys missing from ``loaded`` (e.g. the CTC head when warm-starting
+      from a pretrained checkpoint) keep their initialization;
+    - keys in ``loaded`` but absent from ``target`` (e.g. quantizer/
+      projection params when loading a pretrained tree into a downstream
+      model — the reference's strict=False load, wav2vec2.py:184) are
+      DROPPED, since flax rejects unexpected params at apply time.
+    """
     out = dict(target)
     for k, v in loaded.items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = merge_params(out[k], v)
+        if k not in out:
+            if _dropped is not None:
+                _dropped.append(k)
+            continue
+        if isinstance(v, dict) and isinstance(out[k], dict):
+            out[k] = merge_params(out[k], v, _dropped)
         else:
             out[k] = v
     return out
