@@ -43,6 +43,9 @@ class EncoderConfig:
     num_heads: int = 12
     num_layers: int = 12
     dropout: float = 0.1
+    # attention-probability dropout; None follows `dropout` (fairseq's
+    # separate attention_dropout knob, default 0.1 for wav2vec2-base)
+    attention_dropout: Optional[float] = None
     d_ff: Optional[int] = None
     dropout_input: float = 0.0
     dropout_features: float = 0.0

@@ -43,6 +43,7 @@ from audio8_tpu.config import (
     XE_WGT,
     conv_output_length,
 )
+from audio8_tpu.nn.dropout import Dropout
 from audio8_tpu.nn.layers import Conv1D, Dense, GroupNorm, LayerNorm, PositionalConv, gelu
 from audio8_tpu.nn.pooling import Reduction
 from audio8_tpu.nn.transformer import TransformerEncoderStack
@@ -72,7 +73,7 @@ class ConvFeatureExtractor(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv_{i}",
             )(x)
             if self.dropout > 0:
-                x = nn.Dropout(self.dropout)(x, deterministic=not train)
+                x = Dropout(self.dropout)(x, deterministic=not train)
             if i == 0:
                 x = GroupNorm(
                     num_groups=dim, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -206,6 +207,7 @@ class AudioTransformerEncoder(nn.Module):
     num_heads: int
     num_layers: int
     dropout: float = 0.1
+    attention_dropout: Optional[float] = None
     d_ff: Optional[int] = None
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
@@ -221,11 +223,12 @@ class AudioTransformerEncoder(nn.Module):
             groups=self.conv_pos_groups, dropout_rate=self.dropout, **dd,
         )
         self.ln = LayerNorm(**dd)
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = Dropout(self.dropout)
         self.transformer = TransformerEncoderStack(
             num_heads=self.num_heads, d_model=self.d_model,
             num_layers=self.num_layers, d_ff=self.d_ff or 4 * self.d_model,
-            dropout_rate=self.dropout, activation="gelu", pre_norm=False,
+            dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
+            activation="gelu", pre_norm=False,
             layer_drop=self.layer_drop, flash=self.flash_attention, **dd,
         )
 
@@ -264,14 +267,15 @@ class Wav2Vec2Encoder(nn.Module):
         self.proj_to_input = Dense(cfg.d_model, **dd)
         self.encoder = AudioTransformerEncoder(
             d_model=cfg.d_model, num_heads=cfg.num_heads,
-            num_layers=cfg.num_layers, dropout=cfg.dropout, d_ff=cfg.d_ff,
+            num_layers=cfg.num_layers, dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
-        self.dropout_input = nn.Dropout(cfg.dropout_input)
-        self.dropout_features = nn.Dropout(cfg.dropout_features)
+        self.dropout_input = Dropout(cfg.dropout_input)
+        self.dropout_features = Dropout(cfg.dropout_features)
 
     def __call__(self, x, input_lengths=None, train: bool = False):
         cfg = self.config
@@ -390,7 +394,8 @@ class Wav2Vec2Model(nn.Module):
             num_groups=cfg.num_vq_groups, vq_dim=cfg.final_dim, **dd)
         self.encoder = AudioTransformerEncoder(
             d_model=cfg.d_model, num_heads=cfg.num_heads,
-            num_layers=cfg.num_layers, dropout=cfg.dropout, d_ff=cfg.d_ff,
+            num_layers=cfg.num_layers, dropout=cfg.dropout,
+            attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
@@ -398,8 +403,8 @@ class Wav2Vec2Model(nn.Module):
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
-        self.dropout_input = nn.Dropout(cfg.dropout_input)
-        self.dropout_features = nn.Dropout(cfg.dropout_features)
+        self.dropout_input = Dropout(cfg.dropout_input)
+        self.dropout_features = Dropout(cfg.dropout_features)
 
     def __call__(self, x, train: bool = False, temperature: float | jnp.ndarray = 2.0):
         cfg = self.config

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from audio8_tpu.nn.dropout import Dropout
 from audio8_tpu.nn.layers import Dense
 from audio8_tpu.nn.transformer import NEG_INF
 
@@ -73,7 +74,7 @@ class SingleHeadReduction(nn.Module):
         logits = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
         logits = jnp.where(pad_mask[:, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout_rate)(probs, deterministic=deterministic)
+        probs = Dropout(self.dropout_rate)(probs, deterministic=deterministic)
         out = jnp.einsum("bqk,bkc->bqc", probs, x)  # (B, T, C)
         lengths = jnp.sum(pad_mask, axis=-1)
         if self.pooling == "max":

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from audio8_tpu.nn.dropout import Dropout
 from audio8_tpu.nn.layers import Dense, LayerNorm, gelu
 
 Dtype = Any
@@ -65,7 +66,7 @@ class MultiHeadAttention(nn.Module):
     scale: bool = True
     rpr_k: Optional[int] = None
     rpr_value_on: bool = False
-    dropout_rate: float = 0.0
+    dropout_rate: float = 0.0  # applied to attention probabilities
     flash: bool = False  # use the Pallas flash-attention kernel on TPU
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -87,7 +88,7 @@ class MultiHeadAttention(nn.Module):
                 self.rpr_value_emb = nn.Embed(
                     2 * self.rpr_k + 1, self.d_head, dtype=self.dtype, param_dtype=self.param_dtype
                 )
-        self.attn_dropout = nn.Dropout(self.dropout_rate)
+        self.attn_dropout = Dropout(self.dropout_rate)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
@@ -230,7 +231,7 @@ class FFN(nn.Module):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.expand = Dense(self.d_ff, **dd)
         self.contract = Dense(self.d_model, **dd)
-        self.drop = nn.Dropout(self.ffn_dropout_rate)
+        self.drop = Dropout(self.ffn_dropout_rate)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = _activation(self.activation)(self.expand(x))
@@ -243,6 +244,7 @@ class TransformerEncoderLayer(nn.Module):
     d_model: int
     d_ff: int
     dropout_rate: float = 0.1
+    attention_dropout: Optional[float] = None  # None -> dropout_rate
     ffn_dropout_rate: float = 0.0
     activation: str = "gelu"
     pre_norm: bool = False  # False = post-norm (wav2vec2-base layout)
@@ -256,6 +258,8 @@ class TransformerEncoderLayer(nn.Module):
 
     def setup(self):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        attn_drop = (self.attention_dropout if self.attention_dropout is not None
+                     else self.dropout_rate)
         self.self_attn = MultiHeadAttention(
             num_heads=self.num_heads,
             d_model=self.d_model,
@@ -263,7 +267,7 @@ class TransformerEncoderLayer(nn.Module):
             scale=self.scale,
             rpr_k=self.rpr_k,
             rpr_value_on=self.rpr_value_on,
-            dropout_rate=self.dropout_rate,
+            dropout_rate=attn_drop,
             flash=self.flash,
             **dd,
         )
@@ -277,7 +281,7 @@ class TransformerEncoderLayer(nn.Module):
         # ln_attn == fairseq self_attn_layer_norm, ln_ffn == final_layer_norm
         self.ln_attn = LayerNorm(**dd)
         self.ln_ffn = LayerNorm(**dd)
-        self.drop = nn.Dropout(self.dropout_rate)
+        self.drop = Dropout(self.dropout_rate)
 
     def __call__(self, x, mask=None, deterministic: bool = True):
         if self.pre_norm:
@@ -299,6 +303,7 @@ class TransformerEncoderStack(nn.Module):
     num_layers: int
     d_ff: Optional[int] = None
     dropout_rate: float = 0.1
+    attention_dropout: Optional[float] = None
     ffn_dropout_rate: float = 0.0
     activation: str = "gelu"
     pre_norm: bool = False
@@ -319,6 +324,7 @@ class TransformerEncoderStack(nn.Module):
                 d_model=self.d_model,
                 d_ff=d_ff,
                 dropout_rate=self.dropout_rate,
+                attention_dropout=self.attention_dropout,
                 ffn_dropout_rate=self.ffn_dropout_rate,
                 activation=self.activation,
                 pre_norm=self.pre_norm,
@@ -375,7 +381,7 @@ class TransformerDecoderLayer(nn.Module):
         self.ln_self = LayerNorm(**dd)
         self.ln_src = LayerNorm(**dd)
         self.ln_ffn = LayerNorm(**dd)
-        self.drop = nn.Dropout(self.dropout_rate)
+        self.drop = Dropout(self.dropout_rate)
 
     def _sublayers(self, x, memory, src_mask, tgt_mask, deterministic,
                    self_cache=None, cache_index=None):
