@@ -5,3 +5,5 @@ from audio8_tpu.ops.masks import (
     compact_mask_indices,
 )
 from audio8_tpu.ops.ctc import ctc_loss, ctc_greedy_decode
+from audio8_tpu.ops.beam import PrefixBeamSearch
+from audio8_tpu.ops.lm import ArpaLM
