@@ -45,17 +45,18 @@ def main():
     state = TrainState.create(params, tx)
     train_step, _ = make_pretrain_steps(model, tx, clip=1.0, n_negatives=100)
 
-    key = jax.random.PRNGKey(7)
-    # warmup/compile
-    state, metrics = train_step(state, signal, key)
-    jax.block_until_ready(metrics["loss"])
+    n_steps = 20
+    # pre-split step keys so the timed loop is pure train-step dispatches
+    keys = list(jax.random.split(jax.random.PRNGKey(7), n_steps + 1))
 
-    n_steps = 10
+    # warmup/compile (np.asarray forces a real host sync on the async relay)
+    state, metrics = train_step(state, signal, keys[-1])
+    np.asarray(metrics["loss"])
+
     start = time.perf_counter()
     for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, signal, sub)
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = train_step(state, signal, keys[i])
+    np.asarray(metrics["loss"])
     elapsed = time.perf_counter() - start
 
     audio_sec_per_step = b * t / SAMPLE_RATE
