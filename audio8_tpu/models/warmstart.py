@@ -76,3 +76,61 @@ def save_tlm_npz(params: Dict, npz_file: str) -> None:
     """Export a text-encoder param tree to the flat npz format."""
     flat = {"/".join(p): np.asarray(v) for p, v in _flatten(params).items()}
     np.savez(npz_file, **flat)
+
+
+def convert_transformers_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF-transformers BERT-style encoder keys -> our text-encoder npz keys.
+
+    Equivalent of eight_mile's ``convert_transformers_keys``
+    (imported at /root/reference/audio8/pretrain.py:21). The result feeds
+    :func:`load_tlm_npz`. Handles the standard layout:
+
+      embeddings.word_embeddings.weight        -> embeddings/embedding
+      encoder.layer.N.attention.self.{query,key,value}.{weight,bias}
+      encoder.layer.N.attention.output.dense   (w_O)
+      encoder.layer.N.attention.output.LayerNorm (ln_attn)
+      encoder.layer.N.intermediate.dense       (ffn expand)
+      encoder.layer.N.output.dense             (ffn contract)
+      encoder.layer.N.output.LayerNorm         (ln_ffn)
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def lin(src: str, dst: str) -> None:
+        if src + ".weight" in state:
+            out[dst + "/kernel"] = np.asarray(state[src + ".weight"]).T
+        if src + ".bias" in state:
+            out[dst + "/bias"] = np.asarray(state[src + ".bias"])
+
+    def ln(src: str, dst: str) -> None:
+        if src + ".weight" in state:
+            out[dst + "/scale"] = np.asarray(state[src + ".weight"])
+        if src + ".bias" in state:
+            out[dst + "/bias"] = np.asarray(state[src + ".bias"])
+
+    for k in state:
+        if k.endswith("embeddings.word_embeddings.weight"):
+            out["embeddings/embedding"] = np.asarray(state[k])
+
+    layers = set()
+    for k in state:
+        parts = k.split(".")
+        for i, p in enumerate(parts):
+            if p == "layer" and i + 1 < len(parts) and parts[i + 1].isdigit():
+                layers.add(int(parts[i + 1]))
+    prefix = ""
+    for cand in ("encoder.layer.", "bert.encoder.layer."):
+        if any(k.startswith(cand) for k in state):
+            prefix = cand
+            break
+    for n in sorted(layers):
+        src = f"{prefix}{n}"
+        dst = f"transformer/layer_{n}"
+        lin(f"{src}.attention.self.query", f"{dst}/self_attn/w_Q")
+        lin(f"{src}.attention.self.key", f"{dst}/self_attn/w_K")
+        lin(f"{src}.attention.self.value", f"{dst}/self_attn/w_V")
+        lin(f"{src}.attention.output.dense", f"{dst}/self_attn/w_O")
+        ln(f"{src}.attention.output.LayerNorm", f"{dst}/ln_attn")
+        lin(f"{src}.intermediate.dense", f"{dst}/ffn/expand")
+        lin(f"{src}.output.dense", f"{dst}/ffn/contract")
+        ln(f"{src}.output.LayerNorm", f"{dst}/ln_ffn")
+    return out
