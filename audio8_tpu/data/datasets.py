@@ -18,6 +18,7 @@ Re-design of /root/reference/audio8/data.py for a jit-compiled consumer:
 """
 from __future__ import annotations
 
+import concurrent.futures
 import logging
 import os
 import queue
@@ -120,6 +121,7 @@ class AudioTextLetterDataset:
         pad_to_multiple: int = 16_000,
         text_pad_multiple: int = 64,
         seed: int = 0,
+        read_workers: int = 4,
     ):
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
@@ -141,6 +143,10 @@ class AudioTextLetterDataset:
         self.text_pad_multiple = text_pad_multiple
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
+        # audio decode releases the GIL (ctypes FLAC / scipy WAV), so a
+        # thread pool parallelizes per-batch file reads
+        self._pool = (concurrent.futures.ThreadPoolExecutor(read_workers)
+                      if read_workers > 1 else None)
         self._read_tsv_file(tsv_file)
 
     def get_or_unk(self, t: str) -> int:
@@ -204,15 +210,16 @@ class AudioTextLetterDataset:
                 return
 
     def read_batch(self, batch: Sequence[int]) -> Dict[str, np.ndarray]:
-        audios, files = [], []
+        files = [self.files[idx] for idx in batch]
+        read = lambda pth: self.reader.read(pth, self.max_src_length or -1).squeeze()
+        if self._pool is not None:
+            audios = list(self._pool.map(read, files))
+        else:
+            audios = [read(pth) for pth in files]
         audio_lengths = np.zeros(len(batch), np.int32)
         text_lengths = np.zeros(len(batch), np.int32)
         for i, idx in enumerate(batch):
-            pth = self.files[idx]
-            files.append(pth)
-            audio = self.reader.read(pth, self.max_src_length or -1).squeeze()
-            audios.append(audio)
-            audio_lengths[i] = len(audio)
+            audio_lengths[i] = len(audios[i])
             text_lengths[i] = min(len(self.tokens[idx]), self.max_dst_length)
         t_audio = _round_up(int(audio_lengths.max()), self.pad_to_multiple)
         t_text = _round_up(int(text_lengths.max()), self.text_pad_multiple)
@@ -249,6 +256,7 @@ class AudioFileDataset:
         num_shards: int = 1,
         length_grid: Optional[Sequence[int]] = None,
         seed: int = 0,
+        read_workers: int = 4,
     ):
         self.reader = (
             AudioResampleReader(target_sample_rate / input_sample_rate)
@@ -263,6 +271,9 @@ class AudioFileDataset:
         # snap dense batch length DOWN to this grid to bound compile count
         self.length_grid = sorted(length_grid) if length_grid else None
         self._rng = random.Random(seed)
+        self._pool = (concurrent.futures.ThreadPoolExecutor(read_workers)
+                      if read_workers > 1 else None)
+        self._lookahead = max(read_workers * 2, 1)
         self._read_manifest(manifest, min_length)
 
     def _read_manifest(self, manifest: str, min_length: int) -> None:
@@ -287,14 +298,34 @@ class AudioFileDataset:
             )
         return order
 
-    def next_sample(self):
+    def _path_stream(self):
+        """Infinite (path, max_len) stream in (re-)shuffled shard order."""
         order = self._shard_order()
         while True:
             if self.shuffle:
                 self._rng.shuffle(order)
             for file_idx in order:
                 file, _ = self.files[file_idx]
-                yield self.reader.read(file, self.max_length)
+                yield file, self.max_length
+
+    def next_sample(self):
+        """Decode the path stream, pipelined across a thread pool (the
+        reference decodes serially in DataLoader workers)."""
+        it = self._path_stream()
+        if self._pool is None:
+            for path, maxlen in it:
+                yield self.reader.read(path, maxlen)
+            return
+        from collections import deque
+
+        pending: deque = deque()
+        for _ in range(self._lookahead):
+            path, maxlen = next(it)
+            pending.append(self._pool.submit(self.reader.read, path, maxlen))
+        while True:
+            path, maxlen = next(it)
+            pending.append(self._pool.submit(self.reader.read, path, maxlen))
+            yield pending.popleft().result()
 
     def _snap(self, length: int) -> int:
         if not self.length_grid:
@@ -325,12 +356,13 @@ class BucketingAudioDataset(AudioFileDataset):
     cropped to the bucket length — fully static shapes (data.py:439-480)."""
 
     def __init__(self, buckets, manifest, max_length, target_tokens_per_batch,
-                 shuffle=True, min_length=0, shard_index=0, num_shards=1, seed=0):
+                 shuffle=True, min_length=0, shard_index=0, num_shards=1,
+                 seed=0, read_workers=4):
         self.bucket_lengths = buckets
         super().__init__(
             manifest, max_length, target_tokens_per_batch, shuffle=shuffle,
             min_length=min_length, shard_index=shard_index,
-            num_shards=num_shards, seed=seed,
+            num_shards=num_shards, seed=seed, read_workers=read_workers,
         )
 
     def _read_manifest(self, manifest: str, _min_length) -> None:
@@ -358,7 +390,7 @@ class BucketingAudioDataset(AudioFileDataset):
         order = list(range(self.shard_index, len(keys), self.num_shards))
         return order or list(range(len(keys)))
 
-    def next_sample(self):
+    def _path_stream(self):
         keys = sorted(self.files_by_bucket.keys())
         order = self._bucket_order()
         while True:
@@ -367,7 +399,7 @@ class BucketingAudioDataset(AudioFileDataset):
             for bucket_idx in order:
                 bucket = keys[bucket_idx]
                 for (file, _) in self.files_by_bucket[bucket]:
-                    yield self.reader.read(file, bucket)
+                    yield file, bucket
 
 
 class PrefetchLoader:
