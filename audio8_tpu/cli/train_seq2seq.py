@@ -212,7 +212,12 @@ def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
             max_len = int(batch["token_lengths"].max())
             max_len = (max_len + 31) // 32 * 32
             toks, _ = decode_fn(params, jbatch, max_output_len=max_len)
-            decoded = [row.tolist() for row in np.asarray(toks)]
+            # strip EOS and post-EOS padding before scoring (the metrics
+            # only mask specials out of the *target* side)
+            decoded = [
+                [t for t in row.tolist() if t not in (Offsets.PAD, Offsets.EOS)]
+                for row in np.asarray(toks)
+            ]
             sm = M.decode_metrics(decoded, batch["token_ids"][:, 1:],
                                   index2vocab, postproc_fn=postproc)
             if verbose:

@@ -419,11 +419,19 @@ class PrefetchLoader:
         def producer():
             try:
                 for item in self.dataset:
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
                     if stop.is_set():
                         return
-                    q.put(item)
             finally:
-                q.put(self._DONE)
+                try:
+                    q.put(self._DONE, timeout=0.5)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
