@@ -137,15 +137,17 @@ def train(argv=None):
     start_of_run = time.time()
     rng = jax.random.PRNGKey(99 + rank)
 
-    while int(state.step) < args.train_steps:
+    steps = int(state.step)  # python-side mirror: avoid a device sync/iter
+    while steps < args.train_steps:
         start = time.time()
         batch = jnp.asarray(next(train_itr))
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
-        profiler.step(int(state.step))
-        avg_loss.update(float(metrics["loss"]))
+        steps += 1
+        profiler.step(steps)
+        if steps % 8 == 0:  # subsample the loss fetch (host sync)
+            avg_loss.update(float(metrics["loss"]), n=8)
         step_time.update(time.time() - start)
-        steps = int(state.step)
 
         if (steps + 1) % report_on == 0 and step_time.avg:
             logger.info("%s, steps/min %.2f, LR %.6f, temp %.4f, ppl %.1f, acc %.3f",

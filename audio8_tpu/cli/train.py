@@ -174,29 +174,33 @@ def train(argv=None):
     start = time.time()
     rng = jax.random.PRNGKey(1234 + rank)
 
-    while int(state.step) < args.train_steps:
+    gstep = int(state.step)  # python-side mirror: avoid a device sync/iter
+    while gstep < args.train_steps:
         try:
-            freeze = int(state.step) <= args.unfreeze_enc_after_step
+            freeze = gstep <= args.unfreeze_enc_after_step
             iters += 1
             batch = next(train_itr)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
             rng, sub = jax.random.split(rng)
             loss, grads, bsz, toks = grad_fn(state.params, jbatch, sub, freeze=freeze)
             acc_grads = accumulate_grads(acc_grads, grads)
-            acc_examples += float(bsz)
-            acc_tokens += float(toks)
-            avg_loss.update(float(loss))
+            # micro-batch sizes are known host-side (shape + lengths sums
+            # would sync; use the batch dict directly)
+            acc_examples += batch["signal"].shape[0]
+            acc_tokens += float(batch["token_lengths"].sum())
+            if iters % 8 == 0:  # subsample the loss fetch (host sync)
+                avg_loss.update(float(loss), n=8)
 
             if iters % args.grad_accum == 0:
-                state, gnorm = update_fn(state, acc_grads, jnp.asarray(acc_examples))
+                state, gnorm = update_fn(state, acc_grads, jnp.asarray(acc_examples, jnp.float32))
                 batch_size_sent.update(acc_examples)
                 batch_size_toks.update(acc_tokens)
                 acc_grads, acc_examples, acc_tokens = None, 0.0, 0.0
-                profiler.step(int(state.step))
+                gstep += 1
+                profiler.step(gstep)
                 elapsed = time.time() - start
                 step_time.update(elapsed)
                 start = time.time()
-                gstep = int(state.step)
 
                 if gstep % report_on == 0 and step_time.avg:
                     sps = 1.0 / step_time.avg
