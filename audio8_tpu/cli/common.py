@@ -24,15 +24,16 @@ def setup(distributed: bool = False) -> Tuple[int, int]:
     (/root/reference/audio8/train.py:141; SURVEY.md §2.7)."""
     if distributed and os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
-    # persistent XLA compilation cache: restarts skip the slow first compile
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/audio8_tpu/xla"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+    # persistent XLA compilation cache: restarts skip the slow first
+    # compile. Opt-in via env var — some PJRT plugins (e.g. the axon
+    # relay) hang on executable serialization.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
     rank = jax.process_index()
     world = jax.process_count()
     logging.basicConfig(
