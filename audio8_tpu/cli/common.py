@@ -38,7 +38,8 @@ def setup(distributed: bool = False) -> Tuple[int, int]:
     world = jax.process_count()
     logging.basicConfig(
         level=logging.INFO if rank == 0 else logging.WARN,
-        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        force=True)  # jax/absl may have configured the root logger already
     logger.info("Devices: %d (%s), process %d/%d",
                 jax.device_count(), jax.default_backend(), rank, world)
     return rank, world
