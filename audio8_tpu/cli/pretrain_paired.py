@@ -41,17 +41,17 @@ def parse_args(argv=None):
     parser.add_argument("--lr_scheduler", default="cosine")
     parser.add_argument("--lr_alpha", type=float, default=0.0)
     parser.add_argument("--optim", default="adamw")
-    parser.add_argument("--lr", type=float, default=1.0e-4)
+    parser.add_argument("--lr", type=float, default=2.0e-5)
     parser.add_argument("--clip", type=float, default=25.0)
-    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--weight_decay", type=float, default=1.0e-2)
     parser.add_argument("--restart_from", type=str)
     parser.add_argument("--warmup_steps", type=int, default=10000)
     parser.add_argument("--plateau_steps", type=int, default=0)
-    parser.add_argument("--unfreeze_audio_after_step", type=int, default=10_000)
-    parser.add_argument("--unfreeze_text_after_step", type=int, default=10_000)
-    parser.add_argument("--train_steps", type=int, default=320_000)
+    parser.add_argument("--unfreeze_audio_after_step", type=int, default=100_000)
+    parser.add_argument("--unfreeze_text_after_step", type=int, default=100_000)
+    parser.add_argument("--train_steps", type=int, default=400_000)
     parser.add_argument("--valid_steps", type=int, default=1000)
-    parser.add_argument("--steps_per_checkpoint", type=int, default=2400)
+    parser.add_argument("--steps_per_checkpoint", type=int, default=1000)
     parser.add_argument("--distributed", type=str2bool, default=False)
     parser.add_argument("--target_tokens_per_batch", type=int, default=700_000)
     parser.add_argument("--target_type", choices=["wrd", "bpe"], default="wrd")
@@ -62,7 +62,7 @@ def parse_args(argv=None):
     parser.add_argument("--warmstart_text", type=str,
                         help="npz file to warm-start the text tower "
                              "(load_tlm_npz equivalent)")
-    parser.add_argument("--init_temp", type=float, default=0.07)
+    parser.add_argument("--init_temp", type=float, default=1.0)
     parser.add_argument("--learn_temp", type=str2bool, default=True)
     parser.add_argument("--output_dim", type=int, default=256)
     parser.add_argument("--stacking_layers", type=int, nargs="*", default=[])
