@@ -86,6 +86,74 @@ def prefix_beam_search(log_probs: np.ndarray, blank: int, beam: int,
     return [out_ids[i, : out_lens[i]].tolist() for i in range(int(n))]
 
 
+_lib.a8t_lm_load.restype = ctypes.c_void_p
+_lib.a8t_lm_load.argtypes = [ctypes.c_char_p]
+_lib.a8t_lm_free.argtypes = [ctypes.c_void_p]
+_lib.a8t_lm_logp.restype = ctypes.c_float
+_lib.a8t_lm_logp.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+_lib.a8t_prefix_beam_search_lm.restype = ctypes.c_int64
+_lib.a8t_prefix_beam_search_lm.argtypes = [
+    ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64,
+]
+
+
+class NativeArpaLM:
+    """C++ ARPA LM handle; scoring interface mirrors ops.lm.ArpaLM."""
+
+    def __init__(self, path: str):
+        self._h = _lib.a8t_lm_load(path.encode())
+        if not self._h:
+            raise IOError(f"failed to load ARPA LM {path!r}")
+
+    def logp(self, word: str, context) -> float:
+        ctx = " ".join(context) if not isinstance(context, str) else context
+        return float(_lib.a8t_lm_logp(self._h, word.encode(), ctx.encode()))
+
+    def __del__(self):  # pragma: no cover
+        try:
+            if getattr(self, "_h", None):
+                _lib.a8t_lm_free(self._h)
+        except Exception:
+            pass
+
+
+def _pack_vocab(vocab: Sequence[str]):
+    offsets = np.zeros(len(vocab) + 1, np.int64)
+    blobs = []
+    for i, piece in enumerate(vocab):
+        b = piece.encode()
+        blobs.append(b)
+        offsets[i + 1] = offsets[i] + len(b)
+    return b"".join(blobs), np.ascontiguousarray(offsets)
+
+
+def prefix_beam_search_lm(log_probs: np.ndarray, blank: int, beam: int,
+                          space_idx: int, alpha: float, beta: float,
+                          vocab: Sequence[str], lm: "NativeArpaLM | None",
+                          n_best: int = 0) -> List[List[int]]:
+    """LM-fused decode of one utterance (T, V) -> n-best id sequences."""
+    lp = np.ascontiguousarray(log_probs, np.float32)
+    t, v = lp.shape
+    if n_best <= 0:
+        n_best = beam
+    buf, offsets = _pack_vocab(vocab)
+    out_ids = np.zeros((n_best, t), np.int64)
+    out_lens = np.zeros((n_best,), np.int64)
+    n = _lib.a8t_prefix_beam_search_lm(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, v,
+        blank, beam, space_idx, alpha, beta, n_best,
+        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lm._h if lm is not None else None,
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), t)
+    return [out_ids[i, : out_lens[i]].tolist() for i in range(int(n))]
+
+
 def read_flac(path: str) -> Tuple[np.ndarray, int, int]:
     """Decode a FLAC file -> (int32 array [T] or [T, C], sample_rate,
     bits_per_sample)."""

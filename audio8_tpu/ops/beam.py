@@ -30,7 +30,14 @@ def _logaddexp(a: float, b: float) -> float:
 
 
 def _load_lm(lm_file: str):
-    """kenlm if installed, else the built-in ARPA reader (audio8_tpu.ops.lm)."""
+    """Prefer the native C++ ARPA LM; fall back to kenlm (if installed) or
+    the pure-Python ARPA reader (audio8_tpu.ops.lm)."""
+    try:
+        from audio8_tpu.csrc import native
+
+        return native.NativeArpaLM(lm_file)
+    except Exception:
+        pass
     try:  # pragma: no cover - kenlm absent in this environment
         import kenlm  # type: ignore
 
@@ -162,11 +169,18 @@ class PrefixBeamSearch:
             pass
 
     def _decode_one(self, lp: np.ndarray) -> List[List[int]]:
-        # native path has no LM hook yet: use it only for LM-free decoding
-        if self._native is not None and self.lm is None:
-            return self._native.prefix_beam_search(
-                np.ascontiguousarray(lp, np.float32), self.blank, self.beam,
-                self.bar_off if self.use_bar else -1, self.alpha, self.beta)
+        if self._native is not None:
+            lp32 = np.ascontiguousarray(lp, np.float32)
+            if self.lm is None:
+                return self._native.prefix_beam_search(
+                    lp32, self.blank, self.beam,
+                    self.bar_off if self.use_bar else -1,
+                    self.alpha, self.beta)
+            if isinstance(self.lm, self._native.NativeArpaLM):
+                return self._native.prefix_beam_search_lm(
+                    lp32, self.blank, self.beam,
+                    self.bar_off if self.use_bar else -1,
+                    self.alpha, self.beta, self.vocab_list, self.lm)
         return _prefix_beam_search_py(
             lp, self.blank, self.beam,
             self.bar_off if self.use_bar else None,

@@ -80,3 +80,50 @@ def test_lm_fusion_steers_beam(tmp_path):
     texts = {"".join(vocab[i] for i in seq) for seq in nb}
     assert any("CAT" in t.replace(" ", "") for t in texts)
     assert any("CAS" in t.replace(" ", "") for t in texts)
+
+
+def test_native_arpa_lm_matches_python(tmp_path):
+    native = pytest.importorskip("audio8_tpu.csrc.native")
+    f = tmp_path / "lm.arpa"
+    f.write_text(ARPA)
+    py = ArpaLM(str(f))
+    cc = native.NativeArpaLM(str(f))
+    for word, ctx in [("CAT", ()), ("CAT", ("THE",)), ("DOG", ("THE",)),
+                      ("ZEBRA", ()), ("SAT", ("CAT",)), ("SAT", ("THE", "CAT"))]:
+        np.testing.assert_allclose(cc.logp(word, ctx), py.logp(word, ctx),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_native_lm_beam_matches_python_lm_beam(tmp_path):
+    native = pytest.importorskip("audio8_tpu.csrc.native")
+    f = tmp_path / "lm.arpa"
+    f.write_text(ARPA)
+    vocab = list(Offsets.VALUES) + ["A", "C", "S", "T", "|"]
+    sym = {v: i for i, v in enumerate(vocab)}
+    T, V = 8, len(vocab)
+    lp = np.full((T, V), -8.0, np.float32)
+    blank = Offsets.GO
+    lp[0, sym["C"]] = -0.1; lp[1, sym["A"]] = -0.1
+    lp[2, sym["T"]] = -0.69; lp[2, sym["S"]] = -0.69
+    lp[3, sym["|"]] = -0.1
+    for t in range(4, T):
+        lp[t, blank] = -0.01
+
+    pbs = PrefixBeamSearch(vocab, alpha=1.0, beta=0.0, beam=8, lm_file=str(f))
+    assert isinstance(pbs.lm, native.NativeArpaLM)
+    got = "".join(pbs.run(lp[None], n_best=1)[0]).replace("|", "").strip()
+    assert got == "CAT"
+
+    # decode parity vs the Python LM beam on random inputs
+    from audio8_tpu.ops.beam import _prefix_beam_search_py
+    py_lm = ArpaLM(str(f))
+    pieces = [v if v != "|" else " " for v in vocab]
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        logits = rng.normal(size=(10, V)) * 2
+        lpr = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))).astype(np.float32)
+        want = _prefix_beam_search_py(lpr, blank, 8, sym["|"], 0.8, 0.3,
+                                      py_lm, pieces)
+        got = native.prefix_beam_search_lm(lpr, blank, 8, sym["|"], 0.8, 0.3,
+                                           pieces, pbs.lm)
+        assert got[0] == want[0]
