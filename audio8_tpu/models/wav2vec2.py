@@ -513,6 +513,26 @@ def wav2vec2_pretrain_loss(
     return loss, metrics
 
 
+class Wav2Vec2Loss:
+    """Callable bundling negative sampling + InfoNCE, interface-parity with
+    the reference's loss object (create_loss(n_vars, n_negatives),
+    wav2vec2.py:371-396). Call with the model outputs and an rng key."""
+
+    def __init__(self, n_vars: int, n_negatives: int = 100):
+        self.n_vars = n_vars
+        self.n_negatives = n_negatives
+
+    def __call__(self, context_masked, targets_masked, prob_ppl, valid, key):
+        return wav2vec2_pretrain_loss(
+            context_masked, targets_masked, prob_ppl, valid, key,
+            self.n_vars, self.n_negatives)
+
+
+def create_loss(n_vars: int, n_negatives: int = 100) -> Wav2Vec2Loss:
+    """Factory mirroring create_loss (wav2vec2.py:395-396)."""
+    return Wav2Vec2Loss(n_vars, n_negatives)
+
+
 def create_model(config: Optional[PretrainConfig] = None, dtype=jnp.float32, **kwargs) -> Wav2Vec2Model:
     """Factory mirroring create_model (wav2vec2.py:219-259)."""
     cfg = config or PretrainConfig(**kwargs)

@@ -29,6 +29,15 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+class PassThru(nn.Module):
+    """Identity layer (eight_mile PassThru parity; used where the reference
+    conditionally skips a projection, wav2vec2.py:815)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x
+
+
 class Dense(nn.Module):
     """Linear layer; replaces eight_mile ``Dense``/``pytorch_linear``."""
 
