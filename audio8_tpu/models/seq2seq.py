@@ -50,6 +50,7 @@ class Seq2Seq(nn.Module):
         PAD."""
         memory, src_pad_mask = self.encoder(x, input_lengths, train=False)
         b = x.shape[0]
+        cross_kv = self.decoder.compute_cross_kv(memory)  # project memory once
         cache = self.decoder.init_cache(b, max_output_len + 1)
         tokens = jnp.full((b, max_output_len), Offsets.PAD, jnp.int32)
         tok = jnp.full((b, 1), Offsets.GO, jnp.int32)
@@ -61,7 +62,8 @@ class Seq2Seq(nn.Module):
 
         def body(state):
             i, tok, tokens, done, cache = state
-            log_probs, cache = self.decoder.step(memory, src_pad_mask, tok, cache)
+            log_probs, cache = self.decoder.step(memory, src_pad_mask, tok,
+                                                 cache, cross_kv=cross_kv)
             best = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
             best = jnp.where(done, Offsets.PAD, best)
             tokens = jax.lax.dynamic_update_slice(tokens, best[:, None], (0, i))

@@ -254,9 +254,15 @@ class TextTransformerDecoder(nn.Module):
     def init_cache(self, batch: int, max_len: int):
         return self.transformer.init_cache(batch, max_len)
 
-    def step(self, memory, src_pad_mask, tok, cache):
+    def compute_cross_kv(self, memory):
+        """Precompute per-layer cross-attention K/V over the encoder output
+        (projected once, reused every decode step)."""
+        return self.transformer.compute_cross_kv(memory)
+
+    def step(self, memory, src_pad_mask, tok, cache, cross_kv=None):
         """tok: (B, 1) current token; returns (log_probs (B, V), cache)."""
         embed = self.tgt_embeddings(tok, offset=cache["index"])
         src_mask = None if src_pad_mask is None else src_pad_mask[:, None, None, :]
-        out, cache = self.transformer.step(embed, memory, src_mask, cache)
+        out, cache = self.transformer.step(embed, memory, src_mask, cache,
+                                           cross_kv=cross_kv)
         return self._output(out)[:, 0], cache

@@ -146,6 +146,25 @@ class MultiHeadAttention(nn.Module):
         kj = jnp.arange(t_k)[None, :]
         return jnp.clip(kj - qi, -self.rpr_k, self.rpr_k) + self.rpr_k
 
+    def compute_kv(self, key: jnp.ndarray, value: jnp.ndarray):
+        """Precompute split K/V heads (for cross-attention over a fixed
+        memory during incremental decode)."""
+        return self._split(self.w_K(key)), self._split(self.w_V(value))
+
+    def attend_kv(self, query, k, v, mask=None):
+        """Attention with precomputed (B, H, T_k, dh) keys/values."""
+        q = self._split(self.w_Q(query))
+        if self.scale:
+            q = q * (1.0 / jnp.sqrt(jnp.array(self.d_head, jnp.float32))).astype(q.dtype)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        b, h, t, d = out.shape
+        return self.w_O(out.transpose(0, 2, 1, 3).reshape(b, t, h * d))
+
     def __call__(
         self,
         query: jnp.ndarray,
@@ -383,8 +402,13 @@ class TransformerDecoderLayer(nn.Module):
         self.ln_ffn = LayerNorm(**dd)
         self.drop = Dropout(self.dropout_rate)
 
+    def _cross(self, h, memory, src_mask, det, cross_kv):
+        if cross_kv is not None:
+            return self.src_attn.attend_kv(h, cross_kv[0], cross_kv[1], src_mask)
+        return self.src_attn(h, memory, memory, src_mask, det)
+
     def _sublayers(self, x, memory, src_mask, tgt_mask, deterministic,
-                   self_cache=None, cache_index=None):
+                   self_cache=None, cache_index=None, cross_kv=None):
         det = deterministic
         if self.pre_norm:
             h = self.ln_self(x)
@@ -394,7 +418,7 @@ class TransformerDecoderLayer(nn.Module):
                 attn = self.self_attn(h, h, h, tgt_mask, det)
             x = x + self.drop(attn, deterministic=det)
             h = self.ln_src(x)
-            attn = self.src_attn(h, memory, memory, src_mask, det)
+            attn = self._cross(h, memory, src_mask, det, cross_kv)
             x = x + self.drop(attn, deterministic=det)
             h = self.ln_ffn(x)
             x = x + self.drop(self.ffn(h, det), deterministic=det)
@@ -404,7 +428,7 @@ class TransformerDecoderLayer(nn.Module):
             else:
                 attn = self.self_attn(x, x, x, tgt_mask, det)
             x = self.ln_self(x + self.drop(attn, deterministic=det))
-            attn = self.src_attn(x, memory, memory, src_mask, det)
+            attn = self._cross(x, memory, src_mask, det, cross_kv)
             x = self.ln_src(x + self.drop(attn, deterministic=det))
             x = self.ln_ffn(x + self.drop(self.ffn(x, det), deterministic=det))
         return x, self_cache
@@ -413,12 +437,17 @@ class TransformerDecoderLayer(nn.Module):
         x, _ = self._sublayers(x, memory, src_mask, tgt_mask, deterministic)
         return x
 
-    def step(self, x, memory, src_mask, self_cache, cache_index, deterministic: bool = True):
+    def compute_cross_kv(self, memory):
+        return self.src_attn.compute_kv(memory, memory)
+
+    def step(self, x, memory, src_mask, self_cache, cache_index,
+             deterministic: bool = True, cross_kv=None):
         """Single-token decode step using the KV cache (no tgt mask needed —
-        cache masking covers causality)."""
+        cache masking covers causality). ``cross_kv`` is the precomputed
+        memory K/V — avoids re-projecting the encoder output every step."""
         x, self_cache = self._sublayers(
             x, memory, src_mask, None, deterministic,
-            self_cache=self_cache, cache_index=cache_index,
+            self_cache=self_cache, cache_index=cache_index, cross_kv=cross_kv,
         )
         return x, self_cache
 
@@ -468,13 +497,20 @@ class TransformerDecoderStack(nn.Module):
         return KVCache.init(batch, self.num_layers, self.num_heads, max_len, d_head,
                             dtype or self.dtype)
 
-    def step(self, x, memory, src_mask, cache: dict, deterministic: bool = True):
+    def compute_cross_kv(self, memory):
+        """Per-layer precomputed cross-attention K/V over a fixed memory."""
+        return [layer.compute_cross_kv(memory) for layer in self.decoders]
+
+    def step(self, x, memory, src_mask, cache: dict, deterministic: bool = True,
+             cross_kv=None):
         """One decode step for all layers; returns (out, updated cache)."""
         idx = cache["index"]
         new_k, new_v = [], []
         for i, layer in enumerate(self.decoders):
             layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
-            x, layer_cache = layer.step(x, memory, src_mask, layer_cache, idx, deterministic)
+            x, layer_cache = layer.step(
+                x, memory, src_mask, layer_cache, idx, deterministic,
+                cross_kv=None if cross_kv is None else cross_kv[i])
             new_k.append(layer_cache["k"])
             new_v.append(layer_cache["v"])
         if self.pre_norm:
