@@ -47,3 +47,19 @@ def test_dropout_grad_matches_mask():
                            rngs={"dropout": jax.random.PRNGKey(3)}))
     # gradient is exactly the applied mask/scale
     np.testing.assert_allclose(g, y, rtol=1e-6)
+
+
+def test_hashrand_statistics():
+    from audio8_tpu.ops.hashrand import hash_uniform, hash_gumbel, hash_randint
+
+    u = np.asarray(hash_uniform((2000, 250), jnp.int32(5)))
+    assert 0.0 < u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.std() - (1 / 12) ** 0.5) < 0.005
+    g = np.asarray(hash_gumbel((2000, 250), jnp.int32(9)))
+    # gumbel mean = euler-mascheroni, std = pi/sqrt(6)
+    assert abs(g.mean() - 0.5772) < 0.01
+    assert abs(g.std() - np.pi / np.sqrt(6)) < 0.02
+    r = np.asarray(hash_randint((100000,), jnp.int32(3), jnp.asarray(7)))
+    counts = np.bincount(r, minlength=7)
+    assert counts.min() > 0.9 * 100000 / 7
