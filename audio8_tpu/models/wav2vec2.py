@@ -145,8 +145,10 @@ class GumbelVectorQuantizer(nn.Module):
         )
 
         if train:
+            from audio8_tpu.ops.hashrand import hash_gumbel, seed_from_key
+
             key = self.make_rng("gumbel")
-            gumbels = jax.random.gumbel(key, logits.shape, jnp.float32)
+            gumbels = hash_gumbel(logits.shape, seed_from_key(key))
             y_soft = jax.nn.softmax((logits + gumbels) / temperature, axis=-1)
             index = jnp.argmax(y_soft, axis=-1)
             y_hard = jax.nn.one_hot(index, v, dtype=jnp.float32)
@@ -447,9 +449,10 @@ def sample_negative_indices(
     m itself via the draw-from-[0, vc-1)-then-shift trick the reference uses
     (wav2vec2.py:967-969), fully on-device. Returns (B, M, N) int32 slot ids.
     """
+    from audio8_tpu.ops.hashrand import hash_randint, seed_from_key
+
     vc = jnp.maximum(valid_counts[:, None, None], 2)  # (B,1,1); degenerate rows self-sample
-    r = jax.random.randint(key, (batch, slots, n_negatives), 0, 1 << 30)
-    r = r % (vc - 1)
+    r = hash_randint((batch, slots, n_negatives), seed_from_key(key), vc - 1)
     own = jnp.arange(slots)[None, :, None]
     r = r + (r >= own)
     return jnp.minimum(r, vc - 1).astype(jnp.int32)

@@ -58,15 +58,16 @@ def span_mask(
         return jnp.zeros((batch, seq_len), jnp.bool_)
     max_start = max(seq_len - span_len, 1)
 
-    def one_row(k):
-        starts = jax.random.permutation(k, max_start)[:n]
-        # positions covered: start_j <= t < start_j + L
-        t = jnp.arange(seq_len)[None, :]
-        covered = (t >= starts[:, None]) & (t < starts[:, None] + span_len)
-        return jnp.any(covered, axis=0)
+    # sampling-without-replacement via argsort of iid keys; keys come from
+    # the fused integer hash (threefry permutation was measurable in the
+    # train step — see docs/PERF.md)
+    from audio8_tpu.ops.hashrand import hash_uniform, seed_from_key
 
-    keys = jax.random.split(key, batch)
-    return jax.vmap(one_row)(keys)
+    keys = hash_uniform((batch, max_start), seed_from_key(key))
+    starts = jnp.argsort(keys, axis=-1)[:, :n]  # (B, n) distinct starts
+    t = jnp.arange(seq_len)[None, None, :]
+    covered = (t >= starts[..., None]) & (t < starts[..., None] + span_len)
+    return jnp.any(covered, axis=1)
 
 
 def compact_mask_indices(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
