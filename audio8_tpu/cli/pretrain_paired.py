@@ -23,7 +23,7 @@ from audio8_tpu.models.text import BPEVectorizer, TextVectorizer, read_vocab_fil
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import accumulate_grads, make_paired_steps
-from audio8_tpu.utils import Average, Offsets, str2bool
+from audio8_tpu.utils import Average, str2bool
 
 logger = logging.getLogger("audio8_tpu.paired")
 

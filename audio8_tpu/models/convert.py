@@ -198,8 +198,6 @@ def merge_params(target: Dict, loaded: Dict, _dropped: Optional[list] = None) ->
 def fold_weight_norm(params: Dict) -> Dict:
     """Inference-time optimization: fold the pos-conv weight norm
     (g * v/||v||) into a single kernel so each forward skips the norm."""
-    import jax.numpy as jnp
-
     def fold(node):
         if isinstance(node, dict) and "weight_v" in node and "weight_g" in node:
             v = np.asarray(node["weight_v"], np.float64)

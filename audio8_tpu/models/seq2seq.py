@@ -7,13 +7,13 @@ KV-cached ``lax.while_loop`` with static shapes — O(L) and jit-compiled.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from audio8_tpu.config import AcousticConfig, DecoderConfig, EncoderConfig
+from audio8_tpu.config import DecoderConfig, EncoderConfig
 from audio8_tpu.models.text import TextTransformerDecoder
 from audio8_tpu.models.wav2vec2 import Wav2Vec2Encoder
 from audio8_tpu.ops.masks import sequence_mask

@@ -7,7 +7,7 @@ wraps (the '@@ ' continuation convention the metrics postproc expects,
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +16,6 @@ from flax import linen as nn
 
 from audio8_tpu.config import DecoderConfig, TextEncoderConfig
 from audio8_tpu.nn.embeddings import LearnedPositionalEmbeddings, LookupTableEmbeddings
-from audio8_tpu.nn.layers import LayerNorm
 from audio8_tpu.nn.pooling import MaxPool1D, MeanPool1D, Reduction
 from audio8_tpu.nn.transformer import (
     TransformerDecoderStack,

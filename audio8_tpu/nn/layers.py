@@ -15,7 +15,7 @@ Conventions are JAX-native:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ trained from scratch, so the contract is the reduction *menu* and shapes
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

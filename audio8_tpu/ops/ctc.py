@@ -15,7 +15,6 @@ is (B, U) padded; lengths are true frame/label counts. All math in float32.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ train.py:254-256) with optax:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Callable, Optional
 
 import jax

@@ -15,7 +15,6 @@ just XLA collectives over the 'data' mesh axis.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
