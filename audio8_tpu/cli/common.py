@@ -98,7 +98,19 @@ def resolve_restart(
             logger.info("Full-state restore failed (%s); trying params-only", e)
     loaded = load_checkpoint(path)
     params = loaded.get("params", loaded) if isinstance(loaded, dict) else loaded.params
-    return merge_params(init_params, jax.tree_util.tree_map(np.asarray, params)), None, step
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if (ctc and "encoder" in init_params and "feature_extractor" in params
+            and "feature_extractor" not in init_params):
+        # a8t PRETRAIN checkpoint (Wav2Vec2Model layout) warm-starting a
+        # downstream model: nest under encoder/* like the reference's
+        # "load a8 checkpoint from pretrained wav2vec2 w/o CTC" fallback
+        # (train.py:232-234); quantizer/projection keys drop in merge.
+        params = {"encoder": params}
+    dropped: list = []
+    merged = merge_params(init_params, params, dropped)
+    if dropped:
+        logger.info("checkpoint keys not in model (dropped): %s", dropped[:8])
+    return merged, None, step
 
 
 def add_common_model_args(parser):

@@ -72,3 +72,32 @@ def test_restart_from_a8t_checkpoint_dir(tmp_path):
     params, restored, step = resolve_restart(str(tmp_path), init, template)
     assert step == 77
     assert restored is not None and int(restored.step) == 77
+
+
+def test_restart_ctc_from_a8t_pretrain_checkpoint(tmp_path):
+    """Warm-start CTC from an a8t PRETRAINING checkpoint (Wav2Vec2Model
+    layout) — the reference's 'load a8 checkpoint from pretrained wav2vec2
+    w/o CTC' fallback (train.py:232-234)."""
+    import jax.numpy as jnp
+    from audio8_tpu.config import PretrainConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
+
+    pcfg = PretrainConfig(d_model=D, num_heads=H, num_layers=L, dropout=0.0,
+                          final_dim=32, num_vq_vars=8, num_vq_groups=2)
+    pmodel = Wav2Vec2Model(config=pcfg)
+    rngs = {"params": jax.random.PRNGKey(5), "mask": jax.random.PRNGKey(6),
+            "gumbel": jax.random.PRNGKey(7)}
+    pparams = pmodel.init(rngs, jnp.zeros((1, 4000)), train=False)["params"]
+    tx = create_optimizer(create_lrs(1e-4, 100))
+    pstate = TrainState.create(pparams, tx, step=500)
+    save_checkpoint(pstate, str(tmp_path / "checkpoint"), 500)
+
+    model, init = _init_model()
+    params, _, step = resolve_restart(str(tmp_path), init, ctc=True, num_layers=L)
+    assert step == 500
+    # encoder weights actually transferred (not silently dropped)
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["proj_to_input"]["kernel"]),
+        np.asarray(pparams["proj_to_input"]["kernel"]), atol=1e-6)
+    lp, _ = model.apply({"params": params}, jnp.zeros((1, 4000)))
+    assert np.isfinite(np.asarray(lp)).all()
