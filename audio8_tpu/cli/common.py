@@ -119,6 +119,8 @@ def add_common_model_args(parser):
     parser.add_argument("--num_heads", type=int, default=12)
     parser.add_argument("--num_layers", type=int, default=12)
     parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--attention_dropout", type=float, default=None,
+                        help="attention-prob dropout (default: --dropout)")
     parser.add_argument("--layer_drop", type=float, default=0.0)
     parser.add_argument("--input_sample_rate", type=int, default=16_000)
     parser.add_argument("--target_sample_rate", type=int, default=16_000)

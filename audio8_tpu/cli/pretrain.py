@@ -99,6 +99,7 @@ def train(argv=None):
         num_vq_vars=args.num_vq_vars, num_vq_groups=args.num_vq_groups,
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 

@@ -126,6 +126,7 @@ def train(argv=None):
         num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
         timestep_masking=args.timestep_masking,
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
