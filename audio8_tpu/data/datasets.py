@@ -120,9 +120,14 @@ class AudioTextLetterDataset:
         max_sentences: int = 128,
         pad_to_multiple: int = 16_000,
         text_pad_multiple: int = 64,
+        length_grid: Optional[Sequence[int]] = None,
         seed: int = 0,
         read_workers: int = 4,
     ):
+        """``length_grid``: optional ascending audio lengths (samples); each
+        batch pads UP to the smallest grid entry >= its max length, bounding
+        the number of distinct XLA programs to len(grid) (a geometric grid
+        of ~10 entries covers LibriSpeech). Overrides ``pad_to_multiple``."""
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
             AudioResampleReader(self.sample_factor)
@@ -141,6 +146,7 @@ class AudioTextLetterDataset:
         self.max_sentences = max_sentences
         self.pad_to_multiple = pad_to_multiple
         self.text_pad_multiple = text_pad_multiple
+        self.length_grid = sorted(length_grid) if length_grid else None
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
         # audio decode releases the GIL (ctypes FLAC / scipy WAV), so a
@@ -221,7 +227,12 @@ class AudioTextLetterDataset:
         for i, idx in enumerate(batch):
             audio_lengths[i] = len(audios[i])
             text_lengths[i] = min(len(self.tokens[idx]), self.max_dst_length)
-        t_audio = _round_up(int(audio_lengths.max()), self.pad_to_multiple)
+        max_audio = int(audio_lengths.max())
+        if self.length_grid:
+            fits = [g for g in self.length_grid if g >= max_audio]
+            t_audio = fits[0] if fits else _round_up(max_audio, self.pad_to_multiple)
+        else:
+            t_audio = _round_up(max_audio, self.pad_to_multiple)
         t_text = _round_up(int(text_lengths.max()), self.text_pad_multiple)
         t_text = min(t_text, _round_up(self.max_dst_length, self.text_pad_multiple))
         signal = np.zeros((len(batch), t_audio), np.float32)

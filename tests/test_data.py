@@ -151,3 +151,15 @@ def test_prefetch_loader(corpus):
     direct = [b["files"] for b in iter(ds)]
     loaded = [b["files"] for b in PrefetchLoader(ds, prefetch=2)]
     assert direct == loaded
+
+
+def test_audio_text_dataset_length_grid(corpus):
+    """Geometric audio-length grid bounds the distinct batch shapes."""
+    vec = TextVectorizer(letter_vocab())
+    grid = [10000, 20000, 40000]
+    ds = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, target_tokens_per_batch=40000,
+        is_infinite=False, shuffle=False, length_grid=grid,
+        text_pad_multiple=8)
+    shapes = {b["signal"].shape[1] for b in iter(ds)}
+    assert shapes.issubset(set(grid))
