@@ -72,6 +72,10 @@ def evaluate(argv=None):
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--length_buckets", type=int, nargs="*",
+                        help="geometric audio-length grid (samples); pads "
+                             "each batch up to the next bucket, bounding "
+                             "XLA compile count")
     add_common_model_args(parser)
     args = parser.parse_args(argv)
 
@@ -100,7 +104,8 @@ def evaluate(argv=None):
         input_sample_rate=args.input_sample_rate,
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
-        pad_to_multiple=args.pad_to_multiple)
+        pad_to_multiple=args.pad_to_multiple,
+        length_grid=args.length_buckets)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     cfg = AcousticConfig(

@@ -71,6 +71,10 @@ def parse_args(argv=None):
     parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
     parser.add_argument("--freeze_fx", type=str2bool, default=True)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--length_buckets", type=int, nargs="*",
+                        help="geometric audio-length grid (samples); pads "
+                             "each batch up to the next bucket, bounding "
+                             "XLA compile count")
     add_common_model_args(parser)
     return parser.parse_args(argv)
 
@@ -99,14 +103,16 @@ def train(argv=None):
         target_sample_rate=args.target_sample_rate,
         shuffle=True, tgt_type=args.target_type,
         shard_index=rank, num_shards=world,
-        pad_to_multiple=args.pad_to_multiple)
+        pad_to_multiple=args.pad_to_multiple,
+        length_grid=args.length_buckets)
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,
         input_sample_rate=args.input_sample_rate,
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
-        pad_to_multiple=args.pad_to_multiple)
+        pad_to_multiple=args.pad_to_multiple,
+        length_grid=args.length_buckets)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     enc_cfg = EncoderConfig(
