@@ -70,6 +70,11 @@ def create_optimizer(
     eps: float = 1e-8,
 ) -> optax.GradientTransformation:
     """AdamW/Adam/SGD with an injected schedule (OptimizerManager equiv)."""
+    if optim == "fused_adamw":
+        from audio8_tpu.ops.pallas.adamw_kernel import FusedAdamW
+
+        return FusedAdamW(lr_schedule, b1=beta1, b2=beta2, eps=eps,
+                          weight_decay=weight_decay)
     if optim == "adamw":
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr_schedule, b1=beta1, b2=beta2, eps=eps,
@@ -97,9 +102,28 @@ class TrainState:
         return cls(params=params, opt_state=tx.init(params),
                    step=jnp.asarray(step, jnp.int32))
 
-    def apply_gradients(self, grads, tx: optax.GradientTransformation,
+    def apply_gradients(self, grads, tx,
                         grad_scale=None, clip_norm: Optional[float] = None):
-        """Scale grads (scale_grads equivalent), clip by global norm, step."""
+        """Scale grads (scale_grads equivalent), clip by global norm, step.
+
+        ``tx`` may be an optax GradientTransformation or a ``FusedAdamW``
+        (Pallas single-pass update; the scale/clip factor folds into the
+        kernel instead of a separate pass over the gradients)."""
+        from audio8_tpu.ops.pallas.adamw_kernel import FusedAdamW
+
+        if isinstance(tx, FusedAdamW):
+            scale = 1.0 if grad_scale is None else grad_scale
+            gnorm = optax.global_norm(grads) * scale
+            if clip_norm is not None:
+                scale = scale * jnp.minimum(
+                    1.0, clip_norm / jnp.maximum(gnorm, 1e-6))
+            new_params, new_opt = tx.apply(grads, self.opt_state, self.params, scale)
+            return (
+                dataclasses.replace(self, params=new_params, opt_state=new_opt,
+                                    step=self.step + 1),
+                gnorm,
+            )
+
         if grad_scale is not None:
             grads = jax.tree_util.tree_map(lambda g: g * grad_scale, grads)
         gnorm = optax.global_norm(grads)
