@@ -7,9 +7,16 @@ updates, bias correction, weight decay, parameter step, with the global
 grad-scale/clip factor folded in) in ONE pass per leaf, aliasing the
 moment/param buffers in place.
 
-Exposed through ``fused_adamw_apply`` which mirrors optax.adamw semantics
-exactly (verified against optax in tests); ``TrainState.apply_gradients``
-uses it when constructed with a ``FusedAdamW`` optimizer.
+Mirrors optax.adamw semantics exactly (verified against optax in tests);
+``TrainState.apply_gradients`` dispatches on the ``FusedAdamW`` type.
+
+Measured on v5e (wav2vec2-base pretrain step): the isolated update gets
+cheaper, but ~200 per-leaf kernel launches prevent XLA from overlapping
+the update with the backward tail, so the FULL fused step is ~1.4 ms
+slower than optax (70.1 vs 68.7 ms). Kept as an option
+(``create_optimizer(optim='fused_adamw')``) — it wins when the update is
+NOT overlappable (e.g. grad-accumulation boundaries where the update runs
+as its own program).
 """
 from __future__ import annotations
 
@@ -57,8 +64,9 @@ def _leaf_update(g, m, v, p, scalars):
 
     g2, m2, v2, p2 = prep(g), prep(m), prep(v), prep(p)
     n = flat[0]
-    # row blocks: multiple of 8 (or the whole array), capped ~1MB per buffer
-    cap = max((1024 * 1024) // (c * 4) // 8 * 8, 8)
+    # row blocks: multiple of 8 (or the whole array). 7 live buffers
+    # (4 in + 3 out) x double buffering must fit VMEM: cap each at ~256KB.
+    cap = max((256 * 1024) // (c * 4) // 8 * 8, 8)
     rows = min(n, cap)
     if n % rows:
         rows = n  # odd-sized leaf: single block (ok, small leaves only)
