@@ -10,13 +10,13 @@ moment/param buffers in place.
 Mirrors optax.adamw semantics exactly (verified against optax in tests);
 ``TrainState.apply_gradients`` dispatches on the ``FusedAdamW`` type.
 
-Measured on v5e (wav2vec2-base pretrain step): the isolated update gets
-cheaper, but ~200 per-leaf kernel launches prevent XLA from overlapping
-the update with the backward tail, so the FULL fused step is ~1.4 ms
-slower than optax (70.1 vs 68.7 ms). Kept as an option
-(``create_optimizer(optim='fused_adamw')``) — it wins when the update is
-NOT overlappable (e.g. grad-accumulation boundaries where the update runs
-as its own program).
+Measured on v5e (95M params): optax-with-donation runs the standalone
+update in 6.5 ms vs 10 ms for this kernel (~200 per-leaf launches eat the
+single-pass savings), and inside the fused train step the kernels also
+break XLA's update/backward overlap (70.1 vs 68.7 ms). XLA's elementwise
+fusion is simply the right tool here; the kernel is kept as a tested
+option (``create_optimizer(optim='fused_adamw')``) and as the pattern for
+true in-place multi-buffer Pallas updates.
 """
 from __future__ import annotations
 
