@@ -24,6 +24,9 @@ def setup(distributed: bool = False) -> Tuple[int, int]:
     (/root/reference/audio8/train.py:141; SURVEY.md §2.7)."""
     if distributed and os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    elif distributed and jax.process_count() == 1 and jax.device_count() == 1:
+        logger.warning("--distributed requested but only one device/process "
+                       "is visible; training proceeds single-device")
     # persistent XLA compilation cache: restarts skip the slow first
     # compile. Opt-in via env var — some PJRT plugins (e.g. the axon
     # relay) hang on executable serialization.
@@ -113,7 +116,40 @@ def resolve_restart(
     return merged, None, step
 
 
+def setup_parallelism(tensor_parallel: int = 1):
+    """Build the device mesh + sharding rules for a training driver.
+
+    Returns (mesh, rules, batch_multiple, row_shard):
+    - mesh: ('data', 'model') over ALL devices — the drivers run every
+      step through it, so on a multi-chip host XLA shards the batch and
+      inserts the gradient psums the reference obtains from DDP
+      (/root/reference/audio8/train.py:266-268,320-326);
+    - rules: param partition rules (TP over the transformer when
+      tensor_parallel > 1, else replicated);
+    - batch_multiple: required PER-PROCESS batch-size multiple, to pass to
+      the datasets;
+    - row_shard: True under multi-process (each process materializes its
+      row block of globally-identical batches; see datasets.py).
+    """
+    from audio8_tpu.parallel.sharding import DP_ONLY_RULES, TP_RULES, make_mesh
+
+    mesh = make_mesh(data=-1, model=max(tensor_parallel, 1))
+    rules = TP_RULES if tensor_parallel > 1 else DP_ONLY_RULES
+    world = jax.process_count()
+    dp_total = mesh.shape["data"]
+    if dp_total % world != 0:
+        raise ValueError(
+            f"data-parallel extent {dp_total} not divisible by "
+            f"process count {world}")
+    batch_multiple = dp_total // world
+    return mesh, rules, batch_multiple, world > 1
+
+
 def add_common_model_args(parser):
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="devices on the 'model' mesh axis (Megatron-"
+                             "style TP over the transformer); the rest go "
+                             "to 'data'")
     parser.add_argument("--d_model", type=int, default=768)
     parser.add_argument("--d_ff", type=int, default=3072)
     parser.add_argument("--num_heads", type=int, default=12)

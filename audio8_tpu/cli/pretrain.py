@@ -18,10 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+                                   setup, setup_parallelism)
 from audio8_tpu.config import PretrainConfig
 from audio8_tpu.data.datasets import AudioFileDataset, BucketingAudioDataset, PrefetchLoader
 from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
+from audio8_tpu.parallel.sharding import put_batch, shard_state
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import make_pretrain_steps
@@ -73,24 +75,27 @@ def train(argv=None):
         args.basedir = f"wav2vec2-{args.dataset_key}-{os.getpid()}"
     os.makedirs(args.basedir, exist_ok=True)
     rank, world = setup(args.distributed)
+    mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     train_manifest = os.path.join(args.manifest_dir, args.train_manifest_file)
     valid_manifest = os.path.join(args.manifest_dir, args.valid_manifest_file)
-    common = dict(shard_index=rank, num_shards=world)
+    common = dict(shard_index=rank, num_shards=world,
+                  batch_multiple=batch_multiple, row_shard=row_shard)
+    vcommon = common if row_shard else dict(batch_multiple=batch_multiple)
     if args.bucketing:
         train_set = BucketingAudioDataset(
             args.buckets, train_manifest, args.max_sample_len,
             args.tokens_per_batch, **common)
         valid_set = BucketingAudioDataset(
             args.buckets, valid_manifest, args.max_sample_len,
-            args.tokens_per_batch)
+            args.tokens_per_batch, **vcommon)
     else:
         train_set = AudioFileDataset(
             train_manifest, args.max_sample_len, args.tokens_per_batch,
             length_grid=args.buckets, **common)
         valid_set = AudioFileDataset(
             valid_manifest, args.max_sample_len, args.tokens_per_batch,
-            length_grid=args.buckets)
+            length_grid=args.buckets, **vcommon)
     logger.info("Loaded datasets")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -118,6 +123,7 @@ def train(argv=None):
         num_layers=args.num_layers, sr=args.target_sample_rate // 1000)
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
+    state = shard_state(state, mesh, rules)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 
@@ -136,12 +142,13 @@ def train(argv=None):
     avg_loss = Average("average_train_loss")
     step_time = Average("average_step_time")
     start_of_run = time.time()
-    rng = jax.random.PRNGKey(99 + rank)
+    # identical on all processes: one global mesh computation (see train.py)
+    rng = jax.random.PRNGKey(99)
 
     steps = int(state.step)  # python-side mirror: avoid a device sync/iter
     while steps < args.train_steps:
         start = time.time()
-        batch = jnp.asarray(next(train_itr))
+        batch = put_batch({"signal": next(train_itr)}, mesh)["signal"]
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
         steps += 1
@@ -159,7 +166,8 @@ def train(argv=None):
                         float(metrics["accuracy"]))
         if (steps + 1) % update_on == 0 and rank == 0:
             save_checkpoint(state, model_base, steps, tick_type="step")
-        if (steps + 1) % validate_on == 0 and rank == 0:
+        if (steps + 1) % validate_on == 0:
+            # all processes participate (mesh computation); rank 0 logs
             m = {"train_elapsed_min": (time.time() - start_of_run) / 60,
                  "average_train_loss": avg_loss.avg}
             avg_valid = Average("average_valid_loss")
@@ -167,7 +175,7 @@ def train(argv=None):
             valid_itr = iter(valid_set)
             for j in range(args.valid_steps):
                 try:
-                    vb = jnp.asarray(next(valid_itr))
+                    vb = put_batch({"signal": next(valid_itr)}, mesh)["signal"]
                 except StopIteration:
                     break
                 rng, sub = jax.random.split(rng)
@@ -175,7 +183,8 @@ def train(argv=None):
                 avg_valid.update(float(loss))
             m["average_valid_loss"] = avg_valid.avg
             m["valid_elapsed_epoch"] = (time.time() - vstart) / 60
-            logger.info(m)
+            if rank == 0:
+                logger.info(m)
     return state
 
 

@@ -15,10 +15,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+                                   setup, setup_parallelism)
 from audio8_tpu.config import PooledConfig, TextEncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.dual_encoder import DualEncoderModel, SymmetricCLIPLoss
+from audio8_tpu.parallel.sharding import put_batch, shard_state
 from audio8_tpu.models.text import BPEVectorizer, TextVectorizer, read_vocab_file
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -95,6 +97,7 @@ def train(argv=None):
         args.basedir = f"paired-{args.dataset_key}-{os.getpid()}"
     os.makedirs(args.basedir, exist_ok=True)
     rank, world = setup(args.distributed)
+    mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     if args.target_type == "bpe" and args.subword_model_file:
         vec = BPEVectorizer(args.subword_model_file, args.subword_vocab_file,
@@ -112,6 +115,7 @@ def train(argv=None):
         target_sample_rate=args.target_sample_rate,
         shuffle=True, tgt_type=args.target_type,
         shard_index=rank, num_shards=world,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
     valid_set = AudioTextLetterDataset(
@@ -120,6 +124,9 @@ def train(argv=None):
         input_sample_rate=args.input_sample_rate,
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        shard_index=rank if row_shard else 0,
+        num_shards=world if row_shard else 1,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
 
@@ -169,6 +176,7 @@ def train(argv=None):
         args.restart_from, init_params, template)
     if state is None:
         state = TrainState.create(init_params, tx, step=global_step)
+    state = shard_state(state, mesh, rules)
 
     grad_fn, update_fn, eval_fn = make_paired_steps(model, loss_module, tx,
                                                     clip=args.clip)
@@ -182,7 +190,8 @@ def train(argv=None):
     acc_grads, acc_examples = None, 0.0
     iters = 0
     start = time.time()
-    rng = jax.random.PRNGKey(777 + rank)
+    # identical on all processes: one global mesh computation (see train.py)
+    rng = jax.random.PRNGKey(777)
 
     while int(state.step) < args.train_steps:
         try:
@@ -190,13 +199,13 @@ def train(argv=None):
             freeze_text = int(state.step) <= args.unfreeze_text_after_step
             iters += 1
             batch = next(train_itr)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            jbatch = put_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
             loss, metrics, grads, bsz, _ = grad_fn(
                 state.params, jbatch, sub,
                 freeze_audio=freeze_audio, freeze_text=freeze_text)
             acc_grads = accumulate_grads(acc_grads, grads)
-            acc_examples += float(bsz)
+            acc_examples += batch["num_real"]
             avg_loss.update(float(loss))
             if iters % args.grad_accum == 0:
                 state, _ = update_fn(state, acc_grads, jnp.asarray(acc_examples))
@@ -210,19 +219,21 @@ def train(argv=None):
                                 float(state.current_lr or -1),
                                 float(metrics["clip_accuracy"]),
                                 float(metrics["logit_scale"]))
-                if gstep % validate_on == 0 and rank == 0:
+                if gstep % validate_on == 0:
+                    # all processes participate (mesh computation)
                     avg_valid = Average("average_valid_loss")
                     accs = Average("valid_accuracy")
                     for j, vb in enumerate(iter(valid_set)):
                         if j > args.valid_steps:
                             break
-                        jvb = {k: jnp.asarray(v) for k, v in vb.items() if k != "files"}
+                        jvb = put_batch(vb, mesh)
                         vloss, vmetrics = eval_fn(state.params, jvb)
                         avg_valid.update(float(vloss))
                         accs.update(float(vmetrics["clip_accuracy"]))
-                    logger.info({"average_valid_loss": avg_valid.avg,
-                                 "valid_accuracy": accs.avg})
-                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                    if rank == 0:
+                        logger.info({"average_valid_loss": avg_valid.avg,
+                                     "valid_accuracy": accs.avg})
+                        save_checkpoint(state, model_base, gstep, tick_type="step")
         except StopIteration:
             raise
         except Exception as e:

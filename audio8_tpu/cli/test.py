@@ -134,8 +134,12 @@ def evaluate(argv=None):
             break
         log_probs, frame_lengths = eval_fn(
             params, jnp.asarray(batch["signal"]), jnp.asarray(batch["signal_lengths"]))
-        sm = run_step(index2vocab, np.asarray(log_probs), np.asarray(frame_lengths),
-                      batch, args.verbose, ctc_decoder, postproc)
+        # batch-size snapping appends padding rows at the tail; score real rows
+        n_real = batch.get("num_real", len(batch["signal_lengths"]))
+        sm = run_step(index2vocab, np.asarray(log_probs)[:n_real],
+                      np.asarray(frame_lengths)[:n_real],
+                      dict(batch, token_ids=batch["token_ids"][:n_real]),
+                      args.verbose, ctc_decoder, postproc)
         c_errors += sm["c_errors"]
         w_errors += sm["w_errors"]
         wlm_errors += sm.get("wbeam_errors", 0)

@@ -17,12 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+                                   setup, setup_parallelism)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.text import TextVectorizer, read_vocab_list
 from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
 from audio8_tpu.ops import metrics as M
+from audio8_tpu.parallel.sharding import put_batch, shard_state, to_host
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import accumulate_grads, make_ctc_steps
@@ -92,6 +94,7 @@ def train(argv=None):
 
     Offsets.remap_fairseq_ctc()
     rank, world = setup(args.distributed)
+    mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
     vocab_list = read_vocab_list(vocab_file)
@@ -115,6 +118,7 @@ def train(argv=None):
         target_sample_rate=args.target_sample_rate,
         shuffle=True, tgt_type=args.target_type,
         shard_index=rank, num_shards=world,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
     valid_set = AudioTextLetterDataset(
@@ -123,6 +127,9 @@ def train(argv=None):
         input_sample_rate=args.input_sample_rate,
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        shard_index=rank if row_shard else 0,
+        num_shards=world if row_shard else 1,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
     logger.info("Loaded datasets")
@@ -154,6 +161,9 @@ def train(argv=None):
         restart_tt=args.restart_tt)
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
+    # place params + optimizer state on the mesh (replicated under pure DP,
+    # Megatron-split under TP); every step below runs through the mesh
+    state = shard_state(state, mesh, rules)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 
@@ -179,7 +189,12 @@ def train(argv=None):
     acc_tokens = 0.0
     iters = 0
     start = time.time()
-    rng = jax.random.PRNGKey(1234 + rank)
+    # NOT rank-offset: under mesh DP all processes drive one global
+    # computation, so the key (like the params) must be identical everywhere
+    rng = jax.random.PRNGKey(1234)
+
+    # one dispatch per step when not accumulating (fused grad+update)
+    fused = args.grad_accum == 1
 
     gstep = int(state.step)  # python-side mirror: avoid a device sync/iter
     while gstep < args.train_steps:
@@ -187,19 +202,26 @@ def train(argv=None):
             freeze = gstep <= args.unfreeze_enc_after_step
             iters += 1
             batch = next(train_itr)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            jbatch = put_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
-            loss, grads, bsz, toks = grad_fn(state.params, jbatch, sub, freeze=freeze)
-            acc_grads = accumulate_grads(acc_grads, grads)
-            # micro-batch sizes are known host-side (shape + lengths sums
-            # would sync; use the batch dict directly)
-            acc_examples += batch["signal"].shape[0]
+            if fused:
+                state, loss, _, _ = grad_fn.train_step(state, jbatch, sub,
+                                                       freeze=freeze)
+            else:
+                loss, grads, bsz, toks = grad_fn(state.params, jbatch, sub,
+                                                 freeze=freeze)
+                acc_grads = accumulate_grads(acc_grads, grads)
+            # global batch sizes are known host-side (on-device sums would
+            # sync; the dataset reports the real-row count per global batch)
+            acc_examples += batch["num_real"]
             acc_tokens += float(batch["token_lengths"].sum())
             if iters % 8 == 0:  # subsample the loss fetch (host sync)
                 avg_loss.update(float(loss), n=8)
 
             if iters % args.grad_accum == 0:
-                state, gnorm = update_fn(state, acc_grads, jnp.asarray(acc_examples, jnp.float32))
+                if not fused:
+                    state, gnorm = update_fn(state, acc_grads,
+                                             jnp.asarray(acc_examples, jnp.float32))
                 batch_size_sent.update(acc_examples)
                 batch_size_toks.update(acc_tokens)
                 acc_grads, acc_examples, acc_tokens = None, 0.0, 0.0
@@ -219,19 +241,24 @@ def train(argv=None):
                         batch_size_sent.avg, batch_size_toks.avg,
                         batch_size_toks.avg * sps * 60)
 
-                if gstep % validate_on == 0 and rank == 0:
+                if gstep % validate_on == 0:
+                    # validation is a mesh computation, so every process
+                    # participates; only rank 0 logs and checkpoints
                     metrics = {"average_train_loss": avg_loss.avg}
                     valid_metrics = validate(
                         model, eval_fn, state.params, valid_set, index2vocab,
-                        args.valid_steps, postproc, ctc_decoder, args.verbose)
-                    logger.info(metrics)
-                    logger.info(valid_metrics)
-                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                        args.valid_steps, postproc, ctc_decoder,
+                        args.verbose and rank == 0, mesh)
+                    if rank == 0:
+                        logger.info(metrics)
+                        logger.info(valid_metrics)
+                        save_checkpoint(state, model_base, gstep, tick_type="step")
                     esm = args.early_stopping_metric
                     if esm and valid_metrics.get(esm, 1e9) < best_metric:
                         best_metric = valid_metrics[esm]
-                        logger.info("New best metric %.4f", best_metric)
-                        save_checkpoint(state, model_base, 0, tick_type="best")
+                        if rank == 0:
+                            logger.info("New best metric %.4f", best_metric)
+                            save_checkpoint(state, model_base, 0, tick_type="best")
         except StopIteration:
             raise
         except Exception as e:
@@ -240,7 +267,7 @@ def train(argv=None):
 
 
 def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
-             postproc, ctc_decoder=None, verbose=False):
+             postproc, ctc_decoder=None, verbose=False, mesh=None):
     avg_valid_loss = Average("average_valid_loss")
     c_errors = c_total = w_errors = w_total = 0
     valid_start = time.time()
@@ -249,17 +276,29 @@ def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
         if j > valid_steps:
             break
         try:
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            jbatch = (put_batch(batch, mesh) if mesh is not None else
+                      {k: jnp.asarray(v) for k, v in batch.items()
+                       if isinstance(v, np.ndarray)})
             loss, frames, frame_lengths = eval_fn(params, jbatch)
-            sm = M.ctc_metrics(np.asarray(frames), batch["token_ids"],
-                               np.asarray(frame_lengths), index2vocab,
-                               postproc_fn=postproc)
-            if ctc_decoder is not None and verbose:
+            # score only this process's real rows: frames are global, the
+            # host-side token_ids are this shard's block; padding rows sit
+            # at the global tail
+            lo = batch.get("row_offset", 0)
+            n_here = batch["signal_lengths"].shape[0]
+            n_real = min(max(batch.get("num_real", n_here) - lo, 0), n_here)
+            frames_np = to_host(frames)[lo:lo + n_real]
+            fl_np = to_host(frame_lengths)[lo:lo + n_real]
+            sm = M.ctc_metrics(frames_np, batch["token_ids"][:n_real],
+                               fl_np, index2vocab, postproc_fn=postproc)
+            if ctc_decoder is not None and verbose and n_real > 0:
                 # beam-decode the first utterance for inspection, mirroring
-                # the reference's verbose validation (train.py:49-52)
+                # the reference's verbose validation (train.py:49-52); runs
+                # from the host copy so it stays process-local
                 lp, pm = model.apply(
-                    {"params": params}, jbatch["signal"][:1],
-                    jbatch["signal_lengths"][:1], train=False, freeze=True)
+                    {"params": jax.device_get(params)},
+                    jnp.asarray(batch["signal"][:1]),
+                    jnp.asarray(batch["signal_lengths"][:1]),
+                    train=False, freeze=True)
                 fl = np.asarray(jnp.sum(pm, axis=-1))
                 transcriptions = ctc_decoder.run(np.asarray(lp), fl, n_best=1)
                 print("".join(transcriptions[0]))

@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+                                   setup, setup_parallelism)
 from audio8_tpu.config import DecoderConfig, EncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.seq2seq import Seq2Seq
 from audio8_tpu.models.text import TextVectorizer, read_vocab_file
 from audio8_tpu.ops import metrics as M
+from audio8_tpu.parallel.sharding import put_batch, shard_state, to_host
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import accumulate_grads, make_seq2seq_steps
@@ -88,6 +90,7 @@ def train(argv=None):
 
     Offsets.remap_fairseq_ctc()
     rank, world = setup(args.distributed)
+    mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
     vocab = read_vocab_file(vocab_file)
@@ -103,6 +106,7 @@ def train(argv=None):
         target_sample_rate=args.target_sample_rate,
         shuffle=True, tgt_type=args.target_type,
         shard_index=rank, num_shards=world,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
     valid_set = AudioTextLetterDataset(
@@ -111,6 +115,9 @@ def train(argv=None):
         input_sample_rate=args.input_sample_rate,
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        shard_index=rank if row_shard else 0,
+        num_shards=world if row_shard else 1,
+        batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets)
 
@@ -145,6 +152,7 @@ def train(argv=None):
         restart_tt=args.restart_tt)
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
+    state = shard_state(state, mesh, rules)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 
@@ -162,18 +170,19 @@ def train(argv=None):
     acc_grads, acc_examples = None, 0.0
     iters = 0
     start = time.time()
-    rng = jax.random.PRNGKey(4321 + rank)
+    # identical on all processes: one global mesh computation (see train.py)
+    rng = jax.random.PRNGKey(4321)
 
     while int(state.step) < args.train_steps:
         try:
             freeze = int(state.step) <= args.unfreeze_enc_after_step
             iters += 1
             batch = next(train_itr)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            jbatch = put_batch(batch, mesh)
             rng, sub = jax.random.split(rng)
             loss, grads, bsz, _ = grad_fn(state.params, jbatch, sub, freeze=freeze)
             acc_grads = accumulate_grads(acc_grads, grads)
-            acc_examples += float(bsz)
+            acc_examples += batch["num_real"]
             avg_loss.update(float(loss))
             if iters % args.grad_accum == 0:
                 state, _ = update_fn(state, acc_grads, jnp.asarray(acc_examples))
@@ -184,17 +193,19 @@ def train(argv=None):
                 if gstep % report_on == 0 and step_time.avg:
                     logger.info("%s, steps/min %.2f, LR %.6f", avg_loss,
                                 60.0 / step_time.avg, float(state.current_lr or -1))
-                if gstep % validate_on == 0 and rank == 0:
+                if gstep % validate_on == 0:
                     vm = validate(state.params, valid_set, decode_fn, eval_loss_fn,
                                   index2vocab, args.valid_steps, postproc,
-                                  args.verbose)
-                    logger.info({"average_train_loss": avg_loss.avg})
-                    logger.info(vm)
-                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                                  args.verbose and rank == 0, mesh)
+                    if rank == 0:
+                        logger.info({"average_train_loss": avg_loss.avg})
+                        logger.info(vm)
+                        save_checkpoint(state, model_base, gstep, tick_type="step")
                     esm = args.early_stopping_metric
                     if esm and vm.get(esm, 1e9) < best_metric:
                         best_metric = vm[esm]
-                        save_checkpoint(state, model_base, 0, tick_type="best")
+                        if rank == 0:
+                            save_checkpoint(state, model_base, 0, tick_type="best")
         except StopIteration:
             raise
         except Exception as e:
@@ -203,7 +214,7 @@ def train(argv=None):
 
 
 def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
-             valid_steps, postproc, verbose=False):
+             valid_steps, postproc, verbose=False, mesh=None):
     avg_valid_loss = Average("average_valid_loss")
     c_errors = c_total = w_errors = w_total = 0
     vm = {}
@@ -211,23 +222,33 @@ def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
         if j > valid_steps:
             break
         try:
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "files"}
+            jbatch = (put_batch(batch, mesh) if mesh is not None else
+                      {k: jnp.asarray(v) for k, v in batch.items()
+                       if isinstance(v, np.ndarray)})
             loss = eval_loss_fn(params, jbatch)
             # round the decode horizon up to a multiple of 32 so the jitted
-            # decode compiles for a handful of lengths, not per batch
-            max_len = int(batch["token_lengths"].max())
+            # decode compiles for a handful of lengths, not per batch;
+            # token_lengths here are this shard's — the horizon must agree
+            # globally, so derive it from the text pad width instead
+            max_len = int(batch["token_ids"].shape[1])
             max_len = (max_len + 31) // 32 * 32
             toks, _ = decode_fn(params, jbatch, max_output_len=max_len)
+            # score only this shard's real rows (frames are global; padding
+            # rows sit at the global tail)
+            lo = batch.get("row_offset", 0)
+            n_here = batch["signal_lengths"].shape[0]
+            n_real = min(max(batch.get("num_real", n_here) - lo, 0), n_here)
+            toks_np = to_host(toks)[lo:lo + n_real]
             # strip EOS and post-EOS padding before scoring (the metrics
             # only mask specials out of the *target* side)
             decoded = [
                 [t for t in row.tolist() if t not in (Offsets.PAD, Offsets.EOS)]
-                for row in np.asarray(toks)
+                for row in toks_np
             ]
-            sm = M.decode_metrics(decoded, batch["token_ids"][:, 1:],
+            sm = M.decode_metrics(decoded, batch["token_ids"][:n_real, 1:],
                                   index2vocab, postproc_fn=postproc)
             if verbose:
-                for sent, gold in zip(decoded, batch["token_ids"]):
+                for sent, gold in zip(decoded, batch["token_ids"][:n_real]):
                     print("Pred: ", postproc(index2vocab[t] for t in sent
                                              if t > Offsets.UNK))
                     print("Gold: ", postproc(index2vocab[int(t)] for t in gold

@@ -2,17 +2,23 @@
 
 Re-design of /root/reference/audio8/data.py for a jit-compiled consumer:
 
-- every emitted batch has a shape drawn from a SMALL STATIC SET. Supervised
-  batches pad the audio axis up to a multiple of ``pad_to_multiple`` samples
-  and the text axis to a multiple of ``text_pad_multiple`` (the reference
-  pads to the exact batch max, data.py:283-287, which would trigger one XLA
-  compile per distinct length);
-- the unsupervised pretrain stream min-crops to dense (B, T) blocks exactly
-  like the reference (data.py:409-426) and optionally snaps T down to a
-  bucket grid;
+- every emitted batch has a shape drawn from a SMALL STATIC SET: the audio
+  axis pads up to a length grid / multiple, the text axis to a multiple,
+  and the batch (sentence) axis snaps to a geometric grid (the reference
+  pads to the exact batch max, data.py:283-287, and lets B float freely —
+  either would trigger one XLA compile per distinct shape);
+- batch composition is computed from manifest metadata alone, identically
+  on every process, so multi-host data parallelism can form global arrays:
+  each process materializes only its contiguous ROW BLOCK of the global
+  batch (``row_shard=True``) and the driver assembles them with
+  ``jax.make_array_from_process_local_data``. Rows added by batch-size
+  snapping are explicit padding (zero signal, zero lengths) that the
+  train steps weight out of the loss;
+- the unsupervised pretrain stream min-crops to dense (B, T) blocks with
+  the reference's accumulate-until-budget semantics (data.py:409-426) and
+  snaps T down to a bucket grid;
 - sharding is explicit ``(shard_index, num_shards)`` instead of reading
-  torch.distributed state (data.py:152-154) — callers pass
-  ``jax.process_index()`` / worker ids;
+  torch.distributed state (data.py:152-154);
 - the torch DataLoader worker processes are replaced by a thread-pool
   prefetcher (audio decode releases the GIL in scipy/libc).
 """
@@ -24,7 +30,7 @@ import os
 import queue
 import random
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -38,55 +44,78 @@ def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
-def _is_batch_full(num_sentences, num_tokens, max_tokens, max_sentences):
-    if num_sentences == 0:
-        return False
-    if max_sentences and max_sentences > 0 and num_sentences == max_sentences:
-        return True
-    if max_tokens and max_tokens > 0 and num_tokens > max_tokens:
-        return True
-    return False
+# Batch-size grid: ratio <= ~1.25 so row padding wastes little compute while
+# the jitted step sees a bounded set of B values.
+B_GRID = [1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56,
+          64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 448, 512,
+          640, 768, 896, 1024]
+
+
+def snap_batch_size(b: int, multiple: int = 1,
+                    grid: Sequence[int] = B_GRID) -> int:
+    """Smallest grid entry >= b that is a multiple of ``multiple``; falls
+    back to plain round-up when the grid runs out."""
+    target = _round_up(b, max(multiple, 1))
+    for g in grid:
+        if g >= target and g % max(multiple, 1) == 0:
+            return g
+    return target
+
+
+def snap_batch_size_down(b: int, multiple: int = 1,
+                         grid: Sequence[int] = B_GRID) -> int:
+    """Largest grid entry <= b that is a multiple of ``multiple`` (0 if
+    none) — used by the dense pretrain stream, which carries leftover rows
+    into the next batch instead of padding."""
+    best = 0
+    m = max(multiple, 1)
+    for g in grid:
+        if g <= b and g % m == 0:
+            best = g
+    return best
 
 
 def batch_by_size(indices, sizes, max_tokens=None, max_sentences=128) -> List[List[int]]:
-    """fairseq-style token-budget batching over length-ordered indices
-    (data.py:78-110): a batch closes when (len+1)*max_len exceeds
-    max_tokens or the sentence cap is hit."""
-    sample_len = 0
-    sample_lens: List[int] = []
-    batch: List[int] = []
+    """Token-budget batching over length-ordered indices.
+
+    Composition semantics match the reference (data.py:68-110, itself
+    fairseq-derived) for batch parity — own implementation: a batch closes
+    when it already holds ``max_sentences``, or when admitting the next
+    sample would push ``(num_sentences + 1) * running_max_len`` past
+    ``max_tokens``.
+    """
+    use_tokens = max_tokens is not None and max_tokens > 0
+    use_sentences = max_sentences is not None and max_sentences > 0
     batches: List[List[int]] = []
-    for i in range(len(indices)):
-        idx = indices[i]
-        num_tokens = sizes[idx]
-        sample_lens.append(num_tokens)
-        sample_len = max(sample_len, num_tokens)
-        assert max_tokens is None or max_tokens <= 0 or sample_len <= max_tokens, (
-            f"sentence at index {idx} of size {sample_len} exceeds max_tokens "
-            f"limit of {max_tokens}!"
-        )
-        num_tokens = (len(batch) + 1) * sample_len
-        if _is_batch_full(len(batch), num_tokens, max_tokens, max_sentences):
-            batch_len = len(batch)
-            batches.append(batch[:batch_len])
-            batch = batch[batch_len:]
-            sample_lens = sample_lens[batch_len:]
-            sample_len = max(sample_lens) if sample_lens else 0
-        batch.append(idx)
-    if batch:
-        batches.append(batch)
+    cur: List[int] = []
+    cur_max = 0
+    for idx in indices:
+        n = sizes[idx]
+        if use_tokens and n > max_tokens:
+            raise AssertionError(
+                f"sentence at index {idx} of size {n} exceeds max_tokens "
+                f"limit of {max_tokens}!")
+        new_max = max(cur_max, n)
+        full = cur and (
+            (use_sentences and len(cur) == max_sentences)
+            or (use_tokens and (len(cur) + 1) * new_max > max_tokens))
+        if full:
+            batches.append(cur)
+            cur, new_max = [], n
+        cur.append(idx)
+        cur_max = new_max
+    if cur:
+        batches.append(cur)
     return batches
 
 
 def find_fit(v: int, fits: Sequence[int]) -> int:
-    """Largest bucket <= v (data.py:429-436)."""
-    truncate_to = 0
-    for fit in fits:
-        if v // fit:
-            truncate_to = fit
-        else:
-            break
-    return truncate_to
+    """Largest bucket <= v, 0 if none (semantics of data.py:429-436)."""
+    best = 0
+    for f in fits:
+        if f <= v:
+            best = max(best, f)
+    return best
 
 
 class AudioTextLetterDataset:
@@ -96,7 +125,19 @@ class AudioTextLetterDataset:
     line is the audio root directory, then ``relative_path\\tnum_samples``
     rows, zipped with a sibling ``.ltr``/``.bpe``/``.wrd`` transcript file.
     Batches are pre-computed from descending-length order with a shuffled
-    tie-break, then sharded round-robin across ``num_shards``.
+    tie-break.
+
+    Sharding modes:
+    - ``row_shard=False`` (default): batches are striped round-robin across
+      ``num_shards`` (reference semantics, data.py:212-237);
+    - ``row_shard=True`` (mesh data parallelism): every shard iterates the
+      SAME globally-identical batch schedule (requires identical ``seed``)
+      and materializes only its contiguous row block; the global batch size
+      snaps to a grid multiple of ``num_shards * batch_multiple``.
+
+    The emitted dict carries ``num_real`` (global count of non-padding
+    rows) and ``row_offset`` (this shard's global row offset) for loss
+    weighting and metrics.
     """
 
     TGT_LETTER = "ltr"
@@ -121,13 +162,19 @@ class AudioTextLetterDataset:
         pad_to_multiple: int = 16_000,
         text_pad_multiple: int = 64,
         length_grid: Optional[Sequence[int]] = None,
+        batch_multiple: int = 1,
+        row_shard: bool = False,
         seed: int = 0,
         read_workers: int = 4,
     ):
         """``length_grid``: optional ascending audio lengths (samples); each
         batch pads UP to the smallest grid entry >= its max length, bounding
         the number of distinct XLA programs to len(grid) (a geometric grid
-        of ~10 entries covers LibriSpeech). Overrides ``pad_to_multiple``."""
+        of ~10 entries covers LibriSpeech). Overrides ``pad_to_multiple``.
+
+        ``batch_multiple``: the per-shard batch size is always a multiple of
+        this (pass the per-process 'data' mesh extent so batches shard
+        evenly over devices)."""
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
             AudioResampleReader(self.sample_factor)
@@ -147,6 +194,8 @@ class AudioTextLetterDataset:
         self.pad_to_multiple = pad_to_multiple
         self.text_pad_multiple = text_pad_multiple
         self.length_grid = sorted(length_grid) if length_grid else None
+        self.batch_multiple = max(batch_multiple, 1)
+        self.row_shard = row_shard
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
         # audio decode releases the GIL (ctypes FLAC / scipy WAV), so a
@@ -198,6 +247,10 @@ class AudioTextLetterDataset:
         )
 
     def _shard_order(self) -> List[int]:
+        if self.row_shard:
+            # all shards walk the full schedule; sharding happens per-row in
+            # read_batch (requires identical seed on every shard)
+            return list(range(len(self.batches)))
         order = list(range(self.shard_index, len(self.batches), self.num_shards))
         if not order:
             raise RuntimeError(
@@ -215,31 +268,49 @@ class AudioTextLetterDataset:
             if not self.is_infinite:
                 return
 
+    def _global_rows(self, n_real: int) -> int:
+        mult = self.batch_multiple * (self.num_shards if self.row_shard else 1)
+        return snap_batch_size(n_real, mult)
+
     def read_batch(self, batch: Sequence[int]) -> Dict[str, np.ndarray]:
-        files = [self.files[idx] for idx in batch]
-        read = lambda pth: self.reader.read(pth, self.max_src_length or -1).squeeze()
-        if self._pool is not None:
-            audios = list(self._pool.map(read, files))
-        else:
-            audios = [read(pth) for pth in files]
-        audio_lengths = np.zeros(len(batch), np.int32)
-        text_lengths = np.zeros(len(batch), np.int32)
-        for i, idx in enumerate(batch):
-            audio_lengths[i] = len(audios[i])
-            text_lengths[i] = min(len(self.tokens[idx]), self.max_dst_length)
-        max_audio = int(audio_lengths.max())
+        n_real = len(batch)
+        b_global = self._global_rows(n_real)
+        # audio/text pads come from manifest metadata so every shard agrees
+        # on the global shape without decoding the whole batch
+        max_audio = max(self.sizes[idx] for idx in batch)
         if self.length_grid:
             fits = [g for g in self.length_grid if g >= max_audio]
             t_audio = fits[0] if fits else _round_up(max_audio, self.pad_to_multiple)
         else:
             t_audio = _round_up(max_audio, self.pad_to_multiple)
-        t_text = _round_up(int(text_lengths.max()), self.text_pad_multiple)
+        max_text = max(min(len(self.tokens[idx]), self.max_dst_length) for idx in batch)
+        t_text = _round_up(max_text, self.text_pad_multiple)
         t_text = min(t_text, _round_up(self.max_dst_length, self.text_pad_multiple))
-        signal = np.zeros((len(batch), t_audio), np.float32)
-        token_ids = np.full((len(batch), t_text), Offsets.PAD, np.int32)
-        for i, idx in enumerate(batch):
-            signal[i, : audio_lengths[i]] = audios[i]
-            toks = self.tokens[idx][: text_lengths[i]]
+
+        if self.row_shard:
+            b_local = b_global // self.num_shards
+            lo = self.shard_index * b_local
+        else:
+            b_local, lo = b_global, 0
+        rows = [batch[r] for r in range(lo, min(lo + b_local, n_real))]
+
+        files = [self.files[idx] for idx in rows]
+        read = lambda pth: self.reader.read(pth, self.max_src_length or -1).squeeze()
+        if self._pool is not None:
+            audios = list(self._pool.map(read, files))
+        else:
+            audios = [read(pth) for pth in files]
+
+        signal = np.zeros((b_local, t_audio), np.float32)
+        audio_lengths = np.zeros(b_local, np.int32)
+        token_ids = np.full((b_local, t_text), Offsets.PAD, np.int32)
+        text_lengths = np.zeros(b_local, np.int32)
+        for i, idx in enumerate(rows):
+            a = audios[i][:t_audio]
+            audio_lengths[i] = len(a)
+            signal[i, : len(a)] = a
+            toks = self.tokens[idx][: self.max_dst_length]
+            text_lengths[i] = len(toks)
             token_ids[i, : len(toks)] = toks
         return {
             "signal": signal,
@@ -247,12 +318,23 @@ class AudioTextLetterDataset:
             "token_ids": token_ids,
             "token_lengths": text_lengths,
             "files": files,
+            "num_real": n_real,
+            "row_offset": lo,
         }
 
 
 class AudioFileDataset:
     """Unsupervised pretrain stream: infinite shuffled file order, dense
-    min-cropped (B, T) batches with no padding (data.py:307-426)."""
+    min-cropped (B, T) batches with no padding (data.py:307-426).
+
+    Batch composition is computed from manifest lengths alone (identical on
+    every shard for a given seed), preserving the reference's
+    accumulate-until-budget/min-crop/discard-trigger-sample semantics
+    (data.py:409-426); the batch size floors to a grid multiple of
+    ``batch_multiple`` (× ``num_shards`` when ``row_shard``) with leftover
+    rows carried into the next batch. Sharding is per-batch round-robin by
+    default, or per-row-block with ``row_shard=True`` (mesh DP).
+    """
 
     def __init__(
         self,
@@ -266,11 +348,14 @@ class AudioFileDataset:
         shard_index: int = 0,
         num_shards: int = 1,
         length_grid: Optional[Sequence[int]] = None,
+        batch_multiple: int = 1,
+        row_shard: bool = False,
         seed: int = 0,
         read_workers: int = 4,
     ):
+        self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
-            AudioResampleReader(target_sample_rate / input_sample_rate)
+            AudioResampleReader(self.sample_factor)
             if input_sample_rate != target_sample_rate
             else SoundfileAudioReader()
         )
@@ -281,62 +366,29 @@ class AudioFileDataset:
         self.num_shards = num_shards
         # snap dense batch length DOWN to this grid to bound compile count
         self.length_grid = sorted(length_grid) if length_grid else None
+        self.batch_multiple = max(batch_multiple, 1)
+        self.row_shard = row_shard
         self._rng = random.Random(seed)
         self._pool = (concurrent.futures.ThreadPoolExecutor(read_workers)
                       if read_workers > 1 else None)
-        self._lookahead = max(read_workers * 2, 1)
         self._read_manifest(manifest, min_length)
 
     def _read_manifest(self, manifest: str, min_length: int) -> None:
         skipped = 0
-        self.files: List[tuple] = []
+        self.files: List[Tuple[str, int]] = []
         with open(manifest) as f:
             directory = f.readline().strip()
             for line in f:
                 items = line.strip().split("\t")
-                sz = int(items[1])
+                sz = int(int(items[1]) * self.sample_factor)
                 if min_length is not None and sz < min_length:
                     skipped += 1
                     continue
                 self.files.append((os.path.join(directory, items[0]), sz))
         logger.info("loaded %d, skipped %d samples", len(self.files), skipped)
 
-    def _shard_order(self) -> List[int]:
-        order = list(range(self.shard_index, len(self.files), self.num_shards))
-        if not order:
-            raise RuntimeError(
-                f"No files for shard {self.shard_index}/{self.num_shards}"
-            )
-        return order
-
-    def _path_stream(self):
-        """Infinite (path, max_len) stream in (re-)shuffled shard order."""
-        order = self._shard_order()
-        while True:
-            if self.shuffle:
-                self._rng.shuffle(order)
-            for file_idx in order:
-                file, _ = self.files[file_idx]
-                yield file, self.max_length
-
-    def next_sample(self):
-        """Decode the path stream, pipelined across a thread pool (the
-        reference decodes serially in DataLoader workers)."""
-        it = self._path_stream()
-        if self._pool is None:
-            for path, maxlen in it:
-                yield self.reader.read(path, maxlen)
-            return
-        from collections import deque
-
-        pending: deque = deque()
-        for _ in range(self._lookahead):
-            path, maxlen = next(it)
-            pending.append(self._pool.submit(self.reader.read, path, maxlen))
-        while True:
-            path, maxlen = next(it)
-            pending.append(self._pool.submit(self.reader.read, path, maxlen))
-            yield pending.popleft().result()
+    def _emit_multiple(self) -> int:
+        return self.batch_multiple * (self.num_shards if self.row_shard else 1)
 
     def _snap(self, length: int) -> int:
         if not self.length_grid:
@@ -344,73 +396,124 @@ class AudioFileDataset:
         snapped = find_fit(length, self.length_grid)
         return snapped if snapped > 0 else length
 
+    def _index_stream(self) -> Iterator[int]:
+        """Infinite file-index stream, reshuffled each epoch (identical on
+        every shard for a given seed)."""
+        if not self.files:
+            raise RuntimeError("empty manifest")
+        while True:
+            order = list(range(len(self.files)))
+            if self.shuffle:
+                self._rng.shuffle(order)
+            yield from order
+
+    def _compose(self, stream) -> Iterator[Tuple[List[int], int]]:
+        """Yield (row file indices, crop length T) from an index stream
+        using only manifest lengths. Accumulation carries across epoch
+        boundaries (like the reference's infinite sample stream,
+        data.py:389-426), so small datasets never starve."""
+        emit_mult = self._emit_multiple()
+        samples: List[Tuple[int, int]] = []  # (file_idx, predicted_len)
+        min_len = self.max_length
+        for idx in stream:
+            predlen = min(self.files[idx][1], self.max_length)
+            if len(samples) * min_len >= self.target_tokens_per_batch:
+                b = snap_batch_size_down(len(samples), emit_mult)
+                if b > 0:
+                    emitted, samples = samples[:b], samples[b:]
+                    yield ([i for i, _ in emitted],
+                           self._snap(min(p for _, p in emitted)))
+                    min_len = min([p for _, p in samples] + [self.max_length])
+                    # the triggering sample is discarded when a batch went
+                    # out (reference quirk, data.py:417-426); otherwise keep
+                    # accumulating until a full emit multiple exists
+                    continue
+            samples.append((idx, predlen))
+            min_len = min(min_len, predlen)
+
     def __iter__(self):
-        min_length = self.max_length
-        num_tokens_predicted = 0
-        samples: List[np.ndarray] = []
-        for sample in self.next_sample():
-            if num_tokens_predicted < self.target_tokens_per_batch:
-                min_length = min(min_length, len(sample))
-                samples.append(sample)
-                num_tokens_predicted = len(samples) * min_length
-            else:
-                t = self._snap(min_length)
-                batch = np.stack([s[:t] for s in samples])
-                samples = []
-                num_tokens_predicted = 0
-                min_length = self.max_length
-                yield batch
+        for bi, (rows, t) in enumerate(self._compose(self._index_stream())):
+            if not self.row_shard and bi % self.num_shards != self.shard_index:
+                continue
+            yield self.read_batch(rows, t)
+
+    def read_batch(self, rows: Sequence[int], t: int) -> np.ndarray:
+        if self.row_shard:
+            b_local = len(rows) // self.num_shards
+            rows = rows[self.shard_index * b_local:(self.shard_index + 1) * b_local]
+        paths = [self.files[i][0] for i in rows]
+        read = lambda pth: np.asarray(self.reader.read(pth, self.max_length)).squeeze()
+        audios = (list(self._pool.map(read, paths)) if self._pool is not None
+                  else [read(p) for p in paths])
+        batch = np.zeros((len(rows), t), np.float32)
+        for i, a in enumerate(audios):
+            a = a[:t]  # manifest length is predicted; crop/zero-pad rounding
+            batch[i, : len(a)] = a
+        return batch
 
 
 class BucketingAudioDataset(AudioFileDataset):
     """Assign each file to the largest bucket <= its length; emit batches
-    cropped to the bucket length — fully static shapes (data.py:439-480)."""
+    cropped to the bucket length — fully static shapes (data.py:439-480).
+
+    Batches are composed per bucket (fixed rows-per-batch from the token
+    budget) and then STRIPED ACROSS SHARDS AT BATCH GRANULARITY, so every
+    shard sees every length class and no sample is duplicated (the
+    reference stripes batches too, data.py:212-237)."""
 
     def __init__(self, buckets, manifest, max_length, target_tokens_per_batch,
                  shuffle=True, min_length=0, shard_index=0, num_shards=1,
-                 seed=0, read_workers=4):
-        self.bucket_lengths = buckets
+                 batch_multiple=1, row_shard=False, seed=0, read_workers=4,
+                 input_sample_rate=16_000, target_sample_rate=16_000):
+        self.bucket_lengths = sorted(buckets)
         super().__init__(
             manifest, max_length, target_tokens_per_batch, shuffle=shuffle,
             min_length=min_length, shard_index=shard_index,
-            num_shards=num_shards, seed=seed, read_workers=read_workers,
+            num_shards=num_shards, batch_multiple=batch_multiple,
+            row_shard=row_shard, seed=seed, read_workers=read_workers,
+            input_sample_rate=input_sample_rate,
+            target_sample_rate=target_sample_rate,
         )
 
     def _read_manifest(self, manifest: str, _min_length) -> None:
         skipped = 0
-        asc = sorted(self.bucket_lengths)
-        self.files_by_bucket: Dict[int, List[tuple]] = {b: [] for b in asc}
         num_samples = 0
+        self.files = []
+        self.bucket_of: List[int] = []
         with open(manifest) as f:
             directory = f.readline().strip()
             for line in f:
                 num_samples += 1
                 items = line.strip().split("\t")
-                sz = int(items[1])
-                fname = os.path.join(directory, items[0])
-                if sz < asc[0]:
+                sz = int(int(items[1]) * self.sample_factor)
+                bucket = find_fit(sz, self.bucket_lengths)
+                if bucket == 0:
                     skipped += 1
                     continue
-                bucket = find_fit(sz, self.bucket_lengths)
-                self.files_by_bucket[bucket].append((fname, sz))
-        self.files = [(f, s) for b in asc for (f, s) in self.files_by_bucket[b]]
+                self.files.append((os.path.join(directory, items[0]), sz))
+                self.bucket_of.append(bucket)
         logger.info("Num samples %d, skipped %d", num_samples, skipped)
 
-    def _bucket_order(self) -> List[int]:
-        keys = sorted(self.files_by_bucket.keys())
-        order = list(range(self.shard_index, len(keys), self.num_shards))
-        return order or list(range(len(keys)))
+    def _rows_per(self, bucket: int) -> int:
+        emit_mult = self._emit_multiple()
+        return max(
+            snap_batch_size_down(
+                max(self.target_tokens_per_batch // bucket, 1), emit_mult),
+            emit_mult)
 
-    def _path_stream(self):
-        keys = sorted(self.files_by_bucket.keys())
-        order = self._bucket_order()
-        while True:
-            if self.shuffle:
-                self._rng.shuffle(order)
-            for bucket_idx in order:
-                bucket = keys[bucket_idx]
-                for (file, _) in self.files_by_bucket[bucket]:
-                    yield file, bucket
+    def _compose(self, stream) -> Iterator[Tuple[List[int], int]]:
+        """Fixed-size chunks per bucket, emitted as the (shuffled) stream
+        fills them — batches naturally interleave length classes and
+        per-bucket remainders carry across epochs, so a small bucket fills
+        up over several passes instead of starving."""
+        pending: Dict[int, List[int]] = {}
+        for idx in stream:
+            bucket = self.bucket_of[idx]
+            lst = pending.setdefault(bucket, [])
+            lst.append(idx)
+            if len(lst) >= self._rows_per(bucket):
+                yield list(lst), bucket
+                lst.clear()
 
 
 class PrefetchLoader:

@@ -92,7 +92,10 @@ class SymmetricCLIPLoss(nn.Module):
     learn_temperature: bool = True
 
     @nn.compact
-    def __call__(self, audio_emb: jnp.ndarray, text_emb: jnp.ndarray):
+    def __call__(self, audio_emb: jnp.ndarray, text_emb: jnp.ndarray,
+                 row_mask: Optional[jnp.ndarray] = None):
+        """``row_mask`` (B,) marks real rows; padding rows added for batch
+        snapping are excluded both as anchors and as negatives."""
         import math
 
         init = math.log(1.0 / self.init_temperature)
@@ -106,14 +109,20 @@ class SymmetricCLIPLoss(nn.Module):
         a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-8)
         t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
         logits = jnp.exp(logit_scale) * (a @ t.T)  # (B, B)
-        labels = jnp.arange(logits.shape[0])
-        lse_rows = jax.nn.logsumexp(logits, axis=-1)
-        lse_cols = jax.nn.logsumexp(logits, axis=0)
+        b = logits.shape[0]
+        m = (jnp.ones((b,), jnp.float32) if row_mask is None
+             else row_mask.astype(jnp.float32))
+        neg = jnp.where(m > 0, 0.0, -1e30)  # exclude pad rows as candidates
+        labels = jnp.arange(b)
+        lse_rows = jax.nn.logsumexp(logits + neg[None, :], axis=-1)
+        lse_cols = jax.nn.logsumexp(logits + neg[:, None], axis=0)
         diag = jnp.diagonal(logits)
-        loss_a = jnp.mean(lse_rows - diag)
-        loss_t = jnp.mean(lse_cols - diag)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        loss_a = jnp.sum((lse_rows - diag) * m) / denom
+        loss_t = jnp.sum((lse_cols - diag) * m) / denom
         loss = 0.5 * (loss_a + loss_t)
-        acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+        hits = (jnp.argmax(logits + neg[None, :], axis=-1) == labels)
+        acc = jnp.sum(hits.astype(jnp.float32) * m) / denom
         return loss, {"clip_loss": loss, "clip_accuracy": acc,
                       "logit_scale": jnp.exp(logit_scale)}
 

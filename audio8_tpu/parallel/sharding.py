@@ -29,9 +29,13 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
+        if n % model != 0:
+            raise ValueError(
+                f"model-parallel extent {model} (--tensor_parallel) does "
+                f"not divide the {n} available devices")
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
@@ -117,3 +121,40 @@ def shard_params(params: Any, mesh: Mesh,
     """Place a host param tree onto the mesh per the rules."""
     shardings = param_shardings(params, mesh, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_state(state: Any, mesh: Mesh,
+                rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+    """Place a full TrainState (params + optimizer moments + step) onto the
+    mesh. The path rules match optimizer-moment leaves too because their
+    paths end with the same param path (``.*`` rule prefixes), so TP moments
+    shard like their params; scalars fall back to replication."""
+    return shard_params(state, mesh, rules)
+
+
+def put_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, sharded over 'data'.
+
+    Single process: a plain sharded device_put. Multi-process: each process
+    holds its contiguous row-block of the global batch (the datasets' row
+    sharding contract) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — XLA then inserts the
+    gradient psums the reference gets from DDP
+    (/root/reference/audio8/train.py:266-268,320-326).
+    """
+    bs = batch_sharding(mesh)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(np.asarray(v), bs) for k, v in arrays.items()}
+    return {k: jax.make_array_from_process_local_data(bs, np.asarray(v))
+            for k, v in arrays.items()}
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch an array to host numpy, all-gathering first if it is not fully
+    addressable (multi-host shard of a global batch)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x)
+    return np.asarray(x)

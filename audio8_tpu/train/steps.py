@@ -35,6 +35,13 @@ def clean_targets(targets: jnp.ndarray, token_lengths: jnp.ndarray):
     return targets, lengths
 
 
+def row_validity(batch) -> jnp.ndarray:
+    """1.0 for real rows, 0.0 for padding rows added by batch-size snapping
+    (datasets mark them with signal_lengths == 0). Losses weight rows by
+    this so padded rows contribute exactly zero loss and gradient."""
+    return (batch["signal_lengths"] > 0).astype(jnp.float32)
+
+
 def current_temperature(step: jnp.ndarray, start=START_TEMP, end=END_TEMP,
                         decay=TEMP_DECAY_FACTOR) -> jnp.ndarray:
     """Gumbel temperature anneal (wav2vec2.py:495-496). NOTE: the reference
@@ -48,13 +55,27 @@ def current_temperature(step: jnp.ndarray, start=START_TEMP, end=END_TEMP,
 
 def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
                    loss_reduction: str = "sum"):
-    """Returns (grad_fn, update_fn, eval_fn) for CTC fine-tuning."""
+    """Returns (grad_fn, update_fn, eval_fn) for CTC fine-tuning.
 
-    @functools.partial(jax.jit, static_argnames=("freeze",))
-    def grad_fn(params, batch, rng, freeze: bool = True):
+    The returned tuple also exposes ``grad_fn.train_step``: a single fused
+    grad+update program for the no-accumulation case — one dispatch per
+    step instead of two, which matters when per-program launch overhead is
+    comparable to device time (short frozen-encoder steps; remote-relay
+    dispatch)."""
+
+    def _masked_ctc(log_probs, frame_lengths, targets, target_lengths, rows):
+        per_row = ctc_loss(log_probs, frame_lengths, targets, target_lengths,
+                           blank=Offsets.GO, reduction="none")
+        if loss_reduction == "sum":
+            return jnp.sum(per_row * rows)
+        per = per_row / jnp.maximum(target_lengths.astype(jnp.float32), 1.0)
+        return jnp.sum(per * rows) / jnp.maximum(jnp.sum(rows), 1.0)
+
+    def _grad_impl(params, batch, rng, freeze: bool = True):
         signal = batch["signal"]
         signal_lengths = batch["signal_lengths"]
         targets, target_lengths = clean_targets(batch["token_ids"], batch["token_lengths"])
+        rows = row_validity(batch)
 
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
@@ -63,14 +84,16 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
                 {"params": p}, signal, signal_lengths, train=True, freeze=freeze,
                 rngs=rngs)
             frame_lengths = jnp.sum(pad_mask, axis=-1)
-            loss = ctc_loss(log_probs, frame_lengths, targets, target_lengths,
-                            blank=Offsets.GO, reduction=loss_reduction)
+            loss = _masked_ctc(log_probs, frame_lengths, targets,
+                               target_lengths, rows)
             return loss, {}
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        batch_size = jnp.asarray(signal.shape[0], jnp.float32)
-        num_tokens = jnp.sum(target_lengths).astype(jnp.float32)
+        batch_size = jnp.sum(rows)
+        num_tokens = jnp.sum(target_lengths * rows).astype(jnp.float32)
         return loss, grads, batch_size, num_tokens
+
+    grad_fn = jax.jit(_grad_impl, static_argnames=("freeze",))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update_fn(state, grads, total_examples):
@@ -80,6 +103,15 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
             grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
             clip_norm=clip)
 
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("freeze",))
+    def train_step(state, batch, rng, freeze: bool = True):
+        loss, grads, bsz, toks = _grad_impl(state.params, batch, rng, freeze)
+        new_state, _ = state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(bsz, 1.0),
+            clip_norm=clip)
+        return new_state, loss, bsz, toks
+
     @jax.jit
     def eval_fn(params, batch):
         signal = batch["signal"]
@@ -88,11 +120,12 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
         log_probs, pad_mask = model.apply(
             {"params": params}, signal, signal_lengths, train=False, freeze=True)
         frame_lengths = jnp.sum(pad_mask, axis=-1)
-        loss = ctc_loss(log_probs, frame_lengths, targets, target_lengths,
-                        blank=Offsets.GO, reduction=loss_reduction)
+        loss = _masked_ctc(log_probs, frame_lengths, targets, target_lengths,
+                           row_validity(batch))
         frames = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         return loss, frames, frame_lengths
 
+    grad_fn.train_step = train_step
     return grad_fn, update_fn, eval_fn
 
 
@@ -158,10 +191,13 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
     def grad_fn(params, batch, rng, freeze: bool = True):
         signal = batch["signal"]
         signal_lengths = batch["signal_lengths"]
-        # teacher forcing: shift targets (train_seq2seq.py:100-105)
+        rows = row_validity(batch)
+        # teacher forcing: shift targets (train_seq2seq.py:100-105); padding
+        # rows have token_lengths == 0 -> clamp, and their all-PAD targets
+        # already zero out of sequence_loss
         dst = batch["token_ids"][:, :-1]
         tgt = batch["token_ids"][:, 1:]
-        dst_lengths = batch["token_lengths"] - 1
+        dst_lengths = jnp.maximum(batch["token_lengths"] - 1, 0)
 
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
@@ -172,8 +208,8 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
             return sequence_loss(log_probs, tgt, loss_reduction), {}
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        batch_size = jnp.asarray(signal.shape[0], jnp.float32)
-        num_tokens = jnp.sum(dst_lengths).astype(jnp.float32)
+        batch_size = jnp.sum(rows)
+        num_tokens = jnp.sum(dst_lengths * rows).astype(jnp.float32)
         return loss, grads, batch_size, num_tokens
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -193,7 +229,7 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
     def eval_loss_fn(params, batch):
         dst = batch["token_ids"][:, :-1]
         tgt = batch["token_ids"][:, 1:]
-        dst_lengths = batch["token_lengths"] - 1
+        dst_lengths = jnp.maximum(batch["token_lengths"] - 1, 0)
         log_probs = model.apply(
             {"params": params}, batch["signal"], batch["signal_lengths"],
             dst, dst_lengths, train=False, freeze=True)
@@ -213,6 +249,8 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
 
     @functools.partial(jax.jit, static_argnames=("freeze_audio", "freeze_text"))
     def grad_fn(params, batch, rng, freeze_audio: bool = True, freeze_text: bool = True):
+        rows = row_validity(batch)
+
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
@@ -220,12 +258,12 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
                 {"params": p["model"]}, batch["signal"], batch["signal_lengths"],
                 batch["token_ids"], batch["token_lengths"], train=True,
                 freeze_audio=freeze_audio, freeze_text=freeze_text, rngs=rngs)
-            loss, metrics = loss_module.apply({"params": p["loss"]}, a, t)
+            loss, metrics = loss_module.apply({"params": p["loss"]}, a, t, rows)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        batch_size = jnp.asarray(batch["signal"].shape[0], jnp.float32)
-        num_tokens = jnp.sum(batch["token_lengths"]).astype(jnp.float32)
+        batch_size = jnp.sum(rows)
+        num_tokens = jnp.sum(batch["token_lengths"] * rows).astype(jnp.float32)
         return loss, metrics, grads, batch_size, num_tokens
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -239,7 +277,8 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
         a, t = model.apply(
             {"params": params["model"]}, batch["signal"], batch["signal_lengths"],
             batch["token_ids"], batch["token_lengths"], train=False)
-        return loss_module.apply({"params": params["loss"]}, a, t)
+        return loss_module.apply({"params": params["loss"]}, a, t,
+                                 row_validity(batch))
 
     return grad_fn, update_fn, eval_fn
 
