@@ -15,10 +15,10 @@
 
 namespace {
 
-constexpr float kLog0 = -1e30f;
+constexpr double kLog0 = -1e30;
 constexpr double kLn10 = 2.302585092994046;
 
-inline float LogAdd(float a, float b) {
+inline double LogAdd(double a, double b) {
   if (a < b) std::swap(a, b);
   if (b <= kLog0 / 2) return a;
   return a + std::log1p(std::exp(b - a));
@@ -171,14 +171,14 @@ struct TrieNodeLM {
   int32_t parent;
   int32_t sym;
   int32_t n_words;
-  float lm_score;           // accumulated ln P of completed words
+  double lm_score;          // accumulated ln P of completed words
   std::vector<int32_t> ctx; // last (order-1) completed word ids
   std::string word;         // chars of the in-progress word
 };
 
 struct CandLM {
-  float p_b;
-  float p_nb;
+  double p_b;
+  double p_nb;
 };
 
 }  // namespace
@@ -196,7 +196,7 @@ extern "C" int64_t a8t_prefix_beam_search_lm(
   };
 
   std::vector<TrieNodeLM> trie;
-  trie.push_back({-1, -1, 0, 0.0f, {}, ""});
+  trie.push_back({-1, -1, 0, 0.0, {}, ""});
   std::unordered_map<int64_t, int32_t> children;
 
   auto child = [&](int32_t node, int32_t sym) -> int32_t {
@@ -239,10 +239,10 @@ extern "C" int64_t a8t_prefix_beam_search_lm(
   beams[0] = {0.0f, kLog0};
   const int64_t k = std::min<int64_t>(V, std::max<int64_t>(beam, 16));
   std::vector<int32_t> order(V);
-  std::vector<std::pair<float, int32_t>> scored;
+  std::vector<std::pair<double, int32_t>> scored;
   std::unordered_map<int32_t, CandLM> next;
 
-  auto rank = [&](int32_t node, const CandLM& c) -> float {
+  auto rank = [&](int32_t node, const CandLM& c) -> double {
     return LogAdd(c.p_b, c.p_nb) + alpha * trie[node].lm_score +
            beta * trie[node].n_words;
   };
@@ -254,14 +254,14 @@ extern "C" int64_t a8t_prefix_beam_search_lm(
                       [&](int32_t a, int32_t b) { return row[a] > row[b]; });
     next.clear();
     for (const auto& [node, cand] : beams) {
-      const float p_tot = LogAdd(cand.p_b, cand.p_nb);
+      const double p_tot = LogAdd(cand.p_b, cand.p_nb);
       const int32_t last = trie[node].sym;
       CandLM& nb = next.try_emplace(node, CandLM{kLog0, kLog0}).first->second;
       nb.p_b = LogAdd(nb.p_b, p_tot + row[blank]);
       for (int64_t i = 0; i < k; ++i) {
         const int32_t c = order[i];
         if (c == blank) continue;
-        const float p_sym = row[c];
+        const double p_sym = row[c];
         if (c == last) {
           CandLM& same = next.try_emplace(node, CandLM{kLog0, kLog0}).first->second;
           same.p_nb = LogAdd(same.p_nb, cand.p_nb + p_sym);

@@ -14,9 +14,9 @@
 
 namespace {
 
-constexpr float kLog0 = -1e30f;
+constexpr double kLog0 = -1e30;
 
-inline float LogAdd(float a, float b) {
+inline double LogAdd(double a, double b) {
   if (a < b) std::swap(a, b);
   if (b <= kLog0 / 2) return a;
   return a + std::log1p(std::exp(b - a));
@@ -29,8 +29,8 @@ struct TrieNode {
 };
 
 struct Cand {
-  float p_b;   // prob of prefix ending in blank
-  float p_nb;  // prob of prefix ending in non-blank
+  double p_b;   // prob of prefix ending in blank
+  double p_nb;  // prob of prefix ending in non-blank
 };
 
 }  // namespace
@@ -61,7 +61,7 @@ extern "C" int64_t a8t_prefix_beam_search(
 
   const int64_t k = std::min<int64_t>(V, std::max<int64_t>(beam, 16));
   std::vector<int32_t> order(V);
-  std::vector<std::pair<float, int32_t>> scored;
+  std::vector<std::pair<double, int32_t>> scored;
   std::unordered_map<int32_t, Cand> next;
 
   for (int64_t t = 0; t < T; ++t) {
@@ -73,7 +73,7 @@ extern "C" int64_t a8t_prefix_beam_search(
 
     next.clear();
     for (const auto& [node, cand] : beams) {
-      const float p_tot = LogAdd(cand.p_b, cand.p_nb);
+      const double p_tot = LogAdd(cand.p_b, cand.p_nb);
       const int32_t last = trie[node].sym;
       {  // blank extends the same prefix
         Cand& nb = next.try_emplace(node, Cand{kLog0, kLog0}).first->second;
@@ -82,7 +82,7 @@ extern "C" int64_t a8t_prefix_beam_search(
       for (int64_t i = 0; i < k; ++i) {
         const int32_t c = order[i];
         if (c == blank) continue;
-        const float p_sym = row[c];
+        const double p_sym = row[c];
         if (c == last) {
           // repeat collapses into the same prefix unless preceded by blank
           Cand& same = next.try_emplace(node, Cand{kLog0, kLog0}).first->second;
@@ -101,7 +101,7 @@ extern "C" int64_t a8t_prefix_beam_search(
     scored.clear();
     scored.reserve(next.size());
     for (const auto& [node, cand] : next) {
-      const float score =
+      const double score =
           LogAdd(cand.p_b, cand.p_nb) + beta * trie[node].n_words;
       scored.emplace_back(score, node);
     }

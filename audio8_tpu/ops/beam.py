@@ -29,6 +29,21 @@ def _logaddexp(a: float, b: float) -> float:
     return a + math.log1p(math.exp(b - a))
 
 
+def _n_words(prefix, space_idx) -> int:
+    """Completed (non-empty) words: spaces that terminate a word. Leading
+    or repeated spaces earn no insertion bonus (ctcdecode semantics; keeps
+    parity with csrc/arpa_lm.cc's n_words)."""
+    if space_idx is None:
+        return 0
+    n = 0
+    prev = space_idx
+    for s in prefix:
+        if s == space_idx and prev != space_idx:
+            n += 1
+        prev = s
+    return n
+
+
 def _load_lm(lm_file: str):
     """Prefer the native C++ ARPA LM; fall back to kenlm (if installed) or
     the pure-Python ARPA reader (audio8_tpu.ops.lm)."""
@@ -75,6 +90,13 @@ def _prefix_beam_search_py(
     beams = {(): [0.0, LOG0, 0.0]}
     k = min(V, max(beam, 16))
 
+    def set_lm(entry, value):
+        # a prefix reached from several parents in one timestep must carry
+        # ONE lm score; the writers agree by construction (same prefix =>
+        # same completed words), so keep the first and take max on repeats
+        # instead of blindly overwriting
+        entry[2] = value if entry[2] is None else max(entry[2], value)
+
     def word_ending_at(prefix) -> str:
         chars = []
         for s_id in reversed(prefix):
@@ -92,12 +114,12 @@ def _prefix_beam_search_py(
     for t in range(T):
         lp = log_probs[t]
         cand_syms = np.argpartition(-lp, k - 1)[:k]
-        next_beams: dict = defaultdict(lambda: [LOG0, LOG0, 0.0])
+        next_beams: dict = defaultdict(lambda: [LOG0, LOG0, None])
         for prefix, (p_b, p_nb, lm_sc) in beams.items():
             p_tot = _logaddexp(p_b, p_nb)
             nb = next_beams[prefix]
             nb[0] = _logaddexp(nb[0], p_tot + lp[blank])
-            nb[2] = lm_sc
+            set_lm(nb, lm_sc)
             last = prefix[-1] if prefix else None
             for c in cand_syms:
                 c = int(c)
@@ -110,7 +132,7 @@ def _prefix_beam_search_py(
                     new_prefix = prefix + (c,)
                     nb_new = next_beams[new_prefix]
                     nb_new[1] = _logaddexp(nb_new[1], p_b + p_sym)
-                    nb_new[2] = lm_sc
+                    set_lm(nb_new, lm_sc)
                 else:
                     new_prefix = prefix + (c,)
                     nb_new = next_beams[new_prefix]
@@ -123,12 +145,14 @@ def _prefix_beam_search_py(
                             ctx = context_words(prefix[: len(prefix) - len(word)])
                             new_lm = lm_sc + lm.logp(word, ctx)
                     nb_new[1] = _logaddexp(nb_new[1], p_tot + p_sym)
-                    nb_new[2] = new_lm
+                    set_lm(nb_new, new_lm)
         scored = []
-        for prefix, (p_b, p_nb, lm_sc) in next_beams.items():
-            n_words = (sum(1 for s_id in prefix if s_id == space_idx)
-                       if space_idx is not None else 0)
-            score = _logaddexp(p_b, p_nb) + alpha * lm_sc + beta * n_words
+        for prefix, entry in next_beams.items():
+            p_b, p_nb, lm_sc = entry
+            if lm_sc is None:
+                lm_sc = entry[2] = 0.0
+            score = (_logaddexp(p_b, p_nb) + alpha * lm_sc
+                     + beta * _n_words(prefix, space_idx))
             scored.append((score, prefix, [p_b, p_nb, lm_sc]))
         scored.sort(key=lambda x: -x[0])
         beams = {prefix: vals for _, prefix, vals in scored[:beam]}
@@ -136,8 +160,7 @@ def _prefix_beam_search_py(
         beams.items(),
         key=lambda kv: -(
             _logaddexp(kv[1][0], kv[1][1]) + alpha * kv[1][2]
-            + beta * (sum(1 for s_id in kv[0] if s_id == space_idx)
-                      if space_idx is not None else 0)
+            + beta * _n_words(kv[0], space_idx)
         ),
     )
     return [list(prefix) for prefix, _ in ranked]
@@ -158,6 +181,7 @@ class PrefixBeamSearch:
         self.alpha = alpha
         self.beta = beta
         self.blank = Offsets.GO
+        self._lm_file = lm_file
         self.lm = _load_lm(lm_file) if lm_file else None
         self._native = None
         try:
