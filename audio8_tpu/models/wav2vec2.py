@@ -65,7 +65,14 @@ class ConvFeatureExtractor(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 input_lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``input_lengths``: optional per-row valid sample counts. When
+        given, the block-0 GroupNorm computes statistics over valid frames
+        only, so a row's features are identical however much zero-padding
+        its batch carries (torch GroupNorm — and hence the reference, which
+        pads to batch max — lets padding shift the statistics; see
+        docs/PARITY.md)."""
         x = x[..., None].astype(self.dtype)  # (B, T, 1)
         for i, (dim, k, stride) in enumerate(self.conv_features):
             x = Conv1D(
@@ -75,10 +82,15 @@ class ConvFeatureExtractor(nn.Module):
             if self.dropout > 0:
                 x = Dropout(self.dropout)(x, deterministic=not train)
             if i == 0:
+                mask = None
+                if input_lengths is not None:
+                    valid = jnp.maximum(
+                        (input_lengths - k) // stride + 1, 0)
+                    mask = jnp.arange(x.shape[1])[None, :] < valid[:, None]
                 x = GroupNorm(
                     num_groups=dim, dtype=self.dtype, param_dtype=self.param_dtype,
                     name="norm_0",
-                )(x)
+                )(x, mask)
             x = gelu(x)
         return x
 
@@ -281,7 +293,7 @@ class Wav2Vec2Encoder(nn.Module):
 
     def __call__(self, x, input_lengths=None, train: bool = False):
         cfg = self.config
-        fx = self.feature_extractor(x, train)
+        fx = self.feature_extractor(x, train, input_lengths=input_lengths)
         if cfg.freeze_fx:
             fx = jax.lax.stop_gradient(fx)
         features = self.layer_norm(fx)

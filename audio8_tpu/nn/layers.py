@@ -15,7 +15,7 @@ Conventions are JAX-native:
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -147,16 +147,32 @@ class GroupNorm(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``mask``: optional (B, T) validity mask. When given, statistics
+        are computed over VALID frames only, making outputs independent of
+        zero-padding. (torch GroupNorm — and therefore the reference, which
+        feeds padded batches — includes padding in the statistics, so its
+        outputs change with batch composition; masked stats match the
+        exact-length forward instead. Deviation documented in
+        docs/PARITY.md.)"""
         b, t, c = x.shape
         scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
         g = self.num_groups
         x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
-        mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
+        if mask is None:
+            mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
+        else:
+            m = mask.astype(jnp.float32)[:, :, None, None]
+            count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0) * (c // g)
+            mean = jnp.sum(x32 * m, axis=(1, 3), keepdims=True) / count
+            var = jnp.sum(jnp.square((x32 - mean) * m), axis=(1, 3), keepdims=True) / count
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y.reshape(b, t, c)
+        if mask is not None:
+            y = y * mask.astype(jnp.float32)[:, :, None]
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 

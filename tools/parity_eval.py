@@ -1,0 +1,315 @@
+"""Real-checkpoint parity harness: fairseq wav2vec2 .pt vs the JAX model.
+
+Takes a fairseq CTC checkpoint and (optionally) a LibriSpeech-format
+manifest, converts the weights, and reports
+
+1. per-layer activation deltas between the torch replica
+   (audio8_tpu/models/torch_ref.py, the fairseq forward oracle) and the
+   JAX model with the SAME converted weights, on probe utterances;
+2. side-by-side greedy WER/CER over the manifest: the JAX eval pipeline
+   (cli/test.py equivalent) vs the torch replica on identical audio.
+
+Anchors: /root/reference/audio8/test.py:26-171 (eval pipeline),
+convert_wav2vec2_checkpoint.py:59-60 (all keys must map).
+
+One-command recipes:
+
+  # real checkpoint + LibriSpeech manifest
+  python tools/parity_eval.py --checkpoint wav2vec2_base_960h.pt \\
+      --root_dir /data/librispeech --valid_dataset dev-clean.tsv \\
+      --num_heads 12 --valid_steps 200
+
+  # no data needed: generate a synthetic checkpoint+corpus and run e2e
+  python tools/parity_eval.py --synthetic /tmp/parity_demo
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger("parity_eval")
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", help="fairseq .pt (CTC-finetuned)")
+    p.add_argument("--root_dir", help="manifest directory (LibriSpeech format)")
+    p.add_argument("--valid_dataset", help="e.g. dev-clean.tsv")
+    p.add_argument("--dict_file", default="dict.ltr.txt")
+    p.add_argument("--num_heads", type=int, default=12,
+                   help="attention heads (not recoverable from weights)")
+    p.add_argument("--sample_rate", type=int, default=16)
+    p.add_argument("--probe_utterances", type=int, default=3,
+                   help="utterances for per-layer activation deltas")
+    p.add_argument("--valid_steps", type=int, default=100,
+                   help="max eval batches for the WER comparison")
+    p.add_argument("--atol", type=float, default=5e-3,
+                   help="fail threshold for the worst activation delta")
+    p.add_argument("--synthetic", metavar="DIR",
+                   help="generate a synthetic checkpoint+corpus in DIR and "
+                        "run the full harness against it")
+    p.add_argument("--json_out", help="write the report as JSON here")
+    return p.parse_args(argv)
+
+
+def make_synthetic(outdir: str, d=64, h=4, l=2):
+    """Random fairseq-format CTC .pt + 6-utterance corpus."""
+    import torch
+    from scipy.io import wavfile
+
+    from audio8_tpu.models.torch_ref import make_fairseq_state
+
+    os.makedirs(os.path.join(outdir, "audio"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    words = ["CAT", "DOG", "GO ON", "HI", "SO SO", "NO WAY"]
+    letters = sorted(set("".join(w.replace(" ", "") for w in words)) | {"|"})
+    with open(os.path.join(outdir, "dict.ltr.txt"), "w") as df:
+        for ch in letters:
+            df.write(f"{ch} 1\n")
+    with open(os.path.join(outdir, "dev.tsv"), "w") as tf, \
+         open(os.path.join(outdir, "dev.ltr"), "w") as lf:
+        tf.write(os.path.join(outdir, "audio") + "\n")
+        for i, w in enumerate(words):
+            n = 8000 + 2000 * i
+            wavfile.write(os.path.join(outdir, "audio", f"u{i}.wav"), 16000,
+                          (rng.normal(size=n) * 5000).astype(np.int16))
+            tf.write(f"u{i}.wav\t{n}\n")
+            lf.write(" ".join(list(w.replace(" ", "|"))) + " |\n")
+
+    state = make_fairseq_state(rng, d=d, h=h, l=l,
+                               prefix="w2v_encoder.w2v_model.")
+    v = len(letters) + 4  # specials
+    # decisive head: random-but-flat log-probs would make greedy argmax
+    # flip on float noise, which is not what this harness measures
+    state["w2v_encoder.proj.weight"] = rng.normal(size=(v, d)).astype(np.float32)
+    state["w2v_encoder.proj.bias"] = rng.normal(size=v).astype(np.float32)
+    ckpt = os.path.join(outdir, "synthetic_ctc.pt")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(s))
+                          for k, s in state.items()}}, ckpt)
+    return ckpt
+
+
+def jax_taps(model, params, x):
+    """(name, activation) pairs from the JAX model matching torch_ref's tap
+    names, via flax capture_intermediates."""
+    import jax.numpy as jnp
+
+    out, mods = model.apply({"params": params}, jnp.asarray(x),
+                            capture_intermediates=True)
+    log_probs = np.asarray(out[0])
+    flat = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:
+            flat[path] = tree
+
+    walk(mods["intermediates"], ())
+    taps = {"log_probs": log_probs}
+    for path, val in flat.items():
+        name = "/".join(path)
+        arrs = val if isinstance(val, tuple) else (val,)
+        for i, layer_out in enumerate(p for p in arrs):
+            pass
+        # transformer layer outputs: .../transformer/layer_{i}/__call__
+        parts = [p for p in path if p.startswith("layer_")]
+        if parts and "__call__" in path:
+            out0 = arrs[0]
+            if isinstance(out0, tuple):
+                out0 = out0[0]
+            taps[parts[-1]] = np.asarray(out0, np.float32)
+    return taps
+
+
+def activation_deltas(state, model, params, probes, num_heads, fx):
+    from audio8_tpu.models.torch_ref import ctc_log_probs
+
+    rows = []
+    for x in probes:
+        t_taps: list = []
+        ctc_log_probs(state, x, num_heads=num_heads, fx=fx, taps=t_taps)
+        j_taps = jax_taps(model, params, x)
+        for name, t_val in t_taps:
+            if name not in j_taps:
+                continue
+            j_val = j_taps[name]
+            if j_val.shape != t_val.shape:
+                rows.append({"tap": name, "max_abs_delta": float("nan"),
+                             "note": f"shape {j_val.shape} vs {t_val.shape}"})
+                continue
+            rows.append({"tap": name,
+                         "max_abs_delta": float(np.abs(j_val - t_val).max())})
+    # worst delta per tap across probes
+    worst = {}
+    for r in rows:
+        w = worst.setdefault(r["tap"], r)
+        if r["max_abs_delta"] >= w["max_abs_delta"]:
+            worst[r["tap"]] = r
+    return list(worst.values())
+
+
+def wer_side_by_side(state, model, params, valid_set, index2vocab, num_heads,
+                     fx, valid_steps):
+    """Greedy WER/CER, JAX pipeline vs torch replica, same audio (B=1 rows
+    so the no-padding torch replica sees exact lengths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio8_tpu.models.torch_ref import ctc_log_probs
+    from audio8_tpu.ops import metrics as M
+
+    @jax.jit
+    def eval_fn(p, signal, lengths):
+        lp, pad_mask = model.apply({"params": p}, signal, lengths,
+                                   train=False, freeze=True)
+        return lp, jnp.sum(pad_mask, axis=-1)
+
+    acc = {"jax": [0, 0, 0, 0], "torch": [0, 0, 0, 0]}  # ce, ct, we, wt
+    n = 0
+    for batch in iter(valid_set):
+        if n >= valid_steps:
+            break
+        n_real = batch.get("num_real", len(batch["signal_lengths"]))
+        for i in range(n_real):
+            if n >= valid_steps:
+                break
+            n += 1
+            length = int(batch["signal_lengths"][i])
+            x = batch["signal"][i:i + 1]
+            gold = batch["token_ids"][i:i + 1]
+            lp_j, fl_j = eval_fn(params, jnp.asarray(x),
+                                 jnp.asarray([length], jnp.int32))
+            frames_j = np.argmax(np.asarray(lp_j), -1).astype(np.int32)
+            sm = M.ctc_metrics(frames_j, gold, np.asarray(fl_j), index2vocab)
+            for j, k in enumerate(["c_errors", "c_total", "w_errors", "w_total"]):
+                acc["jax"][j] += sm[k]
+            lp_t = ctc_log_probs(state, x[:, :length], num_heads=num_heads, fx=fx)
+            frames_t = np.argmax(lp_t, -1).astype(np.int32)
+            # score the replica over the same frame count the eval pipeline
+            # uses (the reference's reshape-all downsampling under-counts by
+            # up to one frame vs the exact conv output; parity means
+            # comparing like with like)
+            fl_t = min(int(np.asarray(fl_j)[0]), lp_t.shape[1])
+            sm = M.ctc_metrics(frames_t, gold,
+                               np.asarray([fl_t]), index2vocab)
+            for j, k in enumerate(["c_errors", "c_total", "w_errors", "w_total"]):
+                acc["torch"][j] += sm[k]
+    out = {}
+    for side, (ce, ct, we, wt) in acc.items():
+        out[side] = {"cer": 100.0 * ce / max(ct, 1),
+                     "wer": 100.0 * we / max(wt, 1), "utterances": n}
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s %(name)s: %(message)s")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from audio8_tpu.config import CONV_FEATURES, AcousticConfig
+    from audio8_tpu.data.datasets import AudioTextLetterDataset
+    from audio8_tpu.models.convert import convert_ctc_state, merge_params
+    from audio8_tpu.models.torch_ref import infer_dims
+    from audio8_tpu.models.text import TextVectorizer, read_vocab_list
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+    from audio8_tpu.utils import Offsets, revlut
+
+    Offsets.remap_fairseq_ctc()
+
+    if args.synthetic:
+        args.checkpoint = make_synthetic(args.synthetic)
+        args.root_dir = args.synthetic
+        args.valid_dataset = "dev.tsv"
+        args.num_heads = 4
+    if not args.checkpoint:
+        raise SystemExit("--checkpoint or --synthetic required")
+
+    raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+    state = {k: np.asarray(v) for k, v in raw["model"].items()}
+    dims = infer_dims(state, prefix="w2v_encoder.w2v_model.")
+    fx = CONV_FEATURES[args.sample_rate]
+    logger.info("checkpoint dims: %s", dims)
+
+    params, report = convert_ctc_state(state, num_layers=dims["num_layers"],
+                                       num_fx_layers=len(fx))
+    if report["missing"] or report["unexpected"]:
+        # the reference converter raises on unmapped keys
+        # (convert_wav2vec2_checkpoint.py:59-60)
+        raise SystemExit(f"unmapped keys: {report}")
+
+    cfg = AcousticConfig(
+        num_labels=dims["num_labels"], sample_rate=args.sample_rate,
+        d_model=dims["d_model"], num_heads=args.num_heads,
+        num_layers=dims["num_layers"], d_ff=dims["d_ff"],
+        dropout=0.0, timestep_masking=0.0, channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4000), jnp.float32))["params"]
+    params = merge_params(init, params)
+
+    # probe utterances: first N manifest files, else noise
+    probes = []
+    valid_set = None
+    index2vocab = None
+    if args.root_dir and args.valid_dataset:
+        vocab_list = read_vocab_list(os.path.join(args.root_dir, args.dict_file))
+        vocab = {v: i for i, v in enumerate(vocab_list)}
+        index2vocab = revlut(vocab)
+        valid_set = AudioTextLetterDataset(
+            os.path.join(args.root_dir, args.valid_dataset),
+            TextVectorizer(vocab), 320_000, shuffle=False, is_infinite=False,
+            pad_to_multiple=4000)
+        for b in iter(valid_set):
+            for i in range(b.get("num_real", 1)):
+                if len(probes) >= args.probe_utterances:
+                    break
+                length = int(b["signal_lengths"][i])
+                probes.append(b["signal"][i:i + 1, :length])
+            break
+    while len(probes) < args.probe_utterances:
+        rng = np.random.default_rng(len(probes))
+        probes.append(rng.normal(size=(1, 16000)).astype(np.float32))
+
+    deltas = activation_deltas(state, model, params, probes,
+                               args.num_heads, fx)
+    report_out = {"checkpoint": args.checkpoint, "dims": dims,
+                  "activation_deltas": deltas}
+    worst = max((d["max_abs_delta"] for d in deltas), default=float("nan"))
+    logger.info("per-layer activation deltas (worst over %d probes):",
+                len(probes))
+    for d in sorted(deltas, key=lambda r: r["tap"]):
+        logger.info("  %-16s max|Δ| = %.3e %s", d["tap"], d["max_abs_delta"],
+                    d.get("note", ""))
+
+    if valid_set is not None:
+        wers = wer_side_by_side(state, model, params, valid_set, index2vocab,
+                                args.num_heads, fx, args.valid_steps)
+        report_out["wer"] = wers
+        logger.info("greedy WER side-by-side: %s", json.dumps(wers))
+        dw = abs(wers["jax"]["wer"] - wers["torch"]["wer"])
+        report_out["wer_delta"] = dw
+
+    ok = np.isfinite(worst) and worst <= args.atol
+    report_out["ok"] = bool(ok and report_out.get("wer_delta", 0.0) < 0.5)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report_out, f, indent=2)
+    print(json.dumps({"ok": report_out["ok"], "worst_activation_delta": worst,
+                      "wer": report_out.get("wer")}))
+    return 0 if report_out["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
