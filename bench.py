@@ -1,16 +1,22 @@
-"""Benchmark: wav2vec2-base contrastive-pretraining train-step throughput.
+"""Benchmark: wav2vec2-base train-step throughput (pretrain + CTC).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_metrics"}.
 
-Metric is the north-star from BASELINE.md: audio-sec/sec/chip (RTFx) for
-wav2vec2-base pretraining (full fwd+bwd+update, bf16 compute / fp32
-params). ``vs_baseline`` is measured throughput divided by an estimated
-fairseq-on-A100 reference of 650 audio-sec/sec/chip, derived from the
-wav2vec 2.0 paper's published training budget (BASE: 64 V100s, 400k
-updates, ~1.6h-audio batches, ~1.6 days -> ~260 audio-sec/sec/V100; A100
-~2.5x V100 bf16 -> ~650). The BASELINE.json target of ">=2x A100" is
-vs_baseline >= 2.0.
+Headline metric is the north-star from BASELINE.md: audio-sec/sec/chip
+(RTFx) for wav2vec2-base contrastive pretraining (full fwd+bwd+update,
+bf16 compute / fp32 params). ``vs_baseline`` is measured throughput
+divided by an estimated fairseq-on-A100 reference of 650
+audio-sec/sec/chip, derived from the wav2vec 2.0 paper's published
+training budget (BASE: 64 V100s, 400k updates, ~1.6h-audio batches,
+~1.6 days -> ~260 audio-sec/sec/V100; A100 ~2.5x V100 bf16 -> ~650).
+The BASELINE.json target of ">=2x A100" is vs_baseline >= 2.0.
+
+``extra_metrics`` covers the CTC fine-tune recipe (train.py workload,
+docs/PERF.md §CTC): audio-sec/sec/chip with the encoder frozen and
+training. Select workloads with --workload {pretrain,ctc,all}.
 """
+import argparse
 import json
 import time
 
@@ -22,7 +28,7 @@ A100_BASELINE_AUDIO_SEC_PER_SEC = 650.0
 SAMPLE_RATE = 16_000
 
 
-def main():
+def bench_pretrain(n_steps: int = 20) -> float:
     from audio8_tpu.config import PretrainConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -45,7 +51,6 @@ def main():
     state = TrainState.create(params, tx)
     train_step, _ = make_pretrain_steps(model, tx, clip=1.0, n_negatives=100)
 
-    n_steps = 20
     # pre-split step keys so the timed loop is pure train-step dispatches
     keys = list(jax.random.split(jax.random.PRNGKey(7), n_steps + 1))
 
@@ -60,13 +65,82 @@ def main():
     elapsed = time.perf_counter() - start
 
     audio_sec_per_step = b * t / SAMPLE_RATE
-    n_chips = jax.device_count()
-    throughput = audio_sec_per_step * n_steps / elapsed / n_chips
+    return audio_sec_per_step * n_steps / elapsed / jax.device_count()
+
+
+def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
+    """CTC fine-tune step (train.py workload): wav2vec2-base + letter
+    head, 16 x 3s = 48 audio-sec/step (docs/PERF.md §CTC)."""
+    from audio8_tpu.config import AcousticConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_ctc_steps
+    from audio8_tpu.utils import Offsets
+
+    Offsets.remap_fairseq_ctc()
+    cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.1,
+                         timestep_masking=0.5, channel_masking=0.1)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
+    b, t, u = 16, 48_000, 64
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(rng.integers(4, 32, size=(b, u)), jnp.int32),
+        "token_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["signal"][:1],
+                        batch["signal_lengths"][:1])["params"]
+    tx = create_optimizer(create_lrs(1e-4, 1000, warmup_steps=10))
+    state = TrainState.create(params, tx)
+    grad_fn, update_fn, _ = make_ctc_steps(model, tx, clip=25.0)
+    step = grad_fn.train_step  # fused grad+update (driver grad_accum=1 path)
+
+    keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
+
+    state, loss, _, _ = step(state, batch, keys[-1], freeze=freeze)
+    np.asarray(loss)  # compile + host sync through the async relay
+
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, loss, _, _ = step(state, batch, keys[i], freeze=freeze)
+    np.asarray(loss)
+    elapsed = time.perf_counter() - start
+
+    return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=["pretrain", "ctc", "all"],
+                    default="all")
+    args = ap.parse_args()
+
+    extra = {}
+    if args.workload in ("ctc", "all"):
+        extra["ctc_finetune_frozen_throughput"] = round(bench_ctc(True), 2)
+        extra["ctc_finetune_throughput"] = round(bench_ctc(False), 2)
+        extra["ctc_unit"] = "audio-sec/sec/chip"
+
+    if args.workload == "ctc":
+        # headline stays the CTC training number in ctc-only mode
+        print(json.dumps({
+            "metric": "wav2vec2_base_ctc_finetune_throughput",
+            "value": extra["ctc_finetune_throughput"],
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": None,
+            "extra_metrics": extra,
+        }))
+        return
+
+    throughput = bench_pretrain()
     print(json.dumps({
         "metric": "wav2vec2_base_pretrain_throughput",
         "value": round(throughput, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(throughput / A100_BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "extra_metrics": extra,
     }))
 
 
