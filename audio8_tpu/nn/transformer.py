@@ -16,6 +16,7 @@ XLA on TPU:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -193,8 +194,19 @@ class MultiHeadAttention(nn.Module):
             and jax.default_backend() == "tpu"
         ):
             # Pallas flash-attention path (jax.experimental.pallas.ops.tpu).
-            # NOTE: skips attention-probability dropout — acceptable for this
-            # model family; disable `flash` for exact dropout semantics.
+            # The kernel has no attention-probability dropout; training a
+            # recipe that specifies it (wav2vec2-base uses 0.1) under flash
+            # CHANGES REGULARIZATION, not just speed — warn loudly once at
+            # trace time (see docs/PARITY.md).
+            if not deterministic and self.dropout_rate > 0:
+                import warnings
+
+                warnings.warn(
+                    "flash attention skips attention-prob dropout "
+                    f"(attention_dropout={self.dropout_rate}); training "
+                    "regularization differs from the reference — set "
+                    "flash=False for exact dropout semantics",
+                    stacklevel=2)
             out = self._flash(q, k, v, mask)
             out = out.transpose(0, 2, 1, 3).reshape(
                 out.shape[0], out.shape[2], -1)
@@ -223,7 +235,10 @@ class MultiHeadAttention(nn.Module):
             )
         if mask is not None:
             logits = jnp.where(mask, logits, NEG_INF)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if os.environ.get("A8T_EXP_BF16_SOFTMAX") == "1":  # perf experiment
+            probs = jax.nn.softmax(logits.astype(self.dtype), axis=-1)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = self.attn_dropout(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         if self.rpr_k is not None and self.rpr_value_on:
