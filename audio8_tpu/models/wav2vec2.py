@@ -227,6 +227,7 @@ class AudioTransformerEncoder(nn.Module):
     conv_pos_groups: int = 16
     layer_drop: float = 0.0
     flash_attention: bool = False
+    bf16_softmax: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -243,7 +244,8 @@ class AudioTransformerEncoder(nn.Module):
             num_layers=self.num_layers, d_ff=self.d_ff or 4 * self.d_model,
             dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
             activation="gelu", pre_norm=False,
-            layer_drop=self.layer_drop, flash=self.flash_attention, **dd,
+            layer_drop=self.layer_drop, flash=self.flash_attention,
+            bf16_softmax=self.bf16_softmax, **dd,
         )
 
     def __call__(self, x, pad_mask=None, train: bool = False):
@@ -284,7 +286,8 @@ class Wav2Vec2Encoder(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
+            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
+            bf16_softmax=cfg.bf16_softmax, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
@@ -411,7 +414,8 @@ class Wav2Vec2Model(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention, **dd)
+            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
+            bf16_softmax=cfg.bf16_softmax, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(

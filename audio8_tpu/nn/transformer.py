@@ -69,6 +69,9 @@ class MultiHeadAttention(nn.Module):
     rpr_value_on: bool = False
     dropout_rate: float = 0.0  # applied to attention probabilities
     flash: bool = False  # use the Pallas flash-attention kernel on TPU
+    # softmax over compute-dtype logits when dtype != f32 (+8% measured on
+    # the wav2vec2-base pretrain step); False = always-f32 softmax
+    bf16_softmax: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -235,7 +238,12 @@ class MultiHeadAttention(nn.Module):
             )
         if mask is not None:
             logits = jnp.where(mask, logits, NEG_INF)
-        if os.environ.get("A8T_EXP_BF16_SOFTMAX") == "1":  # perf experiment
+        if self.bf16_softmax and self.dtype != jnp.float32:
+            # softmax over compute-dtype logits: halves the HBM traffic of
+            # the (B, H, T, T) tensors — measured +8% on the wav2vec2-base
+            # pretrain step (docs/PERF.md). Only active under bf16 compute,
+            # where matmuls are already bf16-rounded; set
+            # bf16_softmax=False to keep the f32 softmax.
             probs = jax.nn.softmax(logits.astype(self.dtype), axis=-1)
         else:
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
@@ -287,6 +295,7 @@ class TransformerEncoderLayer(nn.Module):
     rpr_value_on: bool = False
     scale: bool = True
     flash: bool = False
+    bf16_softmax: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -303,6 +312,7 @@ class TransformerEncoderLayer(nn.Module):
             rpr_value_on=self.rpr_value_on,
             dropout_rate=attn_drop,
             flash=self.flash,
+            bf16_softmax=self.bf16_softmax,
             **dd,
         )
         self.ffn = FFN(
@@ -347,6 +357,7 @@ class TransformerEncoderStack(nn.Module):
     scale: bool = True
     layer_drop: float = 0.0
     flash: bool = False
+    bf16_softmax: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -367,6 +378,7 @@ class TransformerEncoderStack(nn.Module):
                 rpr_value_on=self.rpr_value_on,
                 scale=self.scale,
                 flash=self.flash,
+                bf16_softmax=self.bf16_softmax,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
