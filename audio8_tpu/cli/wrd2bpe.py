@@ -1,15 +1,35 @@
 """Re-tokenize .wrd transcript files to .bpe with a subword model.
 
-Equivalent of /root/reference/audio8/wrd2bpe.py: writes dict.bpe.txt and
-sibling .bpe files for the train/valid datasets.
+Same job and flag surface as /root/reference/audio8/wrd2bpe.py: write a
+``dict.bpe.txt`` covering the subword vocabulary, then emit a sibling
+``.bpe`` transcript next to each dataset's ``.wrd`` file.
 """
 from __future__ import annotations
 
 import os
 from argparse import ArgumentParser
+from typing import Iterator
 
 from audio8_tpu.models.text import BPEVectorizer
 from audio8_tpu.utils import revlut
+
+
+def retokenize_lines(lines, vec, i2w, lower: bool = False,
+                     split: str = " ") -> Iterator[str]:
+    """Map whitespace-split word lines to space-joined BPE piece lines."""
+    for line in lines:
+        text = line.strip()
+        if lower:
+            text = text.lower()
+        pieces = (i2w[piece_id] for piece_id in vec.run(text.split(split)))
+        yield " ".join(pieces)
+
+
+def write_bpe_dict(path: str, i2w) -> None:
+    """Dense id->piece listing; holes in the id space print as <unused>."""
+    with open(path, "w") as f:
+        f.writelines(i2w.get(i, "<unused>") + "\n"
+                     for i in range(max(i2w.keys())))
 
 
 def main(argv=None):
@@ -28,25 +48,17 @@ def main(argv=None):
     vec = BPEVectorizer(args.subword_model_file, args.subword_vocab_file,
                         args.emit_begin_tok, args.emit_end_tok)
     i2w = revlut(vec.vocab)
-    num_vocab = max(i2w.keys())
-    with open(os.path.join(args.root_dir, "dict.bpe.txt"), "w") as wf:
-        for i in range(num_vocab):
-            wf.write(i2w.get(i, "<unused>") + "\n")
+    write_bpe_dict(os.path.join(args.root_dir, "dict.bpe.txt"), i2w)
 
-    files = [os.path.join(args.root_dir, args.train_dataset),
-             os.path.join(args.root_dir, args.valid_dataset)]
-    input_files = [f.replace(".tsv", ".wrd") for f in files]
-    output_files = [f.replace(".wrd", ".bpe") for f in input_files]
-    for inf, outf in zip(input_files, output_files):
-        print(outf)
-        with open(inf) as rf, open(outf, "w") as wf:
-            for line in rf:
-                line = line.strip()
-                if args.lower:
-                    line = line.lower()
-                tok = line.split(args.split)
-                outline = " ".join(i2w[x] for x in vec.run(tok))
-                wf.write(outline + "\n")
+    for dataset in (args.train_dataset, args.valid_dataset):
+        wrd = os.path.join(args.root_dir, dataset).replace(".tsv", ".wrd")
+        bpe = wrd.replace(".wrd", ".bpe")
+        print(bpe)
+        with open(wrd) as rf, open(bpe, "w") as wf:
+            for out_line in retokenize_lines(rf, vec, i2w,
+                                             lower=args.lower,
+                                             split=args.split):
+                wf.write(out_line + "\n")
 
 
 if __name__ == "__main__":

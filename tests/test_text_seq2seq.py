@@ -123,3 +123,28 @@ def test_dual_encoder_and_clip_loss(rng):
     # temperature is learnable
     g = jax.grad(lambda lp: loss_m.apply(lp, a, t)[0])(lparams)
     assert abs(float(g["params"]["logit_scale"])) >= 0
+
+
+def test_wrd2bpe_cli(tmp_path):
+    """Drive the wrd2bpe re-tokenization tool end-to-end: .wrd transcripts
+    -> .bpe files + dict.bpe.txt (reference wrd2bpe.py surface)."""
+    from audio8_tpu.cli.wrd2bpe import main
+
+    codes = tmp_path / "codes.txt"
+    codes.write_text("#version: 0.2\nh e\nhe l\nl o\nlo </w>\n")
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("hel@@ 10\nlo 9\nhe 8\n")
+    for split in ["train", "valid"]:
+        (tmp_path / f"{split}.tsv").write_text("unused\n")
+        (tmp_path / f"{split}.wrd").write_text("hello lo\nhe hello\n")
+
+    main(["--root_dir", str(tmp_path),
+          "--train_dataset", "train.tsv", "--valid_dataset", "valid.tsv",
+          "--subword_model_file", str(codes),
+          "--subword_vocab_file", str(vocab)])
+
+    assert (tmp_path / "dict.bpe.txt").exists()
+    out = (tmp_path / "train.bpe").read_text().splitlines()
+    assert out[0] == "hel@@ lo lo"
+    assert out[1] == "he hel@@ lo"
+    assert (tmp_path / "valid.bpe").read_text() == (tmp_path / "train.bpe").read_text()
