@@ -23,7 +23,15 @@ def setup(distributed: bool = False) -> Tuple[int, int]:
     process_count). Replaces init_distributed/NCCL
     (/root/reference/audio8/train.py:141; SURVEY.md §2.7)."""
     if distributed and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # explicit bootstrap for generic launchers; bare initialize() only
+        # auto-detects TPU pods / Slurm / Open MPI
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
     elif distributed and jax.process_count() == 1 and jax.device_count() == 1:
         logger.warning("--distributed requested but only one device/process "
                        "is visible; training proceeds single-device")

@@ -164,7 +164,8 @@ def train(argv=None):
                         float(metrics["temperature"]),
                         float(metrics["code_perplexity"]),
                         float(metrics["accuracy"]))
-        if (steps + 1) % update_on == 0 and rank == 0:
+        if (steps + 1) % update_on == 0:
+            # collective: orbax synchronizes processes inside save
             save_checkpoint(state, model_base, steps, tick_type="step")
         if (steps + 1) % validate_on == 0:
             # all processes participate (mesh computation); rank 0 logs

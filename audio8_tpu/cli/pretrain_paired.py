@@ -233,7 +233,8 @@ def train(argv=None):
                     if rank == 0:
                         logger.info({"average_valid_loss": avg_valid.avg,
                                      "valid_accuracy": accs.avg})
-                        save_checkpoint(state, model_base, gstep, tick_type="step")
+                    # collective: orbax synchronizes processes inside save
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
         except StopIteration:
             raise
         except Exception as e:

@@ -242,8 +242,11 @@ def train(argv=None):
                         batch_size_toks.avg * sps * 60)
 
                 if gstep % validate_on == 0:
-                    # validation is a mesh computation, so every process
-                    # participates; only rank 0 logs and checkpoints
+                    # validation and checkpointing are COLLECTIVE: every
+                    # process runs the mesh computation and calls the
+                    # (orbax-synchronized) save; only rank 0 logs. The
+                    # validation metrics are globally reduced, so the
+                    # best-metric decision is identical on every process.
                     metrics = {"average_train_loss": avg_loss.avg}
                     valid_metrics = validate(
                         model, eval_fn, state.params, valid_set, index2vocab,
@@ -252,13 +255,13 @@ def train(argv=None):
                     if rank == 0:
                         logger.info(metrics)
                         logger.info(valid_metrics)
-                        save_checkpoint(state, model_base, gstep, tick_type="step")
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
                     esm = args.early_stopping_metric
                     if esm and valid_metrics.get(esm, 1e9) < best_metric:
                         best_metric = valid_metrics[esm]
                         if rank == 0:
                             logger.info("New best metric %.4f", best_metric)
-                            save_checkpoint(state, model_base, 0, tick_type="best")
+                        save_checkpoint(state, model_base, 0, tick_type="best")
         except StopIteration:
             raise
         except Exception as e:
@@ -307,14 +310,21 @@ def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
             c_total += sm["c_total"]
             w_total += sm["w_total"]
             avg_valid_loss.update(float(loss))
-            vm = {
-                "average_valid_loss": avg_valid_loss.avg,
-                "valid_elapsed_epoch": time.time() - valid_start,
-                "cer": (c_errors / max(c_total, 1)) * 100,
-                "wer": (w_errors / max(w_total, 1)) * 100,
-            }
         except Exception as e:
             logger.exception("valid step failed: %s", e)
+    # under multi-host each process scored its own row block; reduce to
+    # GLOBAL error counts so every process reports (and early-stops on)
+    # the same numbers
+    from audio8_tpu.parallel.sharding import global_sum_scalars
+
+    c_errors, c_total, w_errors, w_total = global_sum_scalars(
+        [c_errors, c_total, w_errors, w_total])
+    vm = {
+        "average_valid_loss": avg_valid_loss.avg,
+        "valid_elapsed_epoch": time.time() - valid_start,
+        "cer": (c_errors / max(c_total, 1)) * 100,
+        "wer": (w_errors / max(w_total, 1)) * 100,
+    }
     return vm
 
 

@@ -194,18 +194,20 @@ def train(argv=None):
                     logger.info("%s, steps/min %.2f, LR %.6f", avg_loss,
                                 60.0 / step_time.avg, float(state.current_lr or -1))
                 if gstep % validate_on == 0:
+                    # validation + checkpointing are collective (see
+                    # cli/train.py); metrics are globally reduced so the
+                    # best-metric decision matches on every process
                     vm = validate(state.params, valid_set, decode_fn, eval_loss_fn,
                                   index2vocab, args.valid_steps, postproc,
                                   args.verbose and rank == 0, mesh)
                     if rank == 0:
                         logger.info({"average_train_loss": avg_loss.avg})
                         logger.info(vm)
-                        save_checkpoint(state, model_base, gstep, tick_type="step")
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
                     esm = args.early_stopping_metric
                     if esm and vm.get(esm, 1e9) < best_metric:
                         best_metric = vm[esm]
-                        if rank == 0:
-                            save_checkpoint(state, model_base, 0, tick_type="best")
+                        save_checkpoint(state, model_base, 0, tick_type="best")
         except StopIteration:
             raise
         except Exception as e:
@@ -258,13 +260,17 @@ def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
             c_total += sm["c_total"]
             w_total += sm["w_total"]
             avg_valid_loss.update(float(loss))
-            vm = {
-                "average_valid_loss": avg_valid_loss.avg,
-                "cer": (c_errors / max(c_total, 1)) * 100,
-                "wer": (w_errors / max(w_total, 1)) * 100,
-            }
         except Exception as e:
             logger.exception("valid step failed: %s", e)
+    from audio8_tpu.parallel.sharding import global_sum_scalars
+
+    c_errors, c_total, w_errors, w_total = global_sum_scalars(
+        [c_errors, c_total, w_errors, w_total])
+    vm = {
+        "average_valid_loss": avg_valid_loss.avg,
+        "cer": (c_errors / max(c_total, 1)) * 100,
+        "wer": (w_errors / max(w_total, 1)) * 100,
+    }
     return vm
 
 

@@ -150,11 +150,25 @@ def put_batch(batch: dict, mesh: Mesh) -> dict:
             for k, v in arrays.items()}
 
 
+def global_sum_scalars(values) -> np.ndarray:
+    """Sum a small host array across processes (validation counters).
+    Identity in single-process mode; a collective otherwise — every
+    process must call it."""
+    values = np.asarray(values)
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return np.sum(multihost_utils.process_allgather(values), axis=0)
+
+
 def to_host(x) -> np.ndarray:
     """Fetch an array to host numpy, all-gathering first if it is not fully
     addressable (multi-host shard of a global batch)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
 
-        x = multihost_utils.process_allgather(x)
+        # tiled: concatenate the per-process shards along axis 0, giving
+        # the global array in row order
+        x = multihost_utils.process_allgather(x, tiled=True)
     return np.asarray(x)

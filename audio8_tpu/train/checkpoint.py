@@ -23,7 +23,11 @@ def _ckpt_name(base: str, step: int, tick_type: str = "step") -> str:
 
 
 def save_checkpoint(state: Any, base: str, step: int, tick_type: str = "step") -> str:
-    """Save a pytree (TrainState or params) to ``{base}-{tick_type}-{step}``."""
+    """Save a pytree (TrainState or params) to ``{base}-{tick_type}-{step}``.
+
+    COLLECTIVE under multi-host: orbax synchronizes processes inside
+    ``save``, so every process must call this (orbax writes from the
+    primary host only)."""
     path = os.path.abspath(_ckpt_name(base, step, tick_type))
     ckptr = ocp.StandardCheckpointer()
     # host-gather before save keeps this single-controller simple
