@@ -14,6 +14,7 @@ Conventions are JAX-native:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional
 
@@ -22,6 +23,61 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def _conv1d_nwc(x, kernel, stride, padding, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=groups)
+
+
+def _grouped_conv1d_split(x, kernel, stride, padding, groups):
+    """Grouped conv as an unrolled loop of dense (G=1) convs — numerically
+    identical to ``feature_group_count=groups`` but avoids XLA's grouped-conv
+    weight-gradient partitioning (see grouped_conv1d)."""
+    ci = x.shape[-1] // groups
+    co = kernel.shape[-1] // groups
+    outs = [
+        _conv1d_nwc(x[..., g * ci:(g + 1) * ci],
+                    kernel[:, :, g * co:(g + 1) * co], stride, padding)
+        for g in range(groups)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grouped_conv1d(x, kernel, stride, padding, groups):
+    """Grouped 1-D conv with a partitioner-safe gradient.
+
+    XLA's SPMD partitioner (jax/jaxlib 0.9.0) miscomputes the weight
+    gradient of a ``feature_group_count > 1`` convolution when the inputs
+    are batch-sharded over one axis of a multi-axis mesh and the kernel is
+    replicated: the per-shard partial wgrads are summed over the *unused*
+    mesh axis too, scaling dW by exactly that axis's size (2x on a
+    ('data', 'model')=(4, 2) mesh; minimal repro in
+    tests/test_grouped_conv_mesh.py). The forward pass and the data
+    gradient are unaffected.
+
+    This wrapper keeps the fast fused grouped conv for the forward pass and
+    computes the backward pass through an unrolled per-group formulation
+    whose gradients XLA partitions correctly.
+    """
+    return _conv1d_nwc(x, kernel, stride, padding, groups)
+
+
+def _grouped_conv1d_fwd(x, kernel, stride, padding, groups):
+    return grouped_conv1d(x, kernel, stride, padding, groups), (x, kernel)
+
+
+def _grouped_conv1d_bwd(stride, padding, groups, res, dy):
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda xx, kk: _grouped_conv1d_split(xx, kk, stride, padding, groups),
+        x, kernel)
+    return vjp(dy)
+
+
+grouped_conv1d.defvjp(_grouped_conv1d_fwd, _grouped_conv1d_bwd)
 
 # torch.nn.GELU defaults to the exact erf form; jax.nn.gelu defaults to the
 # tanh approximation, so pin the exact form for numerical parity.
@@ -97,15 +153,13 @@ class Conv1D(nn.Module):
         if isinstance(self.padding, str):
             padding = self.padding
         else:
-            padding = [tuple(self.padding)]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=padding,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
-        )
+            padding = (tuple(self.padding),)
+        if self.groups > 1:
+            y = grouped_conv1d(x.astype(self.dtype), kernel.astype(self.dtype),
+                               self.stride, padding, self.groups)
+        else:
+            y = _conv1d_nwc(x.astype(self.dtype), kernel.astype(self.dtype),
+                            self.stride, padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
@@ -228,14 +282,8 @@ class PositionalConv(nn.Module):
         kernel = (g.astype(jnp.float32) * v32 / (norm + 1e-12)).astype(self.dtype)
 
         pad = self.kernel_size // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel,
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
-        )
+        y = grouped_conv1d(x.astype(self.dtype), kernel,
+                           1, ((pad, pad),), self.groups)
         if self.kernel_size % 2 == 0:
             y = y[:, :-1, :]
         y = y + bias.astype(self.dtype)

@@ -68,16 +68,17 @@ train([
     # equality this test is about (gradient equivalence across meshes)
     "--optim", "sgd",
     "--lr", "0.05",
-])
+] + {extra!r})
 """
 
 
-def _run_train(basedir, root, n_devices):
+def _run_train(basedir, root, n_devices, extra=()):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
-    code = TRAIN_SNIPPET.format(basedir=str(basedir), root=str(root))
+    code = TRAIN_SNIPPET.format(basedir=str(basedir), root=str(root),
+                                extra=list(extra))
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
@@ -99,6 +100,27 @@ def test_driver_numerics_match_across_device_counts(tmp_path):
     assert tree1 == tree8
     for l1, l8 in zip(leaves1, leaves8):
         np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_driver_tensor_parallel_matches_single_device(tmp_path):
+    """`--tensor_parallel 2` through the REAL cli.train loop on a 4x2 mesh
+    must reproduce single-device numerics (Megatron split changes the
+    reduction layout, not the math)."""
+    corpus = make_corpus(tmp_path)
+    _run_train(tmp_path / "run1", corpus, 1)
+    _run_train(tmp_path / "run8tp", corpus, 8, extra=["--tensor_parallel", "2"])
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    s1 = ckptr.restore(str(tmp_path / "run1" / "checkpoint-step-4"))
+    stp = ckptr.restore(str(tmp_path / "run8tp" / "checkpoint-step-4"))
+    leaves1, tree1 = __import__("jax").tree_util.tree_flatten(s1["params"])
+    leavestp, treetp = __import__("jax").tree_util.tree_flatten(stp["params"])
+    assert tree1 == treetp
+    for l1, ltp in zip(leaves1, leavestp):
+        np.testing.assert_allclose(l1, ltp, rtol=1e-4, atol=1e-6)
 
 
 # ------------------------------------------------------- dataset contracts
