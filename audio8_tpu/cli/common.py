@@ -9,6 +9,7 @@ import jax
 import numpy as np
 
 from audio8_tpu.models.convert import load_fairseq_bin, merge_params
+from audio8_tpu.utils import str2bool
 from audio8_tpu.train.checkpoint import (
     find_latest_checkpoint,
     load_checkpoint,
@@ -158,6 +159,10 @@ def add_common_model_args(parser):
                         help="devices on the 'model' mesh axis (Megatron-"
                              "style TP over the transformer); the rest go "
                              "to 'data'")
+    parser.add_argument("--zero1", type=str2bool, default=False,
+                        help="ZeRO-1: shard AdamW moments over the 'data' "
+                             "mesh axis (params stay per the TP/DP rules); "
+                             "cuts optimizer HBM by the DP extent")
     parser.add_argument("--d_model", type=int, default=768)
     parser.add_argument("--d_ff", type=int, default=3072)
     parser.add_argument("--num_heads", type=int, default=12)

@@ -176,7 +176,7 @@ def train(argv=None):
         args.restart_from, init_params, template)
     if state is None:
         state = TrainState.create(init_params, tx, step=global_step)
-    state = shard_state(state, mesh, rules)
+    state = shard_state(state, mesh, rules, zero1=args.zero1)
 
     grad_fn, update_fn, eval_fn = make_paired_steps(model, loss_module, tx,
                                                     clip=args.clip)

@@ -163,7 +163,7 @@ def train(argv=None):
         state = TrainState.create(params, tx, step=global_step)
     # place params + optimizer state on the mesh (replicated under pure DP,
     # Megatron-split under TP); every step below runs through the mesh
-    state = shard_state(state, mesh, rules)
+    state = shard_state(state, mesh, rules, zero1=args.zero1)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 

@@ -137,6 +137,10 @@ class Conv1D(nn.Module):
     use_bias: bool = False
     groups: int = 1
     padding: Any = "VALID"  # int pair, 'VALID', or 'SAME'
+    # Opt-in Pallas phase-decomposition kernel for k=3/s=2 layers. Measured
+    # SLOWER than XLA's conv lowering (docs/PERF.md ablations: 8.0 vs 3.4 ms
+    # chain fwd), kept as a tested ablation like the fused AdamW kernel.
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     kernel_init: Any = _kaiming_conv_init
@@ -154,9 +158,17 @@ class Conv1D(nn.Module):
             padding = self.padding
         else:
             padding = (tuple(self.padding),)
+        use_pallas = False
+        if self.use_pallas:
+            from audio8_tpu.ops.pallas.conv_kernel import supported
+            use_pallas = supported(x.shape, self.kernel_size, self.stride,
+                                   self.padding, self.groups, self.dtype)
         if self.groups > 1:
             y = grouped_conv1d(x.astype(self.dtype), kernel.astype(self.dtype),
                                self.stride, padding, self.groups)
+        elif use_pallas:
+            from audio8_tpu.ops.pallas.conv_kernel import conv1d_k3s2
+            y = conv1d_k3s2(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
             y = _conv1d_nwc(x.astype(self.dtype), kernel.astype(self.dtype),
                             self.stride, padding)

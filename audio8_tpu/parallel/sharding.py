@@ -123,12 +123,62 @@ def shard_params(params: Any, mesh: Mesh,
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+_MOMENT_RE = re.compile(r"\.(mu|nu)/")
+
+
+def zero1_spec(leaf, mesh: Mesh) -> P:
+    """ZeRO-1 spec for an optimizer-moment leaf: shard the first axis the
+    'data' extent divides; replicate otherwise (tiny/odd leaves)."""
+    n = mesh.shape["data"]
+    for d in range(leaf.ndim):
+        if leaf.shape[d] % n == 0 and leaf.shape[d] >= n:
+            return P(*([None] * d + ["data"]))
+    return P()
+
+
+def zero1_shardings(state: Any, mesh: Mesh,
+                    rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+    """Sharding tree for a TrainState with ZeRO-1 optimizer-state
+    partitioning: params follow ``rules`` (replicated under DP, Megatron
+    split under TP), AdamW moments (mu/nu) shard over the 'data' axis.
+
+    The reference has no equivalent (plain DDP replicates moments per GPU,
+    /root/reference/audio8/train.py:266-268); this is the TPU-native
+    optional extension called out in SURVEY.md §2.6. XLA turns the update
+    into a reduce-scattered/sharded AdamW step followed by an all-gather of
+    the param deltas over ICI — moments never materialize replicated, a
+    ~2/3 cut of optimizer HBM at wav2vec2-base scale."""
+
+    def one(path, leaf):
+        pstr = _path_str(path)
+        if _MOMENT_RE.search(pstr):
+            return NamedSharding(mesh, zero1_spec(leaf, mesh))
+        spec = _spec_for(pstr, rules)
+        fixed = []
+        for d, axis in enumerate(spec):
+            if axis is not None and d < leaf.ndim and leaf.shape[d] % mesh.shape[axis] == 0:
+                fixed.append(axis)
+            else:
+                fixed.append(None)
+        if len(fixed) < leaf.ndim:
+            fixed += [None] * (leaf.ndim - len(fixed))
+        return NamedSharding(mesh, P(*fixed[: leaf.ndim]))
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
 def shard_state(state: Any, mesh: Mesh,
-                rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+                rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES,
+                zero1: bool = False) -> Any:
     """Place a full TrainState (params + optimizer moments + step) onto the
     mesh. The path rules match optimizer-moment leaves too because their
     paths end with the same param path (``.*`` rule prefixes), so TP moments
-    shard like their params; scalars fall back to replication."""
+    shard like their params; scalars fall back to replication. With
+    ``zero1=True`` the AdamW moments additionally shard over 'data'
+    (see zero1_shardings)."""
+    if zero1:
+        shardings = zero1_shardings(state, mesh, rules)
+        return jax.tree_util.tree_map(jax.device_put, state, shardings)
     return shard_params(state, mesh, rules)
 
 
