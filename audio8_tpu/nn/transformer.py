@@ -230,20 +230,27 @@ class MultiHeadAttention(nn.Module):
             mask = valid if mask is None else jnp.logical_and(mask, valid)
             q_offset = cache_index
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        # bf16 softmax path: keep the (B, H, T, T) logits in compute dtype
+        # end-to-end — the MXU still accumulates f32 internally, only the
+        # HBM materialization is bf16, halving the traffic of the largest
+        # attention tensors (measured +8% on the wav2vec2-base pretrain
+        # step as f32-store/bf16-softmax; storing bf16 removes the other
+        # f32 copy too, docs/PERF.md). rpr adds logits tensors, so that
+        # path keeps f32 accumulation for parity with the text models.
+        bf16_sm = (self.bf16_softmax and self.dtype != jnp.float32
+                   and self.rpr_k is None)
+        acc_t = self.dtype if bf16_sm else jnp.float32
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_t)
         if self.rpr_k is not None:
             rel = self.rpr_key_emb(self._rel_ids(q.shape[2], k.shape[2], q_offset))
             logits = logits + jnp.einsum(
                 "bhqd,qkd->bhqk", q, rel, preferred_element_type=jnp.float32
             )
         if mask is not None:
-            logits = jnp.where(mask, logits, NEG_INF)
-        if self.bf16_softmax and self.dtype != jnp.float32:
-            # softmax over compute-dtype logits: halves the HBM traffic of
-            # the (B, H, T, T) tensors — measured +8% on the wav2vec2-base
-            # pretrain step (docs/PERF.md). Only active under bf16 compute,
-            # where matmuls are already bf16-rounded; set
-            # bf16_softmax=False to keep the f32 softmax.
+            logits = jnp.where(mask, logits, jnp.asarray(NEG_INF, logits.dtype))
+        if bf16_sm:
+            probs = jax.nn.softmax(logits, axis=-1)
+        elif self.bf16_softmax and self.dtype != jnp.float32:
             probs = jax.nn.softmax(logits.astype(self.dtype), axis=-1)
         else:
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
