@@ -5,7 +5,7 @@ contrastive pretraining, CTC fine-tuning + decoding, seq2seq ASR, and
 paired audio<->text pretraining. See README.md and docs/PARITY.md.
 """
 
-__version__ = "0.1.0"
+from audio8_tpu.version import __version__  # noqa: F401
 
 from audio8_tpu import config
 from audio8_tpu.utils import Average, Offsets, revlut, str2bool

@@ -220,6 +220,50 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _group_norm_affine(x, scale, bias, num_groups, eps):
+    """GroupNorm with an algebraic backward pass.
+
+    XLA's autodiff of the two-pass mean/var formulation walks the (B, T, C)
+    activation several extra times; the closed-form LayerNorm-style
+    gradient (dx = rstd * (g - E[g] - xhat * E[g xhat])) measures
+    2.52 -> 1.80 ms f+b at the wav2vec2 block-0 shape (tools/exp_micro.py).
+    Forward uses E[x^2] - E[x]^2 in f32 (one fused read)."""
+    return _group_norm_fwd(x, scale, bias, num_groups, eps)[0]
+
+
+def _group_norm_fwd(x, scale, bias, num_groups, eps):
+    b, t, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    ex2 = jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = ((x32 - mean) * rstd).reshape(b, t, c)
+    out = xhat * scale + bias
+    return out.astype(x.dtype), (x, mean, rstd, scale)
+
+
+def _group_norm_bwd(num_groups, eps, res, dy):
+    x, mean, rstd, scale = res
+    b, t, c = x.shape
+    g = num_groups
+    dy32 = dy.astype(jnp.float32)
+    xhat = ((x.astype(jnp.float32).reshape(b, t, g, c // g) - mean) * rstd
+            ).reshape(b, t, c)
+    dscale = jnp.sum(dy32 * xhat, axis=(0, 1))
+    dbias = jnp.sum(dy32, axis=(0, 1))
+    gg = (dy32 * scale).reshape(b, t, g, c // g)
+    xh = xhat.reshape(b, t, g, c // g)
+    dx = rstd * (gg - jnp.mean(gg, axis=(1, 3), keepdims=True)
+                 - xh * jnp.mean(gg * xh, axis=(1, 3), keepdims=True))
+    return dx.reshape(b, t, c).astype(x.dtype), dscale, dbias
+
+
+_group_norm_affine.defvjp(_group_norm_fwd, _group_norm_bwd)
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over ``(B, T, C)`` with torch semantics (normalize over
     (T, channels-in-group); eps 1e-5).
@@ -248,19 +292,19 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones_init(), (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), self.param_dtype)
         g = self.num_groups
-        x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
         if mask is None:
-            mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-            var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
-        else:
-            m = mask.astype(jnp.float32)[:, :, None, None]
-            count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0) * (c // g)
-            mean = jnp.sum(x32 * m, axis=(1, 3), keepdims=True) / count
-            var = jnp.sum(jnp.square((x32 - mean) * m), axis=(1, 3), keepdims=True) / count
+            # fast path: fused fwd + algebraic custom-VJP backward
+            y = _group_norm_affine(x, scale.astype(jnp.float32),
+                                   bias.astype(jnp.float32), g, self.epsilon)
+            return y.astype(self.dtype)
+        x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
+        m = mask.astype(jnp.float32)[:, :, None, None]
+        count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0) * (c // g)
+        mean = jnp.sum(x32 * m, axis=(1, 3), keepdims=True) / count
+        var = jnp.sum(jnp.square((x32 - mean) * m), axis=(1, 3), keepdims=True) / count
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y.reshape(b, t, c)
-        if mask is not None:
-            y = y * mask.astype(jnp.float32)[:, :, None]
+        y = y * mask.astype(jnp.float32)[:, :, None]
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 
