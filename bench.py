@@ -111,13 +111,63 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
     return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
 
 
+def bench_decode(n_steps: int = 50) -> float:
+    """Serving workload: batched greedy-CTC inference RTFx (audio-sec of
+    input decoded per wall-clock second per chip). Uses the same eval path
+    as cli/test.py: full acoustic forward + per-frame argmax on device."""
+    from audio8_tpu.config import AcousticConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+    from audio8_tpu.train.optim import create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_ctc_steps
+    from audio8_tpu.utils import Offsets
+
+    Offsets.remap_fairseq_ctc()
+    cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.0,
+                         timestep_masking=0.0, channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
+    b, t, u = 16, 48_000, 64
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(rng.integers(4, 32, size=(b, u)), jnp.int32),
+        "token_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["signal"][:1],
+                        batch["signal_lengths"][:1])["params"]
+    tx = create_optimizer(create_lrs(1e-4, 10, warmup_steps=1))
+    _, _, eval_fn = make_ctc_steps(model, tx)
+
+    loss, frames, frame_lengths = eval_fn(params, batch)
+    np.asarray(loss)  # compile + host sync
+
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        loss, frames, frame_lengths = eval_fn(params, batch)
+    np.asarray(loss)
+    elapsed = time.perf_counter() - start
+    return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["pretrain", "ctc", "all"],
+    ap.add_argument("--workload", choices=["pretrain", "ctc", "decode", "all"],
                     default="all")
     args = ap.parse_args()
 
     extra = {}
+    if args.workload in ("decode", "all"):
+        extra["greedy_decode_rtfx"] = round(bench_decode(), 2)
+    if args.workload == "decode":
+        print(json.dumps({
+            "metric": "wav2vec2_base_greedy_decode_rtfx",
+            "value": extra["greedy_decode_rtfx"],
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": None,
+            "extra_metrics": extra,
+        }))
+        return
     if args.workload in ("ctc", "all"):
         extra["ctc_finetune_frozen_throughput"] = round(bench_ctc(True), 2)
         extra["ctc_finetune_throughput"] = round(bench_ctc(False), 2)
