@@ -8,6 +8,8 @@ bernoulli path so CPU tests keep exact flax semantics.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +33,30 @@ def _hash_keep_mask(shape, rate: float, seed: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> 16)
     threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     return x >= threshold
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _hash_dropout(x, rate: float, seed):
+    """Hash dropout with a recompute-backward: the keep mask is a pure
+    function of (element index, seed), so the VJP regenerates it from the
+    scalar seed instead of storing a (B, H, T, T)-sized mask residual.
+    Measured perf-neutral on the pretrain bench (XLA's fusion already
+    rematerializes the hash in the backward pass) — kept as an explicit
+    guarantee so the residual can't silently reappear."""
+    keep = _hash_keep_mask(x.shape, rate, seed)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def _hash_dropout_fwd(x, rate, seed):
+    return _hash_dropout(x, rate, seed), seed
+
+
+def _hash_dropout_bwd(rate, seed, dy):
+    keep = _hash_keep_mask(dy.shape, rate, seed)
+    return jnp.where(keep, dy / (1.0 - rate), 0), None
+
+
+_hash_dropout.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
 
 
 # 'hash' is the default: on v5e it cuts the wav2vec2-base pretrain step
@@ -72,7 +98,6 @@ class Dropout(nn.Module):
         impl = _DEFAULT_IMPL if self.impl == "default" else self.impl
         if impl == "hash":
             seed = jax.random.randint(key, (), -(2 ** 31), 2 ** 31 - 1, jnp.int32)
-            keep = _hash_keep_mask(x.shape, self.rate, seed)
-        else:
-            keep = jax.random.bernoulli(key, 1.0 - self.rate, x.shape)
+            return _hash_dropout(x, self.rate, seed)
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, x.shape)
         return jnp.where(keep, x / (1.0 - self.rate), 0)
