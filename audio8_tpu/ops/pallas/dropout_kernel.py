@@ -78,8 +78,9 @@ _dropout_p.defvjp(_dropout_fwd, _dropout_bwd)
 
 
 def fast_dropout(x: jnp.ndarray, rate: float, key: jax.Array) -> jnp.ndarray:
-    """Dropout with TPU hardware PRNG; falls back to interpret mode off-TPU
-    (tests); gradient regenerates the mask — zero residual memory."""
+    """Dropout with TPU hardware PRNG; TPU-only (pltpu.prng_seed has no
+    CPU interpret lowering — callers gate on the backend, see nn.Dropout);
+    gradient regenerates the mask — zero residual memory."""
     if rate <= 0.0:
         return x
     seed = jax.random.randint(key, (1,), -(2 ** 31), 2 ** 31 - 1, jnp.int32)
