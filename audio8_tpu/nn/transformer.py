@@ -72,6 +72,14 @@ class MultiHeadAttention(nn.Module):
     # softmax over compute-dtype logits when dtype != f32 (+8% measured on
     # the wav2vec2-base pretrain step); False = always-f32 softmax
     bf16_softmax: bool = True
+    # whole-row fused attention kernel (ops/pallas/attention_kernel.py):
+    # opt-in (True). It beats XLA on the isolated attention core (9.9 vs
+    # 11.8 ms, tools/exp_attn_core.py) but LOSES end-to-end — XLA fuses
+    # the core with the surrounding projections/residual chain and the
+    # pallas_call is an opaque boundary (2.14x vs 2.22x on the pretrain
+    # bench; docs/PERF.md). Kept like the conv/AdamW kernels: a measured
+    # ablation and the template for regimes XLA handles worse.
+    fused_attention: Optional[bool] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -145,6 +153,26 @@ class MultiHeadAttention(nn.Module):
             block_sizes=sizes)
         return out[:, :, :t, :]
 
+    def _fused_eligible(self, mask, cache, t: int):
+        """Gate + mask conversion for the whole-row fused attention kernel.
+
+        Returns None when ineligible; False when eligible with no mask; or
+        the (B, T) boolean key-validity rows extracted from a broadcastable
+        (B|1, 1, 1, T) pad mask. Causal/arbitrary (T, T) masks fall back to
+        the XLA path (the decoder's training self-attention)."""
+        if self.fused_attention is not True or self.flash:
+            return None
+        structural = (self.rpr_k is None and cache is None
+                      and t <= 1024 and self.d_head <= 128)
+        if not structural:
+            return None
+        if mask is None:
+            return False
+        if (hasattr(mask, "ndim") and mask.ndim == 4
+                and mask.shape[1] == 1 and mask.shape[2] == 1):
+            return jnp.squeeze(mask, axis=(1, 2))
+        return None
+
     def _rel_ids(self, t_q: int, t_k: int, q_offset) -> jnp.ndarray:
         qi = jnp.arange(t_q)[:, None] + q_offset
         kj = jnp.arange(t_k)[None, :]
@@ -189,6 +217,25 @@ class MultiHeadAttention(nn.Module):
         q = self._split(self.w_Q(query))
         k = self._split(self.w_K(key))
         v = self._split(self.w_V(value))
+
+        fused = self._fused_eligible(mask, cache, k.shape[2])
+        if fused is not None:
+            from audio8_tpu.ops.pallas.attention_kernel import attention_core
+
+            key_valid = fused
+            rate = 0.0 if deterministic else self.dropout_rate
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), -(2 ** 31), 2 ** 31 - 1,
+                    jnp.int32).astype(jnp.uint32)
+            out = attention_core(
+                q, k, v,
+                None if key_valid is False else key_valid,
+                (1.0 / float(np.sqrt(self.d_head))) if self.scale else 1.0,
+                rate, seed)
+            b, h, t, d = out.shape
+            return self.w_O(out.transpose(0, 2, 1, 3).reshape(b, t, h * d))
 
         if (
             self.flash
@@ -303,6 +350,7 @@ class TransformerEncoderLayer(nn.Module):
     scale: bool = True
     flash: bool = False
     bf16_softmax: bool = True
+    fused_attention: Optional[bool] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -320,6 +368,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=attn_drop,
             flash=self.flash,
             bf16_softmax=self.bf16_softmax,
+            fused_attention=self.fused_attention,
             **dd,
         )
         self.ffn = FFN(
@@ -365,6 +414,7 @@ class TransformerEncoderStack(nn.Module):
     layer_drop: float = 0.0
     flash: bool = False
     bf16_softmax: bool = True
+    fused_attention: Optional[bool] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -386,6 +436,7 @@ class TransformerEncoderStack(nn.Module):
                 scale=self.scale,
                 flash=self.flash,
                 bf16_softmax=self.bf16_softmax,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
