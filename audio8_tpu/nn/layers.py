@@ -227,8 +227,9 @@ def _group_norm_affine(x, scale, bias, num_groups, eps):
     XLA's autodiff of the two-pass mean/var formulation walks the (B, T, C)
     activation several extra times; the closed-form LayerNorm-style
     gradient (dx = rstd * (g - E[g] - xhat * E[g xhat])) measures
-    2.52 -> 1.80 ms f+b at the wav2vec2 block-0 shape (tools/exp_micro.py).
-    Forward uses E[x^2] - E[x]^2 in f32 (one fused read)."""
+    2.52 -> 1.80 ms f+b at the wav2vec2 block-0 shape (tools/exp_micro.py
+    — the win is the backward; the forward keeps the numerically stable
+    two-pass variance)."""
     return _group_norm_fwd(x, scale, bias, num_groups, eps)[0]
 
 
@@ -237,8 +238,9 @@ def _group_norm_fwd(x, scale, bias, num_groups, eps):
     g = num_groups
     x32 = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
-    ex2 = jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True)
-    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    # two-pass variance: E[(x-m)^2], not E[x^2]-E[x]^2 — the latter
+    # cancels catastrophically once |mean| >> std (a drifting channel)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = ((x32 - mean) * rstd).reshape(b, t, c)
     out = xhat * scale + bias

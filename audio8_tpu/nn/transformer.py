@@ -153,18 +153,18 @@ class MultiHeadAttention(nn.Module):
             block_sizes=sizes)
         return out[:, :, :t, :]
 
-    def _fused_eligible(self, mask, cache, t: int):
+    def _fused_eligible(self, mask, cache, t_q: int, t_k: int):
         """Gate + mask conversion for the whole-row fused attention kernel.
 
         Returns None when ineligible; False when eligible with no mask; or
         the (B, T) boolean key-validity rows extracted from a broadcastable
-        (B|1, 1, 1, T) pad mask. Causal/arbitrary (T, T) masks fall back to
-        the XLA path (the decoder's training self-attention)."""
+        (B|1, 1, 1, T) pad mask. Causal/arbitrary (T, T) masks and
+        non-square (cross-)attention fall back to the XLA path."""
         if self.fused_attention is not True or self.flash:
             return None
-        structural = (self.rpr_k is None and cache is None
-                      and t <= 1024 and self.d_head <= 128)
-        if not structural:
+        from audio8_tpu.ops.pallas.attention_kernel import structural_ok
+
+        if not structural_ok(t_q, t_k, self.d_head, self.rpr_k, cache):
             return None
         if mask is None:
             return False
@@ -218,7 +218,7 @@ class MultiHeadAttention(nn.Module):
         k = self._split(self.w_K(key))
         v = self._split(self.w_V(value))
 
-        fused = self._fused_eligible(mask, cache, k.shape[2])
+        fused = self._fused_eligible(mask, cache, q.shape[2], k.shape[2])
         if fused is not None:
             from audio8_tpu.ops.pallas.attention_kernel import attention_core
 

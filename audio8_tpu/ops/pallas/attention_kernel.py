@@ -88,8 +88,9 @@ def _probs(q, k, kmask_row, seed_ref, g, t_real: int, scale: float,
                           rate)
         pd = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     else:
+        keep = None
         pd = p
-    return p, pd
+    return p, pd, keep
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, o_ref,
@@ -98,8 +99,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, o_ref,
     g0 = pl.program_id(0) * hs
     for j in range(hs):
         km = None if km_ref is None else km_ref[j]  # (1, T_pad) row
-        _, pd = _probs(q_ref[j], k_ref[j], km, seed_ref, g0 + j, t_real,
-                       scale, rate)
+        _, pd, _ = _probs(q_ref[j], k_ref[j], km, seed_ref, g0 + j, t_real,
+                          scale, rate)
         o_ref[j] = jnp.dot(pd.astype(q_ref.dtype), v_ref[j],
                            preferred_element_type=jnp.float32
                            ).astype(o_ref.dtype)
@@ -113,7 +114,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref,
     for j in range(hs):
         km = None if km_ref is None else km_ref[j]  # (1, T_pad) row
         q, k, v, do = q_ref[j], k_ref[j], v_ref[j], do_ref[j]
-        p, pd = _probs(q, k, km, seed_ref, g0 + j, t_real, scale, rate)
+        p, pd, keep = _probs(q, k, km, seed_ref, g0 + j, t_real, scale, rate)
 
         pd_bf = pd.astype(q.dtype)
         # dv = p_d^T @ do : contract over the query axis
@@ -123,10 +124,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref,
         dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if rate > 0.0:
-            t_pad = q.shape[0]
-            keep = _hash_keep(
-                (t_pad, t_pad),
-                seed_ref[0] + (g0 + j).astype(jnp.uint32), rate)
             dp = jnp.where(keep, dpd * (1.0 / (1.0 - rate)), 0.0)
         else:
             dp = dpd
@@ -265,12 +262,18 @@ def _attn_bwd(scale, rate, res, dout):
 attention_core.defvjp(_attn_fwd, _attn_bwd)
 
 
-def supported(t: int, dh: int, rpr_k, cache) -> bool:
-    """Gate: TPU backend, no relative-position bias, no decode cache, and a
-    T small enough that the (T_pad, T_pad) f32 score tile fits VMEM
-    comfortably (T_pad^2 * 8B <= ~8 MB -> T <= ~1024)."""
-    if jax.default_backend() != "tpu":
-        return False
+def structural_ok(t_q: int, t_k: int, dh: int, rpr_k, cache) -> bool:
+    """Shape/feature gate shared with MultiHeadAttention._fused_eligible:
+    square self-attention only (the kernel assumes T_q == T_k), no
+    relative-position bias, no decode cache, and a T small enough that the
+    (T_pad, T_pad) f32 score tile fits VMEM (T_pad^2 * 8B <= ~8 MB)."""
     if rpr_k is not None or cache is not None:
         return False
-    return t <= 1024 and dh <= 128
+    return t_q == t_k and t_q <= 1024 and dh <= 128
+
+
+def supported(t: int, dh: int, rpr_k, cache) -> bool:
+    """structural_ok + the TPU backend requirement."""
+    if jax.default_backend() != "tpu":
+        return False
+    return structural_ok(t, t, dh, rpr_k, cache)

@@ -17,7 +17,7 @@ match wins.
 from __future__ import annotations
 
 import re
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -82,6 +82,24 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
+def _fixed_spec(leaf, spec: P, mesh: Mesh) -> list:
+    """Validate a spec against a leaf: drop axes whose mesh extent doesn't
+    divide the dim; pad with None to the leaf's rank."""
+    fixed = []
+    for d, axis in enumerate(spec):
+        if axis is None:
+            fixed.append(None)
+            continue
+        size = mesh.shape[axis]
+        if d < leaf.ndim and leaf.shape[d] % size == 0:
+            fixed.append(axis)
+        else:
+            fixed.append(None)
+    if len(fixed) < leaf.ndim:
+        fixed += [None] * (leaf.ndim - len(fixed))
+    return fixed[: leaf.ndim]
+
+
 def param_shardings(params: Any, mesh: Mesh,
                     rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
     """Tree of NamedShardings matching ``params`` by path rules. Specs that
@@ -89,20 +107,7 @@ def param_shardings(params: Any, mesh: Mesh,
 
     def one(path, leaf):
         spec = _spec_for(_path_str(path), rules)
-        # validate divisibility; drop axes that don't divide
-        fixed = []
-        for d, axis in enumerate(spec):
-            if axis is None:
-                fixed.append(None)
-                continue
-            size = mesh.shape[axis]
-            if d < leaf.ndim and leaf.shape[d] % size == 0:
-                fixed.append(axis)
-            else:
-                fixed.append(None)
-        if len(fixed) < leaf.ndim:
-            fixed += [None] * (leaf.ndim - len(fixed))
-        return NamedSharding(mesh, P(*fixed[: leaf.ndim]))
+        return NamedSharding(mesh, P(*_fixed_spec(leaf, spec, mesh)))
 
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -126,14 +131,19 @@ def shard_params(params: Any, mesh: Mesh,
 _MOMENT_RE = re.compile(r"\.(mu|nu)/")
 
 
-def zero1_spec(leaf, mesh: Mesh) -> P:
-    """ZeRO-1 spec for an optimizer-moment leaf: shard the first axis the
-    'data' extent divides; replicate otherwise (tiny/odd leaves)."""
+def zero1_spec(leaf, mesh: Mesh, base: Optional[P] = None) -> P:
+    """ZeRO-1 spec for an optimizer-moment leaf: KEEP the param's own
+    sharding (``base`` — e.g. the Megatron 'model' split under TP) and add
+    'data' on the first free axis the 'data' extent divides; all-replicated
+    if no axis fits (tiny/odd leaves)."""
     n = mesh.shape["data"]
+    fixed = list(_fixed_spec(leaf, base, mesh)) if base is not None else [
+        None] * leaf.ndim
     for d in range(leaf.ndim):
-        if leaf.shape[d] % n == 0 and leaf.shape[d] >= n:
-            return P(*([None] * d + ["data"]))
-    return P()
+        if fixed[d] is None and leaf.shape[d] % n == 0 and leaf.shape[d] >= n:
+            fixed[d] = "data"
+            break
+    return P(*fixed)
 
 
 def zero1_shardings(state: Any, mesh: Mesh,
@@ -151,18 +161,11 @@ def zero1_shardings(state: Any, mesh: Mesh,
 
     def one(path, leaf):
         pstr = _path_str(path)
-        if _MOMENT_RE.search(pstr):
-            return NamedSharding(mesh, zero1_spec(leaf, mesh))
         spec = _spec_for(pstr, rules)
-        fixed = []
-        for d, axis in enumerate(spec):
-            if axis is not None and d < leaf.ndim and leaf.shape[d] % mesh.shape[axis] == 0:
-                fixed.append(axis)
-            else:
-                fixed.append(None)
-        if len(fixed) < leaf.ndim:
-            fixed += [None] * (leaf.ndim - len(fixed))
-        return NamedSharding(mesh, P(*fixed[: leaf.ndim]))
+        if _MOMENT_RE.search(pstr):
+            # moments keep the param's rule spec (TP split) + 'data'
+            return NamedSharding(mesh, zero1_spec(leaf, mesh, base=spec))
+        return NamedSharding(mesh, P(*_fixed_spec(leaf, spec, mesh)))
 
     return jax.tree_util.tree_map_with_path(one, state)
 
@@ -214,11 +217,20 @@ def global_sum_scalars(values) -> np.ndarray:
 
 def to_host(x) -> np.ndarray:
     """Fetch an array to host numpy, all-gathering first if it is not fully
-    addressable (multi-host shard of a global batch)."""
+    addressable (multi-host shard of a global batch, or a ZeRO-1 moment
+    sharded across hosts)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
+        if isinstance(x.sharding, NamedSharding):
+            # jitted identity with replicated output: XLA inserts the
+            # all-gather whatever axis the array is sharded on (the
+            # process_allgather fallback below only handles axis-0 tiling)
+            x = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(x.sharding.mesh, P()))(x)
+        else:
+            from jax.experimental import multihost_utils
 
-        # tiled: concatenate the per-process shards along axis 0, giving
-        # the global array in row order
-        x = multihost_utils.process_allgather(x, tiled=True)
+            # tiled: concatenate the per-process shards along axis 0,
+            # giving the global array in row order
+            x = multihost_utils.process_allgather(x, tiled=True)
     return np.asarray(x)

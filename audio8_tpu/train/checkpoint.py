@@ -30,8 +30,12 @@ def save_checkpoint(state: Any, base: str, step: int, tick_type: str = "step") -
     primary host only)."""
     path = os.path.abspath(_ckpt_name(base, step, tick_type))
     ckptr = ocp.StandardCheckpointer()
-    # host-gather before save keeps this single-controller simple
-    state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    # host-gather before save keeps this single-controller simple; to_host
+    # (not plain device_get) because ZeRO-1 moments may be sharded across
+    # hosts — non-fully-addressable arrays need the collective all-gather
+    from audio8_tpu.parallel.sharding import to_host
+
+    state = jax.tree_util.tree_map(to_host, state)
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     return path

@@ -98,14 +98,36 @@ def test_encoder_stack_fused_matches_xla_path(rng):
 
 
 def test_fused_gate_declines_causal_and_cache(rng):
-    m = _mha(None)
+    m = _mha(True)  # forced on, so only the structural gate can decline
     # causal (1, 1, T, T) mask is not expressible as key rows -> None
     causal = jnp.tril(jnp.ones((5, 5), bool))[None, None]
     bound = m.bind(m.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 5, 32)), jnp.zeros((1, 5, 32)),
                           jnp.zeros((1, 5, 32))))
-    assert bound._fused_eligible(causal, None, 5) is None
-    assert bound._fused_eligible(None, {"k": 0}, 5) is None
-    # CPU backend + auto -> None even for eligible shapes
-    assert bound._fused_eligible(None, None, 5) is None
+    assert bound._fused_eligible(causal, None, 5, 5) is None
+    assert bound._fused_eligible(None, {"k": 0}, 5, 5) is None
+    # cross-attention (T_q != T_k) is not expressible in the kernel
+    assert bound._fused_eligible(None, None, 5, 9) is None
+    # eligible shape IS accepted when forced
+    assert bound._fused_eligible(None, None, 5, 5) is False
+
+    m_off = _mha(None)
+    bound_off = m_off.bind(m_off.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 5, 32)), jnp.zeros((1, 5, 32)),
+        jnp.zeros((1, 5, 32))))
+    # default (opt-in off) -> None even for eligible shapes
+    assert bound_off._fused_eligible(None, None, 5, 5) is None
     assert not supported(5, 8, None, None)  # TPU-only gate
+
+
+def test_mha_fused_cross_attention_falls_back(rng):
+    """fused_attention=True on a cross-attention call (T_q != T_k) must fall
+    back to the XLA path, not crash in the kernel's square-shape prep."""
+    b, tq, tk, d = 1, 5, 9, 32
+    xq = jnp.asarray(rng.normal(size=(b, tq, d)).astype(np.float32))
+    xkv = jnp.asarray(rng.normal(size=(b, tk, d)).astype(np.float32))
+    m_ref = _mha(False)
+    params = m_ref.init(jax.random.PRNGKey(0), xq, xkv, xkv)
+    y_ref = m_ref.apply(params, xq, xkv, xkv)
+    y = _mha(True).apply(params, xq, xkv, xkv)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)

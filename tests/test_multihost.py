@@ -94,3 +94,41 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert t1 == t2
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_zero1_adamw_checkpoints(tmp_path):
+    """--zero1 under REAL multi-host: AdamW moments shard across the two
+    processes, so the checkpoint save must all-gather non-fully-addressable
+    arrays (train/checkpoint.py to_host path) instead of crashing in
+    jax.device_get — the exact failure mode of the pre-fix code."""
+    corpus = make_corpus(tmp_path)
+    snippet = TRAIN_SNIPPET.replace('"--optim", "sgd",',
+                                    '"--optim", "adamw",\n    "--zero1", "true",')
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        code = snippet.format(basedir=str(tmp_path / "z1"), root=str(corpus))
+        extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                 "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        str(tmp_path / "z1" / "checkpoint-step-3"))
+    # the saved tree carries the gathered global moments
+    import jax as _jax
+    leaves = [l for l in _jax.tree_util.tree_leaves(restored["opt_state"])
+              if hasattr(l, "ndim") and l.ndim >= 1]
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

@@ -49,12 +49,30 @@ def test_zero1_moments_are_sharded():
     # a transformer kernel moment: (64, 64) -> P('data', None)
     mu = sh.opt_state.inner_state[0].mu
     k = mu["encoder"]["encoder"]["transformer"]["layer_0"]["self_attn"]["w_Q"]["kernel"]
-    assert k.spec == jax.sharding.PartitionSpec("data")
+    assert tuple(k.spec) in ((("data",)), ("data", None))
     # the matching param stays replicated under DP rules
     pk = sh.params["encoder"]["encoder"]["transformer"]["layer_0"]["self_attn"]["w_Q"]["kernel"]
     assert not any(pk.spec)  # P(None, None) == fully replicated
     # scalars (step counts) replicate
-    assert sh.step.spec == jax.sharding.PartitionSpec()
+    assert not any(sh.step.spec)
+
+
+def test_zero1_composes_with_tp_rules():
+    """Under TP + ZeRO-1, moments must KEEP the Megatron 'model' split and
+    ADD 'data' on a free axis — not replace it (each device then holds
+    1/(dp*tp) of every TP moment)."""
+    from audio8_tpu.parallel.sharding import TP_RULES
+
+    model, tx, params, _ = _setup()
+    mesh = make_mesh(data=4, model=2)
+    state = TrainState.create(params, tx)
+    sh = zero1_shardings(state, mesh, TP_RULES)
+    mu = sh.opt_state.inner_state[0].mu
+    layer = mu["encoder"]["encoder"]["transformer"]["layer_0"]
+    # w_Q kernel param rule is P(None, 'model'); moment adds 'data' on axis 0
+    assert tuple(layer["self_attn"]["w_Q"]["kernel"].spec) == ("data", "model")
+    # w_O kernel rule is P('model', None); moment adds 'data' on axis 1
+    assert tuple(layer["self_attn"]["w_O"]["kernel"].spec) == ("model", "data")
 
 
 def test_zero1_numerics_match_replicated():
