@@ -111,6 +111,48 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
     return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
 
 
+def bench_seq2seq(n_steps: int = 30) -> float:
+    """Seq2seq ASR fine-tune step (train_seq2seq.py workload):
+    wav2vec2-base encoder + 2L/4H decoder, teacher forcing, bf16,
+    16 x 3s = 48 audio-sec/step."""
+    from audio8_tpu.models.seq2seq import create_seq2seq_model
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_seq2seq_steps
+    from audio8_tpu.utils import Offsets
+
+    Offsets.remap_fairseq_ctc()
+    model = create_seq2seq_model(vocab_size=32, d_ff=3072, dropout=0.1,
+                                 dtype=jnp.bfloat16)
+    b, t, u = 16, 48_000, 64
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(rng.integers(4, 32, size=(b, u)), jnp.int32),
+        "token_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["signal"][:1],
+                        batch["signal_lengths"][:1], batch["token_ids"][:1, :-1],
+                        batch["token_lengths"][:1] - 1)["params"]
+    tx = create_optimizer(create_lrs(1e-4, 1000, warmup_steps=10))
+    state = TrainState.create(params, tx)
+    grad_fn, update_fn, _, _ = make_seq2seq_steps(model, tx, clip=25.0)
+
+    keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
+    loss, grads, bsz, _ = grad_fn(state.params, batch, keys[-1], freeze=False)
+    state, _ = update_fn(state, grads, bsz)
+    np.asarray(loss)
+
+    start = time.perf_counter()
+    for i in range(n_steps):
+        loss, grads, bsz, _ = grad_fn(state.params, batch, keys[i], freeze=False)
+        state, _ = update_fn(state, grads, bsz)
+    np.asarray(loss)
+    elapsed = time.perf_counter() - start
+    return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
+
+
 def bench_decode(n_steps: int = 50) -> float:
     """Serving workload: batched greedy-CTC inference RTFx (audio-sec of
     input decoded per wall-clock second per chip). Uses the same eval path
@@ -152,11 +194,23 @@ def bench_decode(n_steps: int = 50) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", choices=["pretrain", "ctc", "decode", "all"],
+    ap.add_argument("--workload",
+                    choices=["pretrain", "ctc", "seq2seq", "decode", "all"],
                     default="all")
     args = ap.parse_args()
 
     extra = {}
+    if args.workload in ("seq2seq", "all"):
+        extra["seq2seq_finetune_throughput"] = round(bench_seq2seq(), 2)
+    if args.workload == "seq2seq":
+        print(json.dumps({
+            "metric": "wav2vec2_base_seq2seq_finetune_throughput",
+            "value": extra["seq2seq_finetune_throughput"],
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": None,
+            "extra_metrics": extra,
+        }))
+        return
     if args.workload in ("decode", "all"):
         extra["greedy_decode_rtfx"] = round(bench_decode(), 2)
     if args.workload == "decode":
