@@ -214,7 +214,10 @@ def train(argv=None):
             # global batch sizes are known host-side (on-device sums would
             # sync; the dataset reports the real-row count per global batch)
             acc_examples += batch["num_real"]
-            acc_tokens += float(batch["token_lengths"].sum())
+            # token_lengths is this process's row block; every process holds
+            # an equal block of the global batch, so scale to global tokens
+            # (matching acc_examples, which is already global)
+            acc_tokens += float(batch["token_lengths"].sum()) * jax.process_count()
             if iters % 8 == 0:  # subsample the loss fetch (host sync)
                 avg_loss.update(float(loss), n=8)
 
@@ -297,8 +300,9 @@ def validate(model, eval_fn, params, valid_set, index2vocab, valid_steps,
                 # beam-decode the first utterance for inspection, mirroring
                 # the reference's verbose validation (train.py:49-52); runs
                 # from the host copy so it stays process-local
+                host_params = jax.tree_util.tree_map(to_host, params)
                 lp, pm = model.apply(
-                    {"params": jax.device_get(params)},
+                    {"params": host_params},
                     jnp.asarray(batch["signal"][:1]),
                     jnp.asarray(batch["signal_lengths"][:1]),
                     train=False, freeze=True)

@@ -29,7 +29,7 @@ def write_bpe_dict(path: str, i2w) -> None:
     """Dense id->piece listing; holes in the id space print as <unused>."""
     with open(path, "w") as f:
         f.writelines(i2w.get(i, "<unused>") + "\n"
-                     for i in range(max(i2w.keys())))
+                     for i in range(max(i2w.keys()) + 1))
 
 
 def main(argv=None):

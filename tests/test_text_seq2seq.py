@@ -143,7 +143,15 @@ def test_wrd2bpe_cli(tmp_path):
           "--subword_model_file", str(codes),
           "--subword_vocab_file", str(vocab)])
 
-    assert (tmp_path / "dict.bpe.txt").exists()
+    # the dict must list EVERY id up to the max (an off-by-one here once
+    # dropped the highest-id piece)
+    from audio8_tpu.models.text import BPEVectorizer
+    from audio8_tpu.utils import revlut
+    vec = BPEVectorizer(str(codes), str(vocab))
+    i2w = revlut(vec.vocab)
+    dict_lines = (tmp_path / "dict.bpe.txt").read_text().splitlines()
+    assert len(dict_lines) == max(i2w.keys()) + 1
+    assert dict_lines[max(i2w.keys())] == i2w[max(i2w.keys())]
     out = (tmp_path / "train.bpe").read_text().splitlines()
     assert out[0] == "hel@@ lo lo"
     assert out[1] == "he hel@@ lo"

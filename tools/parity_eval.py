@@ -118,8 +118,6 @@ def jax_taps(model, params, x):
     for path, val in flat.items():
         name = "/".join(path)
         arrs = val if isinstance(val, tuple) else (val,)
-        for i, layer_out in enumerate(p for p in arrs):
-            pass
         # transformer layer outputs: .../transformer/layer_{i}/__call__
         parts = [p for p in path if p.startswith("layer_")]
         if parts and "__call__" in path:
@@ -286,7 +284,13 @@ def main(argv=None):
                                args.num_heads, fx)
     report_out = {"checkpoint": args.checkpoint, "dims": dims,
                   "activation_deltas": deltas}
-    worst = max((d["max_abs_delta"] for d in deltas), default=float("nan"))
+    # nan-aware: a NaN delta (e.g. a tap that failed to compare) must make
+    # the run fail, not be silently skipped by Python's max ordering
+    all_deltas = [d["max_abs_delta"] for d in deltas]
+    if not all_deltas or any(not np.isfinite(v) for v in all_deltas):
+        worst = float("nan")
+    else:
+        worst = max(all_deltas)
     logger.info("per-layer activation deltas (worst over %d probes):",
                 len(probes))
     for d in sorted(deltas, key=lambda r: r["tap"]):
