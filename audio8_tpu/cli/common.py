@@ -154,7 +154,34 @@ def setup_parallelism(tensor_parallel: int = 1):
     return mesh, rules, batch_multiple, world > 1
 
 
+# Model-size presets over the same knobs the reference exposes
+# (/root/reference/audio8/pretrain.py:39-42): 'base' is the flag
+# defaults; 'large' is the wav2vec 2.0 LARGE dims (arXiv 2006.11477
+# Table: 24 blocks, d_model 1024, d_ff 4096, 16 heads; final_dim 768
+# for the pretraining heads) on the reference's post-norm architecture.
+MODEL_PRESETS = {
+    "base": {},
+    "large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+              "num_layers": 24, "final_dim": 768},
+}
+_PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
+                         "num_layers": 12, "final_dim": 256}
+
+
+def apply_preset(args):
+    """Resolve ``--preset``: fill any size flag the user left at its
+    base default with the preset's value (explicit flags win)."""
+    for key, value in MODEL_PRESETS[getattr(args, "preset", "base")].items():
+        if hasattr(args, key) and getattr(args, key) == _PRESET_BASE_DEFAULTS[key]:
+            setattr(args, key, value)
+    return args
+
+
 def add_common_model_args(parser):
+    parser.add_argument("--preset", choices=sorted(MODEL_PRESETS),
+                        default="base",
+                        help="model-size preset; individual size flags "
+                             "override it")
     parser.add_argument("--tensor_parallel", type=int, default=1,
                         help="devices on the 'model' mesh axis (Megatron-"
                              "style TP over the transformer); the rest go "
@@ -171,6 +198,11 @@ def add_common_model_args(parser):
     parser.add_argument("--attention_dropout", type=float, default=None,
                         help="attention-prob dropout (default: --dropout)")
     parser.add_argument("--layer_drop", type=float, default=0.0)
+    parser.add_argument("--remat", type=str2bool, default=False,
+                        help="rematerialize transformer layers in backprop "
+                             "(jax.checkpoint); ~1 extra fwd of FLOPs for "
+                             "O(layers) less activation HBM — for large "
+                             "models / long clips")
     parser.add_argument("--input_sample_rate", type=int, default=16_000)
     parser.add_argument("--target_sample_rate", type=int, default=16_000)
     parser.add_argument("--bf16", action="store_true",

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
+                                    resolve_restart,
                                    setup, setup_parallelism)
 from audio8_tpu.config import PretrainConfig
 from audio8_tpu.data.datasets import AudioFileDataset, BucketingAudioDataset, PrefetchLoader
@@ -44,6 +45,9 @@ def parse_args(argv=None):
     parser.add_argument("--dataset_key", default="ls")
     parser.add_argument("--num_vq_vars", type=int, default=320)
     parser.add_argument("--num_vq_groups", type=int, default=2)
+    parser.add_argument("--final_dim", type=int, default=256,
+                        help="VQ/contrastive projection width (768 for "
+                             "the large preset)")
     parser.add_argument("--num_train_workers", type=int, default=4)
     parser.add_argument("--tokens_per_batch", type=int, default=1_400_000)
     parser.add_argument("--max_sample_len", type=int, default=325_000)
@@ -66,7 +70,7 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str,
                         help="capture a jax.profiler trace window here")
     add_common_model_args(parser)
-    return parser.parse_args(argv)
+    return apply_preset(parser.parse_args(argv))
 
 
 def train(argv=None):
@@ -102,9 +106,11 @@ def train(argv=None):
     cfg = PretrainConfig(
         sample_rate=args.target_sample_rate // 1000,
         num_vq_vars=args.num_vq_vars, num_vq_groups=args.num_vq_groups,
+        final_dim=args.final_dim,
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
+        remat=args.remat,
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
+                                    resolve_restart,
                                    setup, setup_parallelism)
 from audio8_tpu.config import PooledConfig, TextEncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -87,7 +88,7 @@ def parse_args(argv=None):
                              "each batch up to the next bucket, bounding "
                              "XLA compile count")
     add_common_model_args(parser)
-    return parser.parse_args(argv)
+    return apply_preset(parser.parse_args(argv))
 
 
 def train(argv=None):

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import (add_common_model_args, resolve_restart,
+from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
+                                    resolve_restart,
                                    setup, setup_parallelism)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -82,7 +83,7 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str,
                         help="capture a jax.profiler trace window here")
     add_common_model_args(parser)
-    return parser.parse_args(argv)
+    return apply_preset(parser.parse_args(argv))
 
 
 def train(argv=None):
@@ -140,6 +141,7 @@ def train(argv=None):
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
+        remat=args.remat,
         timestep_masking=args.timestep_masking,
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,

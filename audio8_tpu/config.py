@@ -65,6 +65,10 @@ class EncoderConfig:
     # softmax over bf16 logits when compute dtype is bf16 (+8% step
     # throughput measured on v5e; no effect under f32 compute).
     bf16_softmax: bool = True
+    # Rematerialize each transformer layer in backprop (jax.checkpoint):
+    # saves only layer inputs, recomputes in-layer activations. Needed
+    # for large models on long clips; costs ~1 extra forward.
+    remat: bool = False
 
     @property
     def conv_features(self) -> List[Tuple[int, int, int]]:

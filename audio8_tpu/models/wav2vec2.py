@@ -228,6 +228,7 @@ class AudioTransformerEncoder(nn.Module):
     layer_drop: float = 0.0
     flash_attention: bool = False
     bf16_softmax: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -245,7 +246,7 @@ class AudioTransformerEncoder(nn.Module):
             dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
             activation="gelu", pre_norm=False,
             layer_drop=self.layer_drop, flash=self.flash_attention,
-            bf16_softmax=self.bf16_softmax, **dd,
+            bf16_softmax=self.bf16_softmax, remat=self.remat, **dd,
         )
 
     def __call__(self, x, pad_mask=None, train: bool = False):
@@ -287,7 +288,7 @@ class Wav2Vec2Encoder(nn.Module):
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, **dd)
+            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
@@ -415,7 +416,7 @@ class Wav2Vec2Model(nn.Module):
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, **dd)
+            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(

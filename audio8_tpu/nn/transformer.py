@@ -415,13 +415,26 @@ class TransformerEncoderStack(nn.Module):
     flash: bool = False
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
+    # Rematerialize each encoder layer in the backward pass
+    # (jax.checkpoint): only the layer *inputs* are saved, activations
+    # inside the layer (incl. the (B,H,T,T) attention probs) are
+    # recomputed during backprop. Trades ~1 extra forward of FLOPs for
+    # O(layers) less activation HBM — required for large models on long
+    # clips, off by default for speed.
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         d_ff = self.d_ff or 4 * self.d_model
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # deterministic (arg index 3 counting self) must stay a
+            # static python bool under nn.remat
+            layer_cls = nn.remat(TransformerEncoderLayer,
+                                 static_argnums=(3,))
         self.encoders = [
-            TransformerEncoderLayer(
+            layer_cls(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
                 d_ff=d_ff,

@@ -28,17 +28,25 @@ A100_BASELINE_AUDIO_SEC_PER_SEC = 650.0
 SAMPLE_RATE = 16_000
 
 
-def bench_pretrain(n_steps: int = 20) -> float:
+def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
+                   num_heads: int = 12, num_layers: int = 12,
+                   d_ff: int = 3072, final_dim: int = 256,
+                   b: int = 8) -> float:
     from audio8_tpu.config import PretrainConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
     from audio8_tpu.train.steps import make_pretrain_steps
 
-    # wav2vec2-base; dense min-cropped pretraining batch like the reference
-    # (~1.4M samples/batch budget -> here 8 x 175k samples = 87.5 audio-sec)
-    cfg = PretrainConfig(d_ff=3072, dropout=0.1)
+    # Default = wav2vec2-base; dense min-cropped pretraining batch like the
+    # reference (~1.4M samples/batch budget -> 8 x 175k samples = 87.5
+    # audio-sec). The 'large' workload scales dims the way the reference
+    # would (--d_model 1024 --num_layers 24 ..., post-norm throughout;
+    # /root/reference/audio8/pretrain.py:39-42 exposes the same knobs).
+    cfg = PretrainConfig(d_model=d_model, num_heads=num_heads,
+                         num_layers=num_layers, d_ff=d_ff,
+                         final_dim=final_dim, dropout=0.1)
     model = Wav2Vec2Model(config=cfg, dtype=jnp.bfloat16)
-    b, t = 8, 175_000
+    t = 175_000
 
     rng = np.random.default_rng(0)
     signal = jnp.asarray(rng.normal(size=(b, t)).astype(np.float32))
@@ -66,6 +74,14 @@ def bench_pretrain(n_steps: int = 20) -> float:
 
     audio_sec_per_step = b * t / SAMPLE_RATE
     return audio_sec_per_step * n_steps / elapsed / jax.device_count()
+
+
+def bench_pretrain_large(n_steps: int = 12) -> float:
+    """wav2vec2-large-shaped pretraining (d_model 1024, 24 layers, 16
+    heads, d_ff 4096, final_dim 768 — the paper's LARGE dims on the
+    reference's post-norm architecture)."""
+    return bench_pretrain(n_steps, d_model=1024, num_heads=16,
+                          num_layers=24, d_ff=4096, final_dim=768)
 
 
 def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
@@ -204,7 +220,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
-                    choices=["pretrain", "ctc", "seq2seq", "decode", "all"],
+                    choices=["pretrain", "large", "ctc", "seq2seq", "decode",
+                             "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("A8T_BENCH_BUDGET", 1500)),
@@ -213,6 +230,10 @@ def main():
                          "the JSON line always prints")
     args = ap.parse_args()
 
+    if args.workload == "large":
+        _single("wav2vec2_large_pretrain_throughput",
+                round(bench_pretrain_large(), 2), {})
+        return
     if args.workload == "seq2seq":
         _single("wav2vec2_base_seq2seq_finetune_throughput",
                 round(bench_seq2seq(), 2), {})
@@ -241,6 +262,7 @@ def main():
             ("ctc_finetune_frozen_throughput", lambda: bench_ctc(True)),
             ("greedy_decode_rtfx", bench_decode),
             ("seq2seq_finetune_throughput", bench_seq2seq),
+            ("large_pretrain_throughput", bench_pretrain_large),
         ]:
             if time.perf_counter() - start > args.budget:
                 extra[key] = "skipped:budget"
