@@ -1,13 +1,22 @@
-"""Offline fairseq .pt -> a8t checkpoint converter.
+"""Offline checkpoint converter -> a8t Orbax checkpoint.
 
 Equivalent of /root/reference/audio8/convert_wav2vec2_checkpoint.py: builds
-the matching model, converts the fairseq state dict, RAISES if any source
+the matching model, converts the source state dict, RAISES if any source
 key is unmapped (convert_wav2vec2_checkpoint.py:59-60), and writes an Orbax
-checkpoint.
+checkpoint. Sources:
+
+- fairseq ``.pt`` (the reference's only source), ``--format fairseq``;
+- HuggingFace ``save_pretrained`` directory (Wav2Vec2Model /
+  Wav2Vec2ForPreTraining / Wav2Vec2ForCTC), ``--format hf`` — an
+  extension beyond the reference (see models/convert_hf.py).
+
+``--format auto`` (default) picks hf for a directory containing
+config.json, fairseq otherwise.
 """
 from __future__ import annotations
 
 import logging
+import os
 from argparse import ArgumentParser
 
 import jax
@@ -25,8 +34,11 @@ logger = logging.getLogger("audio8_tpu.convert")
 
 def main(argv=None):
     parser = ArgumentParser(description=__doc__)
-    parser.add_argument("--input", required=True, help="fairseq .pt file")
+    parser.add_argument("--input", required=True,
+                        help="fairseq .pt file or HF save_pretrained dir")
     parser.add_argument("--output", required=True, help="output checkpoint base")
+    parser.add_argument("--format", choices=["auto", "fairseq", "hf"],
+                        default="auto")
     parser.add_argument("--ctc", type=str2bool, default=False,
                         help="fine-tuned CTC checkpoint (vs pretrained)")
     parser.add_argument("--num_labels", type=int, default=32)
@@ -34,9 +46,30 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    fmt = args.format
+    if fmt == "auto":
+        fmt = ("hf" if os.path.isdir(args.input)
+               and os.path.exists(os.path.join(args.input, "config.json"))
+               else "fairseq")
     sr = args.target_sample_rate // 1000
-    params, report = load_fairseq_bin(args.input, ctc=args.ctc,
-                                      num_layers=args.num_layers, sr=sr)
+    if fmt == "hf":
+        import json
+
+        from audio8_tpu.models.convert_hf import load_hf_dir
+
+        params, report = load_hf_dir(args.input, ctc=args.ctc)
+        with open(os.path.join(args.input, "config.json")) as f:
+            hf_cfg = json.load(f)
+        # size facts live in the HF config; trust it over the flags
+        args.num_layers = hf_cfg["num_hidden_layers"]
+        args.d_model = hf_cfg["hidden_size"]
+        args.num_heads = hf_cfg["num_attention_heads"]
+        args.d_ff = hf_cfg["intermediate_size"]
+        if args.ctc:
+            args.num_labels = hf_cfg["vocab_size"]
+    else:
+        params, report = load_fairseq_bin(args.input, ctc=args.ctc,
+                                          num_layers=args.num_layers, sr=sr)
     if report["missing"] or report["unexpected"]:
         raise ValueError(f"Unmapped checkpoint keys: {report}")
 

@@ -135,7 +135,7 @@ def train(argv=None):
     audio_cfg = PooledConfig(
         sample_rate=args.target_sample_rate // 1000, d_model=args.d_model,
         num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
-        dropout=args.dropout, layer_drop=args.layer_drop,
+        dropout=args.dropout, layer_drop=args.layer_drop, remat=args.remat,
         reduction_type=args.audio_reduction_type, reduction_d_k=args.audio_d_k)
     text_cfg = TextEncoderConfig(
         vocab_size=len(vocab), d_model=args.text_d_model,

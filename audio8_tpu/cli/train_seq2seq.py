@@ -130,7 +130,7 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len, layer_drop=args.layer_drop,
-        freeze_fx=args.freeze_fx)
+        remat=args.remat, freeze_fx=args.freeze_fx)
     dec_cfg = DecoderConfig(
         vocab_size=len(vocab), d_model=args.d_model,
         num_heads=args.decoder_heads, num_layers=args.decoder_layers,

@@ -1,0 +1,169 @@
+"""HuggingFace ``transformers`` Wav2Vec2 checkpoint -> JAX param pytree.
+
+Extension beyond the reference (which loads only fairseq ``.pt``,
+/root/reference/audio8/wav2vec2.py:154-186): HF's Wav2Vec2 module tree is
+a renaming of the same fairseq graph, so conversion is implemented as a
+key translation into fairseq naming followed by the existing structural
+converter (``models/convert.py``). Supported sources:
+
+- ``Wav2Vec2Model`` / ``Wav2Vec2ForPreTraining`` -> ``Wav2Vec2Model``
+  params (quantizer + projections included when present);
+- ``Wav2Vec2ForCTC`` -> ``Wav2Vec2AcousticModel`` params (``lm_head`` ->
+  CTC projection).
+
+Only the wav2vec2-base topology is accepted: post-norm encoder
+(``do_stable_layer_norm=False``) with group-norm feature extraction
+(``feat_extract_norm='group'``); the large/robust pre-norm variants use a
+different layer graph and are rejected loudly rather than silently
+mis-converted.
+
+Note on vocabularies: HF CTC vocabs (<pad>=0, ...) differ from fairseq
+dict ordering. Weights are copied as-is; remap rows (or use
+``Offsets.remap_fairseq_ctc``-style index handling) if decoding with a
+different symbol table.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from audio8_tpu.models.convert import convert_ctc_state, convert_pretrained_state
+
+# HF base-model key fragment -> fairseq key fragment (encoder body)
+_STATIC_MAP = {
+    "feature_projection.layer_norm": "layer_norm",
+    "feature_projection.projection": "post_extract_proj",
+    "masked_spec_embed": "mask_emb",
+    "encoder.pos_conv_embed.conv.parametrizations.weight.original0":
+        "encoder.pos_conv.0.weight_g",
+    "encoder.pos_conv_embed.conv.parametrizations.weight.original1":
+        "encoder.pos_conv.0.weight_v",
+    "encoder.pos_conv_embed.conv.weight_g": "encoder.pos_conv.0.weight_g",
+    "encoder.pos_conv_embed.conv.weight_v": "encoder.pos_conv.0.weight_v",
+    "encoder.pos_conv_embed.conv.bias": "encoder.pos_conv.0.bias",
+    # pretraining heads (Wav2Vec2ForPreTraining): project_hid is the
+    # context projection (fairseq final_proj), project_q the target one
+    "quantizer.codevectors": "quantizer.vars",
+    "quantizer.weight_proj": "quantizer.weight_proj",
+    "project_q": "project_q",
+    "project_hid": "final_proj",
+}
+
+
+def _translate_key(key: str):
+    """One HF base-model key -> fairseq-named key, or None if untranslatable."""
+    if key.startswith("feature_extractor.conv_layers."):
+        rest = key[len("feature_extractor.conv_layers."):]
+        i, sub = rest.split(".", 1)
+        if sub == "conv.weight":
+            return f"feature_extractor.conv_layers.{i}.0.weight"
+        if sub in ("layer_norm.weight", "layer_norm.bias"):
+            # group-mode: only block 0 carries a (Group)norm, index 2
+            return f"feature_extractor.conv_layers.{i}.2.{sub.split('.')[1]}"
+        return None
+    if key.startswith("encoder.layers."):
+        rest = key[len("encoder.layers."):]
+        i, sub = rest.split(".", 1)
+        sub = (sub
+               .replace("attention.", "self_attn.")
+               .replace("layer_norm.", "self_attn_layer_norm.", 1)
+               if sub.startswith(("attention.", "layer_norm."))
+               else sub)
+        sub = (sub
+               .replace("feed_forward.intermediate_dense", "fc1")
+               .replace("feed_forward.output_dense", "fc2"))
+        return f"encoder.layers.{i}.{sub}"
+    if key.startswith("encoder.layer_norm."):
+        return key
+    for hf, fs in _STATIC_MAP.items():
+        if key == hf or key.startswith(hf + "."):
+            return fs + key[len(hf):]
+    return None
+
+
+def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False
+                        ) -> Tuple[Dict[str, np.ndarray], list]:
+    """Rename an HF Wav2Vec2 state dict into fairseq naming.
+
+    Returns (renamed_state, untranslated_keys). ``ctc=True`` expects
+    Wav2Vec2ForCTC keys (``wav2vec2.`` prefix + ``lm_head``) and emits the
+    fairseq fine-tuned layout (``w2v_encoder.w2v_model.`` + proj head).
+    """
+    out: Dict[str, np.ndarray] = {}
+    skipped = []
+    for key, value in state.items():
+        value = np.asarray(value)
+        if ctc and key == "lm_head.weight":
+            out["w2v_encoder.proj.weight"] = value
+            continue
+        if ctc and key == "lm_head.bias":
+            out["w2v_encoder.proj.bias"] = value
+            continue
+        base_key = key
+        for prefix in ("wav2vec2.", "wav2vec2_model."):
+            if base_key.startswith(prefix):
+                base_key = base_key[len(prefix):]
+                break
+        fs = _translate_key(base_key)
+        if fs is None:
+            skipped.append(key)
+            continue
+        if fs == "encoder.pos_conv.0.weight_g" and value.ndim == 3 \
+                and value.shape[:2] != (1, 1):
+            # torch >=2 parametrized weight-norm may keep g over dim 2
+            # as (1, 1, K) already; older exports match fairseq layout
+            value = value.reshape(1, 1, -1)
+        out[("w2v_encoder.w2v_model." if ctc else "") + fs] = value
+    return out, skipped
+
+
+def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
+                     num_fx_layers: int = 7, ctc: bool = False
+                     ) -> Tuple[Dict, Dict]:
+    """HF Wav2Vec2 state dict -> our params. Same (params, report)
+    contract as ``load_fairseq_bin``; untranslatable HF keys are reported
+    under ``unexpected``."""
+    renamed, skipped = hf_to_fairseq_state(state, ctc=ctc)
+    if ctc:
+        params, report = convert_ctc_state(renamed, num_layers, num_fx_layers)
+    else:
+        params, report = convert_pretrained_state(renamed, num_layers, num_fx_layers)
+    report["unexpected"] = sorted(report["unexpected"] + skipped)
+    return params, report
+
+
+def _check_hf_config(cfg: Dict[str, Any]) -> None:
+    if cfg.get("do_stable_layer_norm", False):
+        raise ValueError(
+            "do_stable_layer_norm=True (pre-norm 'large/robust' variant) "
+            "uses a different layer graph; only the post-norm base "
+            "topology is supported")
+    if cfg.get("feat_extract_norm", "group") != "group":
+        raise ValueError(
+            "feat_extract_norm != 'group' (per-layer-norm extractor) is "
+            "not the reference topology")
+
+
+def load_hf_dir(model_dir: str, ctc: bool = False) -> Tuple[Dict, Dict]:
+    """Load a ``save_pretrained`` directory (config.json +
+    model.safetensors / pytorch_model.bin) and convert."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    _check_hf_config(cfg)
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        state = load_file(st_path)
+    else:
+        import torch
+
+        blob = torch.load(os.path.join(model_dir, "pytorch_model.bin"),
+                          map_location="cpu", weights_only=True)
+        state = {k: v.numpy() for k, v in blob.items()}
+    num_fx = len(cfg.get("conv_kernel", [10, 3, 3, 3, 3, 2, 2]))
+    return convert_hf_state(state, num_layers=cfg["num_hidden_layers"],
+                            num_fx_layers=num_fx, ctc=ctc)

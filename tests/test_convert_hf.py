@@ -1,0 +1,127 @@
+"""Golden parity for the HF transformers converter: a real (randomly
+initialized) ``transformers`` Wav2Vec2ForCTC / Wav2Vec2ForPreTraining is
+converted and our model must reproduce its forward pass — a stronger
+oracle than a hand-written replica, since HF's module tree is the
+verification target itself."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from audio8_tpu.config import AcousticConfig, PretrainConfig
+from audio8_tpu.models.convert import merge_params
+from audio8_tpu.models.convert_hf import convert_hf_state, load_hf_dir
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel, Wav2Vec2Model
+
+D, H, L, V = 64, 4, 2, 10
+
+
+def hf_config(**kw):
+    base = dict(hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+                intermediate_size=4 * D, vocab_size=V,
+                do_stable_layer_norm=False, feat_extract_norm="group",
+                layerdrop=0.0)
+    base.update(kw)
+    return transformers.Wav2Vec2Config(**base)
+
+
+@pytest.fixture(scope="module")
+def hf_ctc():
+    torch.manual_seed(0)
+    return transformers.Wav2Vec2ForCTC(hf_config()).eval()
+
+
+def test_hf_ctc_forward_parity(hf_ctc):
+    state = {k: v.numpy() for k, v in hf_ctc.state_dict().items()}
+    params, report = convert_hf_state(state, num_layers=L, ctc=True)
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(0).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        logits_t = hf_ctc(torch.from_numpy(x)).logits
+    want = torch.log_softmax(logits_t, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
+
+
+def test_hf_pretraining_conversion_covers_model():
+    torch.manual_seed(1)
+    hf = transformers.Wav2Vec2ForPreTraining(hf_config(
+        num_codevectors_per_group=8, num_codevector_groups=2,
+        codevector_dim=16, proj_codevector_dim=16)).eval()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params, report = convert_hf_state(state, num_layers=L, ctc=False)
+    assert report["missing"] == [], report["missing"]
+    # dropout-only modules aside, everything translates
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = PretrainConfig(d_model=D, num_heads=H, num_layers=L, dropout=0.0,
+                         dropout_input=0.0, dropout_features=0.0,
+                         num_vq_vars=8, num_vq_groups=2, final_dim=16,
+                         timestep_masking=0.65)
+    model = Wav2Vec2Model(config=cfg)
+    sig = jnp.zeros((1, 8000), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+    init = model.init(rngs, sig, train=True)["params"]
+    merged = merge_params(init, params)
+    flat = lambda t: {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_leaves_with_path(t)}
+    fi, fc = flat(init), flat(params)
+    assert set(fc) == set(fi), set(fi) ^ set(fc)
+    for k in fi:
+        assert tuple(fi[k]) == tuple(fc[k]), k
+    # converted weights must run through the pretraining forward
+    context_masked, targets_masked, prob_ppl, _ = model.apply(
+        {"params": merged}, sig, train=False,
+        rngs={"mask": jax.random.PRNGKey(5),
+              "gumbel": jax.random.PRNGKey(6)})
+    for arr in (context_masked, targets_masked, prob_ppl):
+        assert np.all(np.isfinite(np.asarray(arr, np.float32)))
+
+
+def test_hf_stable_layer_norm_rejected(tmp_path, hf_ctc):
+    d = tmp_path / "m"
+    hf = transformers.Wav2Vec2Model(hf_config(do_stable_layer_norm=True))
+    hf.save_pretrained(str(d))
+    with pytest.raises(ValueError, match="do_stable_layer_norm"):
+        load_hf_dir(str(d))
+
+
+def test_hf_convert_cli(tmp_path, hf_ctc):
+    """a8t-convert-checkpoint --format auto on an HF dir writes an Orbax
+    checkpoint with the HF config's dims (flags ignored for size)."""
+    import os
+
+    from audio8_tpu.cli import convert_checkpoint
+
+    d = tmp_path / "hfmodel"
+    hf_ctc.save_pretrained(str(d))
+    out = tmp_path / "out" / "ckpt"
+    convert_checkpoint.main([
+        "--input", str(d), "--output", str(out), "--ctc", "true"])
+    written = [p for p in os.listdir(tmp_path / "out") if "ckpt" in p]
+    assert written, os.listdir(tmp_path / "out")
+
+
+def test_hf_dir_roundtrip(tmp_path, hf_ctc):
+    d = tmp_path / "ctc"
+    hf_ctc.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc=True)
+    assert report["missing"] == []
+    kernel = params["proj"]["kernel"]
+    want = hf_ctc.lm_head.weight.detach().numpy().T
+    np.testing.assert_allclose(kernel, want, rtol=1e-6)
