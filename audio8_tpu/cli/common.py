@@ -95,6 +95,29 @@ def resolve_restart(
                     report["missing"][:5], report["unexpected"][:5])
         return merge_params(init_params, loaded), None, 0
 
+    if os.path.isdir(restart_from) and os.path.exists(
+            os.path.join(restart_from, "config.json")):
+        # HF transformers save_pretrained dir (extension beyond the
+        # reference): warm-start from it like a fairseq .pt
+        from audio8_tpu.models.convert_hf import load_hf_dir
+
+        loaded, report = load_hf_dir(restart_from, ctc="auto")
+        # quantizer/projection heads are legitimately absent from a bare
+        # Wav2Vec2Model export; missing ones keep their init (the
+        # reference's strict=False load, wav2vec2.py:184)
+        hard_missing = [k for k in report["missing"]
+                        if k.split(".")[0] not in
+                        ("quantizer", "project_q", "final_proj")]
+        if hard_missing:
+            raise ValueError(f"HF checkpoint missing keys: {hard_missing[:5]}")
+        if ctc and report["kind"] == "pretrained":
+            # pretrained tree warm-starts the downstream encoder submodule
+            loaded = {"encoder": loaded}
+        logger.info("HF load report (%s): missing=%s unexpected=%s",
+                    report["kind"], report["missing"][:5],
+                    report["unexpected"][:5])
+        return merge_params(init_params, loaded), None, 0
+
     path = restart_from
     if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_METADATA")):
         try:

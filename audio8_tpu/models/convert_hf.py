@@ -147,9 +147,12 @@ def _check_hf_config(cfg: Dict[str, Any]) -> None:
             "not the reference topology")
 
 
-def load_hf_dir(model_dir: str, ctc: bool = False) -> Tuple[Dict, Dict]:
+def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
     """Load a ``save_pretrained`` directory (config.json +
-    model.safetensors / pytorch_model.bin) and convert."""
+    model.safetensors / pytorch_model.bin) and convert.
+
+    ``ctc='auto'`` detects the source head (``lm_head`` present ->
+    ForCTC); the decision is reported as ``report['kind']``."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     _check_hf_config(cfg)
@@ -165,5 +168,9 @@ def load_hf_dir(model_dir: str, ctc: bool = False) -> Tuple[Dict, Dict]:
                           map_location="cpu", weights_only=True)
         state = {k: v.numpy() for k, v in blob.items()}
     num_fx = len(cfg.get("conv_kernel", [10, 3, 3, 3, 3, 2, 2]))
-    return convert_hf_state(state, num_layers=cfg["num_hidden_layers"],
-                            num_fx_layers=num_fx, ctc=ctc)
+    if ctc == "auto":
+        ctc = any(k.startswith("lm_head") for k in state)
+    params, report = convert_hf_state(state, num_layers=cfg["num_hidden_layers"],
+                                      num_fx_layers=num_fx, ctc=ctc)
+    report["kind"] = "ctc" if ctc else "pretrained"
+    return params, report

@@ -117,6 +117,43 @@ def test_hf_convert_cli(tmp_path, hf_ctc):
     assert written, os.listdir(tmp_path / "out")
 
 
+def test_hf_warmstart_resolve_restart(tmp_path, hf_ctc):
+    """--restart_from <hf dir> warm-starts training: a ForCTC export
+    fills the whole acoustic tree; a bare Wav2Vec2Model export fills the
+    encoder submodule and keeps the fresh CTC head."""
+    from audio8_tpu.cli.common import resolve_restart
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = jnp.zeros((1, 4000), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    d_ctc = tmp_path / "ctc"
+    hf_ctc.save_pretrained(str(d_ctc))
+    params, _, step = resolve_restart(str(d_ctc), init, ctc=True,
+                                      num_layers=L)
+    assert step == 0
+    np.testing.assert_allclose(
+        params["proj"]["kernel"], hf_ctc.lm_head.weight.detach().numpy().T,
+        rtol=1e-6)
+
+    torch.manual_seed(2)
+    bare = transformers.Wav2Vec2Model(hf_config()).eval()
+    d_bare = tmp_path / "bare"
+    bare.save_pretrained(str(d_bare))
+    params2, _, _ = resolve_restart(str(d_bare), init, ctc=True,
+                                    num_layers=L)
+    got = params2["encoder"]["encoder"]["transformer"]["layer_0"][
+        "self_attn"]["w_Q"]["kernel"]
+    want = bare.encoder.layers[0].attention.q_proj.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # fresh head kept from init
+    np.testing.assert_allclose(params2["proj"]["kernel"],
+                               init["proj"]["kernel"], rtol=1e-6)
+
+
 def test_hf_dir_roundtrip(tmp_path, hf_ctc):
     d = tmp_path / "ctc"
     hf_ctc.save_pretrained(str(d))
