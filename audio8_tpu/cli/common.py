@@ -65,6 +65,9 @@ def resolve_restart(
     num_layers: int = 12,
     sr: int = 16,
     restart_tt: Optional[str] = None,
+    pre_norm: bool = False,
+    extractor_mode: str = "group",
+    conv_bias: bool = False,
 ) -> Tuple[Dict, Optional[Any], int]:
     """Resolve --restart_from like the reference (train.py:215-252):
 
@@ -78,9 +81,11 @@ def resolve_restart(
     """
     if not restart_from:
         return init_params, None, 0
+    topo = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
+                conv_bias=conv_bias)
     if restart_from.endswith(".pt"):
         try:
-            loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr)
+            loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr, **topo)
             if report["missing"]:
                 raise ValueError(f"missing keys: {report['missing'][:3]}...")
             if ctc:
@@ -90,7 +95,7 @@ def resolve_restart(
                 # load_fairseq_bin(model.encoder, ...) at train.py:221
                 loaded = {"encoder": loaded}
         except Exception:
-            loaded, report = load_fairseq_bin(restart_from, ctc=True, num_layers=num_layers, sr=sr)
+            loaded, report = load_fairseq_bin(restart_from, ctc=True, num_layers=num_layers, sr=sr, **topo)
         logger.info("fairseq load report: missing=%s unexpected=%s",
                     report["missing"][:5], report["unexpected"][:5])
         return merge_params(init_params, loaded), None, 0
@@ -186,9 +191,18 @@ MODEL_PRESETS = {
     "base": {},
     "large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
               "num_layers": 24, "final_dim": 768},
+    # LV-60k-style large: stable layer norm (pre-norm encoder) +
+    # per-block layer-norm extractor with conv bias (arXiv 2006.11477
+    # LARGE LV-60; fairseq wav2vec2_large_librivox config). A topology
+    # beyond the reference's post-norm-only encoder.
+    "large-lv60": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                   "num_layers": 24, "final_dim": 768, "pre_norm": True,
+                   "extractor_mode": "layer", "conv_bias": True},
 }
 _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
-                         "num_layers": 12, "final_dim": 256}
+                         "num_layers": 12, "final_dim": 256,
+                         "pre_norm": False, "extractor_mode": "group",
+                         "conv_bias": False}
 
 
 def apply_preset(args):
@@ -221,6 +235,14 @@ def add_common_model_args(parser):
     parser.add_argument("--attention_dropout", type=float, default=None,
                         help="attention-prob dropout (default: --dropout)")
     parser.add_argument("--layer_drop", type=float, default=0.0)
+    parser.add_argument("--pre_norm", type=str2bool, default=False,
+                        help="stable-layer-norm (pre-norm) encoder, the "
+                             "LV-60/XLSR large topology")
+    parser.add_argument("--extractor_mode", choices=["group", "layer"],
+                        default="group",
+                        help="conv feature extractor norm: 'group' "
+                             "(base) or per-block 'layer' (LV-60/XLSR)")
+    parser.add_argument("--conv_bias", type=str2bool, default=False)
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

@@ -65,23 +65,32 @@ def main(argv=None):
         args.d_model = hf_cfg["hidden_size"]
         args.num_heads = hf_cfg["num_attention_heads"]
         args.d_ff = hf_cfg["intermediate_size"]
+        args.pre_norm = hf_cfg.get("do_stable_layer_norm", False)
+        args.extractor_mode = hf_cfg.get("feat_extract_norm", "group")
+        args.conv_bias = hf_cfg.get("conv_bias", False)
         if args.ctc:
             args.num_labels = hf_cfg["vocab_size"]
     else:
-        params, report = load_fairseq_bin(args.input, ctc=args.ctc,
-                                          num_layers=args.num_layers, sr=sr)
+        params, report = load_fairseq_bin(
+            args.input, ctc=args.ctc, num_layers=args.num_layers, sr=sr,
+            pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+            conv_bias=args.conv_bias)
     if report["missing"] or report["unexpected"]:
         raise ValueError(f"Unmapped checkpoint keys: {report}")
 
     if args.ctc:
         model = Wav2Vec2AcousticModel(config=AcousticConfig(
             num_labels=args.num_labels, sample_rate=sr, d_model=args.d_model,
-            num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff))
+            num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
+            pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+            conv_bias=args.conv_bias))
         init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
     else:
         model = Wav2Vec2Model(config=PretrainConfig(
             sample_rate=sr, d_model=args.d_model, num_heads=args.num_heads,
-            num_layers=args.num_layers, d_ff=args.d_ff))
+            num_layers=args.num_layers, d_ff=args.d_ff,
+            pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+            conv_bias=args.conv_bias))
         rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
                 "gumbel": jax.random.PRNGKey(2)}
         init = model.init(rngs, jnp.zeros((1, 16000)), train=False)["params"]

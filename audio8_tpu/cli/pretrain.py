@@ -110,7 +110,8 @@ def train(argv=None):
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
-        remat=args.remat,
+        remat=args.remat, pre_norm=args.pre_norm,
+        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias,
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 
@@ -126,7 +127,9 @@ def train(argv=None):
     template = TrainState.create(init_params, tx)
     params, state, global_step = resolve_restart(
         args.restart_from, init_params, template, ctc=False,
-        num_layers=args.num_layers, sr=args.target_sample_rate // 1000)
+        num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
+        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+        conv_bias=args.conv_bias)
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

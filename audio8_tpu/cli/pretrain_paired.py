@@ -136,6 +136,8 @@ def train(argv=None):
         sample_rate=args.target_sample_rate // 1000, d_model=args.d_model,
         num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
         dropout=args.dropout, layer_drop=args.layer_drop, remat=args.remat,
+        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+        conv_bias=args.conv_bias,
         reduction_type=args.audio_reduction_type, reduction_d_k=args.audio_d_k)
     text_cfg = TextEncoderConfig(
         vocab_size=len(vocab), d_model=args.text_d_model,
@@ -174,7 +176,9 @@ def train(argv=None):
     init_params = {"model": mp, "loss": lp}
     template = TrainState.create(init_params, tx)
     _, state, global_step = resolve_restart(
-        args.restart_from, init_params, template)
+        args.restart_from, init_params, template,
+        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+        conv_bias=args.conv_bias)
     if state is None:
         state = TrainState.create(init_params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

@@ -130,7 +130,9 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len, layer_drop=args.layer_drop,
-        remat=args.remat, freeze_fx=args.freeze_fx)
+        remat=args.remat, pre_norm=args.pre_norm,
+        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias,
+        freeze_fx=args.freeze_fx)
     dec_cfg = DecoderConfig(
         vocab_size=len(vocab), d_model=args.d_model,
         num_heads=args.decoder_heads, num_layers=args.decoder_layers,
@@ -150,7 +152,9 @@ def train(argv=None):
     params, state, global_step = resolve_restart(
         args.restart_from, init_params, template, ctc=True,
         num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
-        restart_tt=args.restart_tt)
+        restart_tt=args.restart_tt,
+        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+        conv_bias=args.conv_bias)
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

@@ -69,6 +69,13 @@ class EncoderConfig:
     # saves only layer inputs, recomputes in-layer activations. Needed
     # for large models on long clips; costs ~1 extra forward.
     remat: bool = False
+    # Topology variants beyond the reference (which is post-norm +
+    # group-norm extractor only): pre_norm=True is fairseq/HF 'stable
+    # layer norm' (LV-60/XLSR large); extractor_mode='layer' puts a
+    # channel LayerNorm after every conv block (usually with conv_bias).
+    pre_norm: bool = False
+    extractor_mode: str = "group"
+    conv_bias: bool = False
 
     @property
     def conv_features(self) -> List[Tuple[int, int, int]]:

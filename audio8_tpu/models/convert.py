@@ -38,21 +38,37 @@ def _set(tree: Dict, path: List[str], value: np.ndarray) -> None:
     node[path[-1]] = np.asarray(value, np.float32)
 
 
-def _encoder_assignments(num_layers: int, num_fx_layers: int):
+def _encoder_assignments(num_layers: int, num_fx_layers: int,
+                         pre_norm: bool = False,
+                         extractor_mode: str = "group",
+                         conv_bias: bool = False):
     """(fairseq_key, our_path, transform) for the shared encoder body.
 
     Paths are relative to our ``Wav2Vec2Encoder`` params tree and fairseq
-    keys relative to the wav2vec2 model root.
+    keys relative to the wav2vec2 model root. ``pre_norm`` /
+    ``extractor_mode='layer'`` / ``conv_bias`` select the LV-60/XLSR
+    'stable layer norm' topology (fairseq layer_norm_first: the final
+    ``encoder.layer_norm`` sits after the stack; per-block extractor
+    LayerNorms live at sequential index 2.1).
     """
     out = []
     # conv feature extractor
     for i in range(num_fx_layers):
         out.append((f"feature_extractor.conv_layers.{i}.0.weight",
                     ["feature_extractor", f"conv_{i}", "kernel"], _conv))
-    out.append(("feature_extractor.conv_layers.0.2.weight",
-                ["feature_extractor", "norm_0", "scale"], np.asarray))
-    out.append(("feature_extractor.conv_layers.0.2.bias",
-                ["feature_extractor", "norm_0", "bias"], np.asarray))
+        if conv_bias:
+            out.append((f"feature_extractor.conv_layers.{i}.0.bias",
+                        ["feature_extractor", f"conv_{i}", "bias"], np.asarray))
+        if extractor_mode == "layer":
+            out.append((f"feature_extractor.conv_layers.{i}.2.1.weight",
+                        ["feature_extractor", f"ln_{i}", "scale"], np.asarray))
+            out.append((f"feature_extractor.conv_layers.{i}.2.1.bias",
+                        ["feature_extractor", f"ln_{i}", "bias"], np.asarray))
+    if extractor_mode == "group":
+        out.append(("feature_extractor.conv_layers.0.2.weight",
+                    ["feature_extractor", "norm_0", "scale"], np.asarray))
+        out.append(("feature_extractor.conv_layers.0.2.bias",
+                    ["feature_extractor", "norm_0", "bias"], np.asarray))
     # post-fx layer norm + input projection + mask embedding
     out.append(("layer_norm.weight", ["layer_norm", "scale"], np.asarray))
     out.append(("layer_norm.bias", ["layer_norm", "bias"], np.asarray))
@@ -64,9 +80,12 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int):
     out.append(("encoder.pos_conv.0.weight_g", ["encoder", "pos_conv", "weight_g"],
                 lambda x: np.transpose(np.asarray(x), (2, 1, 0))))
     out.append(("encoder.pos_conv.0.bias", ["encoder", "pos_conv", "bias"], np.asarray))
-    # pre-transformer layer norm
-    out.append(("encoder.layer_norm.weight", ["encoder", "ln", "scale"], np.asarray))
-    out.append(("encoder.layer_norm.bias", ["encoder", "ln", "bias"], np.asarray))
+    # encoder-level layer norm: pre-transformer in the post-norm layout,
+    # after the stack (ln_out) under layer_norm_first/stable-LN
+    ln_path = (["encoder", "transformer", "ln_out"] if pre_norm
+               else ["encoder", "ln"])
+    out.append(("encoder.layer_norm.weight", ln_path + ["scale"], np.asarray))
+    out.append(("encoder.layer_norm.bias", ln_path + ["bias"], np.asarray))
     # transformer layers (fairseq post-norm: self_attn_layer_norm after
     # attention == our ln_attn; final_layer_norm after FFN == our ln_ffn;
     # same correspondence as the reference maps, wav2vec2.py:49-56)
@@ -91,7 +110,9 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int):
 
 
 def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
-                             num_fx_layers: int = 7) -> Tuple[Dict, Dict]:
+                             num_fx_layers: int = 7, pre_norm: bool = False,
+                             extractor_mode: str = "group",
+                             conv_bias: bool = False) -> Tuple[Dict, Dict]:
     """fairseq pretrained wav2vec2 'model' dict -> Wav2Vec2Model params.
 
     Returns (params, report) with report['missing'/'unexpected'] like
@@ -99,7 +120,9 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
     state = dict(state)
     params: Dict = {}
     missing: List[str] = []
-    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers):
+    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
+                                              pre_norm, extractor_mode,
+                                              conv_bias):
         if key in state:
             _set(params, path, tf(state.pop(key)))
         else:
@@ -123,7 +146,9 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
 
 
 def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
-                      num_fx_layers: int = 7) -> Tuple[Dict, Dict]:
+                      num_fx_layers: int = 7, pre_norm: bool = False,
+                      extractor_mode: str = "group",
+                      conv_bias: bool = False) -> Tuple[Dict, Dict]:
     """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
     Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
     w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
@@ -131,7 +156,9 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
     prefix = "w2v_encoder.w2v_model."
     params: Dict = {}
     missing: List[str] = []
-    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers):
+    for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
+                                              pre_norm, extractor_mode,
+                                              conv_bias):
         full = prefix + key
         if full in state:
             _set(params, ["encoder"] + path, tf(state.pop(full)))
@@ -162,14 +189,20 @@ def load_torch_file(bin_file: str) -> Dict[str, Any]:
 
 
 def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
-                     sr: int = 16) -> Tuple[Dict, Dict]:
+                     sr: int = 16, pre_norm: bool = False,
+                     extractor_mode: str = "group",
+                     conv_bias: bool = False) -> Tuple[Dict, Dict]:
     """Reference-shaped entry point (wav2vec2.py:171-186): returns
-    (params, {'missing': [...], 'unexpected': [...]})."""
+    (params, {'missing': [...], 'unexpected': [...]}). The topology
+    kwargs select the LV-60/XLSR stable-LN layout (beyond the
+    reference's post-norm-only loader)."""
     state = load_torch_file(bin_file)
     num_fx = 7 if sr == 16 else 6
+    kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
+              conv_bias=conv_bias)
     if ctc:
-        return convert_ctc_state(state, num_layers, num_fx)
-    return convert_pretrained_state(state, num_layers, num_fx)
+        return convert_ctc_state(state, num_layers, num_fx, **kw)
+    return convert_pretrained_state(state, num_layers, num_fx, **kw)
 
 
 def merge_params(target: Dict, loaded: Dict, _dropped: Optional[list] = None) -> Dict:

@@ -11,11 +11,11 @@ converter (``models/convert.py``). Supported sources:
 - ``Wav2Vec2ForCTC`` -> ``Wav2Vec2AcousticModel`` params (``lm_head`` ->
   CTC projection).
 
-Only the wav2vec2-base topology is accepted: post-norm encoder
-(``do_stable_layer_norm=False``) with group-norm feature extraction
-(``feat_extract_norm='group'``); the large/robust pre-norm variants use a
-different layer graph and are rejected loudly rather than silently
-mis-converted.
+Both wav2vec2 topologies convert: the post-norm base layout
+(``do_stable_layer_norm=False``, ``feat_extract_norm='group'``) and the
+stable-LN LV-60/XLSR large layout (``do_stable_layer_norm=True``,
+``feat_extract_norm='layer'``, ``conv_bias``) — the latter is beyond the
+reference, whose encoder is post-norm only.
 
 Note on vocabularies: HF CTC vocabs (<pad>=0, ...) differ from fairseq
 dict ordering. Weights are copied as-is; remap rows (or use
@@ -53,16 +53,22 @@ _STATIC_MAP = {
 }
 
 
-def _translate_key(key: str):
+def _translate_key(key: str, extractor_mode: str = "group"):
     """One HF base-model key -> fairseq-named key, or None if untranslatable."""
     if key.startswith("feature_extractor.conv_layers."):
         rest = key[len("feature_extractor.conv_layers."):]
         i, sub = rest.split(".", 1)
         if sub == "conv.weight":
             return f"feature_extractor.conv_layers.{i}.0.weight"
+        if sub == "conv.bias":
+            return f"feature_extractor.conv_layers.{i}.0.bias"
         if sub in ("layer_norm.weight", "layer_norm.bias"):
-            # group-mode: only block 0 carries a (Group)norm, index 2
-            return f"feature_extractor.conv_layers.{i}.2.{sub.split('.')[1]}"
+            leaf = sub.split(".")[1]
+            if extractor_mode == "layer":
+                # per-block LN in the fairseq sequential sits at 2.1
+                return f"feature_extractor.conv_layers.{i}.2.1.{leaf}"
+            # group-mode: only block 0 carries a GroupNorm, index 2
+            return f"feature_extractor.conv_layers.{i}.2.{leaf}"
         return None
     if key.startswith("encoder.layers."):
         rest = key[len("encoder.layers."):]
@@ -84,7 +90,8 @@ def _translate_key(key: str):
     return None
 
 
-def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False
+def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
+                        extractor_mode: str = "group"
                         ) -> Tuple[Dict[str, np.ndarray], list]:
     """Rename an HF Wav2Vec2 state dict into fairseq naming.
 
@@ -107,7 +114,7 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False
             if base_key.startswith(prefix):
                 base_key = base_key[len(prefix):]
                 break
-        fs = _translate_key(base_key)
+        fs = _translate_key(base_key, extractor_mode)
         if fs is None:
             skipped.append(key)
             continue
@@ -121,30 +128,31 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False
 
 
 def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
-                     num_fx_layers: int = 7, ctc: bool = False
-                     ) -> Tuple[Dict, Dict]:
+                     num_fx_layers: int = 7, ctc: bool = False,
+                     pre_norm: bool = False, extractor_mode: str = "group",
+                     conv_bias: bool = False) -> Tuple[Dict, Dict]:
     """HF Wav2Vec2 state dict -> our params. Same (params, report)
     contract as ``load_fairseq_bin``; untranslatable HF keys are reported
-    under ``unexpected``."""
-    renamed, skipped = hf_to_fairseq_state(state, ctc=ctc)
+    under ``unexpected``. ``pre_norm``/``extractor_mode``/``conv_bias``
+    select the stable-LN (LV-60/XLSR) topology."""
+    renamed, skipped = hf_to_fairseq_state(state, ctc=ctc,
+                                           extractor_mode=extractor_mode)
+    kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
+              conv_bias=conv_bias)
     if ctc:
-        params, report = convert_ctc_state(renamed, num_layers, num_fx_layers)
+        params, report = convert_ctc_state(renamed, num_layers,
+                                           num_fx_layers, **kw)
     else:
-        params, report = convert_pretrained_state(renamed, num_layers, num_fx_layers)
+        params, report = convert_pretrained_state(renamed, num_layers,
+                                                  num_fx_layers, **kw)
     report["unexpected"] = sorted(report["unexpected"] + skipped)
     return params, report
 
 
 def _check_hf_config(cfg: Dict[str, Any]) -> None:
-    if cfg.get("do_stable_layer_norm", False):
+    if cfg.get("feat_extract_norm", "group") not in ("group", "layer"):
         raise ValueError(
-            "do_stable_layer_norm=True (pre-norm 'large/robust' variant) "
-            "uses a different layer graph; only the post-norm base "
-            "topology is supported")
-    if cfg.get("feat_extract_norm", "group") != "group":
-        raise ValueError(
-            "feat_extract_norm != 'group' (per-layer-norm extractor) is "
-            "not the reference topology")
+            f"unknown feat_extract_norm {cfg.get('feat_extract_norm')!r}")
 
 
 def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
@@ -170,7 +178,10 @@ def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
     num_fx = len(cfg.get("conv_kernel", [10, 3, 3, 3, 3, 2, 2]))
     if ctc == "auto":
         ctc = any(k.startswith("lm_head") for k in state)
-    params, report = convert_hf_state(state, num_layers=cfg["num_hidden_layers"],
-                                      num_fx_layers=num_fx, ctc=ctc)
+    params, report = convert_hf_state(
+        state, num_layers=cfg["num_hidden_layers"], num_fx_layers=num_fx,
+        ctc=ctc, pre_norm=cfg.get("do_stable_layer_norm", False),
+        extractor_mode=cfg.get("feat_extract_norm", "group"),
+        conv_bias=cfg.get("conv_bias", False))
     report["kind"] = "ctc" if ctc else "pretrained"
     return params, report

@@ -55,12 +55,17 @@ Dtype = Any
 class ConvFeatureExtractor(nn.Module):
     """Strided conv stack: raw waveform (B, T) -> frames (B, T', C).
 
-    Matches the reference layout (conv -> dropout -> [GroupNorm on block 0]
-    -> GELU; kaiming init, no conv bias; wav2vec2.py:399-456)."""
+    ``mode='group'`` matches the reference layout (conv -> dropout ->
+    [GroupNorm on block 0] -> GELU; kaiming init, no conv bias;
+    wav2vec2.py:399-456). ``mode='layer'`` is the fairseq/HF
+    'layer-norm' extractor used by the LV-60/XLSR large topology
+    (per-block channel LayerNorm after every conv, usually with conv
+    bias) — an extension beyond the reference, which is group-only."""
 
     conv_features: tuple
     dropout: float = 0.0
     conv_bias: bool = False
+    mode: str = "group"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -81,7 +86,12 @@ class ConvFeatureExtractor(nn.Module):
             )(x)
             if self.dropout > 0:
                 x = Dropout(self.dropout)(x, deterministic=not train)
-            if i == 0:
+            if self.mode == "layer":
+                # per-frame channel LayerNorm: padding-invariant by
+                # construction (no cross-frame statistics)
+                x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                              name=f"ln_{i}")(x)
+            elif i == 0:
                 mask = None
                 if input_lengths is not None:
                     valid = jnp.maximum(
@@ -214,8 +224,13 @@ class GumbelVectorQuantizer(nn.Module):
 
 
 class AudioTransformerEncoder(nn.Module):
-    """Conv positional embedding + post-norm transformer stack
-    (wav2vec2.py:579-646)."""
+    """Conv positional embedding + transformer stack (wav2vec2.py:579-646).
+
+    ``pre_norm=False`` (default) is the reference's post-norm layout:
+    LayerNorm after pos-conv, post-norm layers. ``pre_norm=True`` is the
+    fairseq/HF 'stable layer norm' (LV-60/XLSR) layout: pre-norm layers
+    with the LayerNorm applied once after the stack (the stack's
+    ``ln_out``) — beyond the reference, which is post-norm only."""
 
     d_model: int
     num_heads: int
@@ -226,6 +241,7 @@ class AudioTransformerEncoder(nn.Module):
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     layer_drop: float = 0.0
+    pre_norm: bool = False
     flash_attention: bool = False
     bf16_softmax: bool = True
     remat: bool = False
@@ -238,13 +254,14 @@ class AudioTransformerEncoder(nn.Module):
             features=self.d_model, kernel_size=self.conv_pos_kernel,
             groups=self.conv_pos_groups, dropout_rate=self.dropout, **dd,
         )
-        self.ln = LayerNorm(**dd)
+        if not self.pre_norm:
+            self.ln = LayerNorm(**dd)
         self.drop = Dropout(self.dropout)
         self.transformer = TransformerEncoderStack(
             num_heads=self.num_heads, d_model=self.d_model,
             num_layers=self.num_layers, d_ff=self.d_ff or 4 * self.d_model,
             dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
-            activation="gelu", pre_norm=False,
+            activation="gelu", pre_norm=self.pre_norm,
             layer_drop=self.layer_drop, flash=self.flash_attention,
             bf16_softmax=self.bf16_softmax, remat=self.remat, **dd,
         )
@@ -253,7 +270,8 @@ class AudioTransformerEncoder(nn.Module):
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0)
         x = x + self.pos_conv(x)
-        x = self.ln(x)
+        if not self.pre_norm:
+            x = self.ln(x)
         x = self.drop(x, deterministic=not train)
         attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
         return self.transformer(x, attn_mask, deterministic=not train)
@@ -279,7 +297,8 @@ class Wav2Vec2Encoder(nn.Module):
         cfg = self.config
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.feature_extractor = ConvFeatureExtractor(
-            conv_features=tuple(cfg.conv_features), **dd)
+            conv_features=tuple(cfg.conv_features), mode=cfg.extractor_mode,
+            conv_bias=cfg.conv_bias, **dd)
         self.layer_norm = LayerNorm(**dd)
         self.proj_to_input = Dense(cfg.d_model, **dd)
         self.encoder = AudioTransformerEncoder(
@@ -287,7 +306,8 @@ class Wav2Vec2Encoder(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
+            layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
+            flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
@@ -404,7 +424,8 @@ class Wav2Vec2Model(nn.Module):
         cfg = self.config
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.feature_extractor = ConvFeatureExtractor(
-            conv_features=tuple(cfg.conv_features), **dd)
+            conv_features=tuple(cfg.conv_features), mode=cfg.extractor_mode,
+            conv_bias=cfg.conv_bias, **dd)
         self.layer_norm = LayerNorm(**dd)
         self.proj_to_input = Dense(cfg.d_model, **dd)
         self.quantizer = GumbelVectorQuantizer(
@@ -415,7 +436,8 @@ class Wav2Vec2Model(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
-            layer_drop=cfg.layer_drop, flash_attention=cfg.flash_attention,
+            layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
+            flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)

@@ -93,12 +93,39 @@ def test_hf_pretraining_conversion_covers_model():
         assert np.all(np.isfinite(np.asarray(arr, np.float32)))
 
 
-def test_hf_stable_layer_norm_rejected(tmp_path, hf_ctc):
-    d = tmp_path / "m"
-    hf = transformers.Wav2Vec2Model(hf_config(do_stable_layer_norm=True))
+def test_hf_stable_layer_norm_forward_parity(tmp_path):
+    """The LV-60/XLSR topology (pre-norm encoder + per-block layer-norm
+    extractor + conv bias) converts and matches HF's forward — a model
+    family the reference cannot load at all."""
+    torch.manual_seed(3)
+    hf = transformers.Wav2Vec2ForCTC(hf_config(
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        conv_bias=True)).eval()
+    d = tmp_path / "lv60"
     hf.save_pretrained(str(d))
-    with pytest.raises(ValueError, match="do_stable_layer_norm"):
-        load_hf_dir(str(d))
+    params, report = load_hf_dir(str(d), ctc=True)
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, pre_norm=True,
+                         extractor_mode="layer", conv_bias=True)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(1).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = lambda t: {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_leaves_with_path(t)}
+    fi, fc = flat(init), flat(params)
+    assert set(fc) == set(fi), set(fi) ^ set(fc)
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
 
 
 def test_hf_convert_cli(tmp_path, hf_ctc):

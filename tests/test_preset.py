@@ -29,6 +29,14 @@ def test_explicit_flag_beats_preset():
     assert args.d_model == 1024
 
 
+def test_large_lv60_preset():
+    args = pretrain.parse_args(BASE_ARGS + ["--preset", "large-lv60"])
+    assert (args.d_model, args.num_layers, args.final_dim) == (1024, 24, 768)
+    assert args.pre_norm is True
+    assert args.extractor_mode == "layer"
+    assert args.conv_bias is True
+
+
 def test_other_drivers_accept_preset():
     for mod, extra in ((train, TRAIN_ARGS),
                        (train_seq2seq, TRAIN_ARGS),
