@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio8_tpu.cli.common import add_common_model_args, resolve_restart, setup
+from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
+                                   resolve_restart, setup)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.text import TextVectorizer, read_vocab_list
@@ -77,7 +78,7 @@ def evaluate(argv=None):
                              "each batch up to the next bucket, bounding "
                              "XLA compile count")
     add_common_model_args(parser)
-    args = parser.parse_args(argv)
+    args = apply_preset(parser.parse_args(argv))
 
     Offsets.remap_fairseq_ctc()
     setup()
@@ -112,7 +113,8 @@ def evaluate(argv=None):
         num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
         d_model=args.d_model, num_heads=args.num_heads, num_layers=args.num_layers,
         d_ff=args.d_ff, dropout=args.dropout, timestep_masking=0.0,
-        channel_masking=0.0)
+        channel_masking=0.0, pre_norm=args.pre_norm,
+        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 
     checkpoint = args.checkpoint
@@ -123,7 +125,10 @@ def evaluate(argv=None):
     init_params = model.init(jax.random.PRNGKey(0), example)["params"]
     params, _, _ = resolve_restart(checkpoint, init_params, ctc=True,
                                    num_layers=args.num_layers,
-                                   sr=args.target_sample_rate // 1000)
+                                   sr=args.target_sample_rate // 1000,
+                                   pre_norm=args.pre_norm,
+                                   extractor_mode=args.extractor_mode,
+                                   conv_bias=args.conv_bias)
 
     eval_fn = build_eval_fn(model)
     postproc = M.postproc_letters if args.target_type != "bpe" else M.postproc_bpe

@@ -58,15 +58,18 @@ def main():
     }
     params = model.init(jax.random.PRNGKey(0), batch["signal"][:1],
                         batch["signal_lengths"][:1])["params"]
+    # host copy: the fused step donates its state buffers, so each freeze
+    # variant needs a freshly materialized TrainState
+    params_np = jax.tree_util.tree_map(np.asarray, params)
     tx = create_optimizer(create_lrs(1e-4, 1000, warmup_steps=10))
-    state = TrainState.create(params, tx)
     grad_fn, _, _ = make_ctc_steps(model, tx, clip=25.0)
     step = grad_fn.train_step
     key = jax.random.PRNGKey(3)
 
     for freeze, name in ((False, "full train step     "),
                          (True,  "full (frozen fx)    ")):
-        st = state
+        st = TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, params_np), tx)
         st, loss, _, _ = step(st, batch, key, freeze=freeze)
         np.asarray(loss)
         start = time.perf_counter()
@@ -125,16 +128,17 @@ def main():
     print(f"trans fwd (train)    {timeit(jax.jit(st_fwd), st_params, h):7.2f} ms", flush=True)
     print(f"trans fwd+bwd(params){timeit(jax.jit(st_gsum), st_params, h):7.2f} ms", flush=True)
 
-    # ---------------- CTC loss fwd+grad wrt logits
-    from audio8_tpu.ops.ctc import CTCLoss
+    # ---------------- CTC loss fwd+grad wrt log-probs
+    from audio8_tpu.ops.ctc import ctc_loss
 
-    loss_obj = CTCLoss(blank=Offsets.GO, reduction="sum", zero_infinity=True)
     V = 32
-    logits = jnp.asarray(rng.normal(size=(B, T2, V)), jnp.float32)
+    logits = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(B, T2, V)), jnp.float32))
     ll = jnp.full((B,), T2, jnp.int32)
 
     def ctc_fwd(lg):
-        return loss_obj(lg, batch["token_ids"], ll, batch["token_lengths"])
+        return ctc_loss(lg, ll, batch["token_ids"], batch["token_lengths"],
+                        blank=Offsets.GO, reduction="sum")
 
     def ctc_g(lg):
         v, g = jax.value_and_grad(ctc_fwd)(lg)
