@@ -27,3 +27,54 @@ def test_parity_harness_synthetic(tmp_path):
     assert all(v < 1e-3 for v in taps.values()), taps
     assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
     assert report["wer"]["jax"]["cer"] == report["wer"]["torch"]["cer"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stable_ln", [False, True])
+def test_parity_harness_hf(tmp_path, stable_ln):
+    """--hf mode: the live transformers forward is the oracle; both
+    topologies must match at float-noise level with equal greedy WER."""
+    import numpy as np
+    import torch
+    import transformers
+    from scipy.io import wavfile
+
+    from tools.parity_eval import main
+
+    torch.manual_seed(1 + stable_ln)
+    topo = (dict(do_stable_layer_norm=True, feat_extract_norm="layer",
+                 conv_bias=True) if stable_ln else {})
+    hf = transformers.Wav2Vec2ForCTC(transformers.Wav2Vec2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, vocab_size=12, layerdrop=0.0, **topo)).eval()
+    hf_dir = tmp_path / "hf"
+    hf.save_pretrained(str(hf_dir))
+
+    # tiny manifest (letters vocab of size 12 - 4 specials = 8 symbols)
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    rng = np.random.default_rng(0)
+    letters = list("ABCDEFG") + ["|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as df:
+        for ch in letters:
+            df.write(f"{ch} 1\n")
+    with open(tmp_path / "dev.tsv", "w") as tf, \
+         open(tmp_path / "dev.ltr", "w") as lf:
+        tf.write(str(audio) + "\n")
+        for i in range(4):
+            n = 8000 + 2000 * i
+            wavfile.write(str(audio / f"u{i}.wav"), 16000,
+                          (rng.normal(size=n) * 5000).astype(np.int16))
+            tf.write(f"u{i}.wav\t{n}\n")
+            lf.write("A B | C D |\n")
+
+    out = tmp_path / "report.json"
+    rc = main(["--hf", str(hf_dir), "--root_dir", str(tmp_path),
+               "--valid_dataset", "dev.tsv", "--valid_steps", "4",
+               "--json_out", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["ok"], report
+    taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
+    assert taps["log_probs"] < 1e-3
+    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]

@@ -40,6 +40,9 @@ logger = logging.getLogger("parity_eval")
 def parse_args(argv=None):
     p = ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", help="fairseq .pt (CTC-finetuned)")
+    p.add_argument("--hf", metavar="DIR",
+                   help="HF transformers Wav2Vec2ForCTC save_pretrained "
+                        "dir; the live transformers forward is the oracle")
     p.add_argument("--root_dir", help="manifest directory (LibriSpeech format)")
     p.add_argument("--valid_dataset", help="e.g. dev-clean.tsv")
     p.add_argument("--dict_file", default="dict.ltr.txt")
@@ -56,6 +59,11 @@ def parse_args(argv=None):
                    help="generate a synthetic checkpoint+corpus in DIR and "
                         "run the full harness against it")
     p.add_argument("--json_out", help="write the report as JSON here")
+    p.add_argument("--backend", default="cpu", choices=["cpu", "default"],
+                   help="parity needs exact math: 'cpu' (default) forces "
+                        "the CPU backend (TPU's bf16-input matmul default "
+                        "adds ~1e-1 activation noise); 'default' keeps the "
+                        "platform backend")
     return p.parse_args(argv)
 
 
@@ -128,13 +136,13 @@ def jax_taps(model, params, x):
     return taps
 
 
-def activation_deltas(state, model, params, probes, num_heads, fx):
-    from audio8_tpu.models.torch_ref import ctc_log_probs
-
+def activation_deltas(oracle, model, params, probes):
+    """``oracle(x, taps)`` runs the reference forward, appending
+    (name, value) activation pairs to ``taps``."""
     rows = []
     for x in probes:
         t_taps: list = []
-        ctc_log_probs(state, x, num_heads=num_heads, fx=fx, taps=t_taps)
+        oracle(x, taps=t_taps)
         j_taps = jax_taps(model, params, x)
         for name, t_val in t_taps:
             if name not in j_taps:
@@ -155,14 +163,13 @@ def activation_deltas(state, model, params, probes, num_heads, fx):
     return list(worst.values())
 
 
-def wer_side_by_side(state, model, params, valid_set, index2vocab, num_heads,
-                     fx, valid_steps):
-    """Greedy WER/CER, JAX pipeline vs torch replica, same audio (B=1 rows
-    so the no-padding torch replica sees exact lengths)."""
+def wer_side_by_side(oracle, model, params, valid_set, index2vocab,
+                     valid_steps):
+    """Greedy WER/CER, JAX pipeline vs the reference oracle, same audio
+    (B=1 rows so the no-padding oracle sees exact lengths)."""
     import jax
     import jax.numpy as jnp
 
-    from audio8_tpu.models.torch_ref import ctc_log_probs
     from audio8_tpu.ops import metrics as M
 
     @jax.jit
@@ -190,7 +197,7 @@ def wer_side_by_side(state, model, params, valid_set, index2vocab, num_heads,
             sm = M.ctc_metrics(frames_j, gold, np.asarray(fl_j), index2vocab)
             for j, k in enumerate(["c_errors", "c_total", "w_errors", "w_total"]):
                 acc["jax"][j] += sm[k]
-            lp_t = ctc_log_probs(state, x[:, :length], num_heads=num_heads, fx=fx)
+            lp_t = oracle(x[:, :length])
             frames_t = np.argmax(lp_t, -1).astype(np.int32)
             # score the replica over the same frame count the eval pipeline
             # uses (the reference's reshape-all downsampling under-counts by
@@ -213,6 +220,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
     import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import torch
 
@@ -231,27 +241,72 @@ def main(argv=None):
         args.root_dir = args.synthetic
         args.valid_dataset = "dev.tsv"
         args.num_heads = 4
-    if not args.checkpoint:
-        raise SystemExit("--checkpoint or --synthetic required")
+    if not args.checkpoint and not args.hf:
+        raise SystemExit("--checkpoint, --hf or --synthetic required")
 
-    raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
-    state = {k: np.asarray(v) for k, v in raw["model"].items()}
-    dims = infer_dims(state, prefix="w2v_encoder.w2v_model.")
     fx = CONV_FEATURES[args.sample_rate]
-    logger.info("checkpoint dims: %s", dims)
+    if args.hf:
+        # oracle = the live transformers implementation itself
+        import transformers
 
-    params, report = convert_ctc_state(state, num_layers=dims["num_layers"],
-                                       num_fx_layers=len(fx))
-    if report["missing"] or report["unexpected"]:
-        # the reference converter raises on unmapped keys
-        # (convert_wav2vec2_checkpoint.py:59-60)
-        raise SystemExit(f"unmapped keys: {report}")
+        from audio8_tpu.models.convert_hf import load_hf_dir
 
-    cfg = AcousticConfig(
-        num_labels=dims["num_labels"], sample_rate=args.sample_rate,
-        d_model=dims["d_model"], num_heads=args.num_heads,
-        num_layers=dims["num_layers"], d_ff=dims["d_ff"],
-        dropout=0.0, timestep_masking=0.0, channel_masking=0.0)
+        hf_model = transformers.Wav2Vec2ForCTC.from_pretrained(args.hf).eval()
+        hc = hf_model.config
+        params, report = load_hf_dir(args.hf, ctc=True)
+        if report["missing"] or report["unexpected"]:
+            raise SystemExit(f"unmapped keys: {report}")
+        dims = {"d_model": hc.hidden_size, "num_layers": hc.num_hidden_layers,
+                "d_ff": hc.intermediate_size, "num_labels": hc.vocab_size}
+        args.num_heads = hc.num_attention_heads
+        args.checkpoint = args.hf
+        logger.info("HF checkpoint dims: %s", dims)
+        cfg = AcousticConfig(
+            num_labels=hc.vocab_size, sample_rate=args.sample_rate,
+            d_model=hc.hidden_size, num_heads=hc.num_attention_heads,
+            num_layers=hc.num_hidden_layers, d_ff=hc.intermediate_size,
+            dropout=0.0, timestep_masking=0.0, channel_masking=0.0,
+            pre_norm=hc.do_stable_layer_norm,
+            extractor_mode=hc.feat_extract_norm, conv_bias=hc.conv_bias)
+
+        def oracle(x, taps=None):
+            with torch.no_grad():
+                out = hf_model(torch.from_numpy(np.asarray(x, np.float32)),
+                               output_hidden_states=taps is not None)
+            lp = torch.log_softmax(out.logits, -1).numpy()
+            if taps is not None:
+                taps.append(("log_probs", lp))
+                hs = out.hidden_states  # hs[i] = input to layer i
+                # hs[i+1] == output of layer i, except under stable-LN the
+                # final entry has the post-stack LayerNorm applied
+                last = len(hs) - (2 if hc.do_stable_layer_norm else 1)
+                for i in range(last):
+                    taps.append((f"layer_{i}", hs[i + 1].numpy()))
+            return lp
+    else:
+        raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+        state = {k: np.asarray(v) for k, v in raw["model"].items()}
+        dims = infer_dims(state, prefix="w2v_encoder.w2v_model.")
+        logger.info("checkpoint dims: %s", dims)
+
+        params, report = convert_ctc_state(state, num_layers=dims["num_layers"],
+                                           num_fx_layers=len(fx))
+        if report["missing"] or report["unexpected"]:
+            # the reference converter raises on unmapped keys
+            # (convert_wav2vec2_checkpoint.py:59-60)
+            raise SystemExit(f"unmapped keys: {report}")
+
+        cfg = AcousticConfig(
+            num_labels=dims["num_labels"], sample_rate=args.sample_rate,
+            d_model=dims["d_model"], num_heads=args.num_heads,
+            num_layers=dims["num_layers"], d_ff=dims["d_ff"],
+            dropout=0.0, timestep_masking=0.0, channel_masking=0.0)
+
+        from audio8_tpu.models.torch_ref import ctc_log_probs
+
+        def oracle(x, taps=None):
+            return ctc_log_probs(state, x, num_heads=args.num_heads, fx=fx,
+                                 taps=taps)
     model = Wav2Vec2AcousticModel(config=cfg)
     init = model.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 4000), jnp.float32))["params"]
@@ -280,8 +335,7 @@ def main(argv=None):
         rng = np.random.default_rng(len(probes))
         probes.append(rng.normal(size=(1, 16000)).astype(np.float32))
 
-    deltas = activation_deltas(state, model, params, probes,
-                               args.num_heads, fx)
+    deltas = activation_deltas(oracle, model, params, probes)
     report_out = {"checkpoint": args.checkpoint, "dims": dims,
                   "activation_deltas": deltas}
     # nan-aware: a NaN delta (e.g. a tap that failed to compare) must make
@@ -298,8 +352,8 @@ def main(argv=None):
                     d.get("note", ""))
 
     if valid_set is not None:
-        wers = wer_side_by_side(state, model, params, valid_set, index2vocab,
-                                args.num_heads, fx, args.valid_steps)
+        wers = wer_side_by_side(oracle, model, params, valid_set,
+                                index2vocab, args.valid_steps)
         report_out["wer"] = wers
         logger.info("greedy WER side-by-side: %s", json.dumps(wers))
         dw = abs(wers["jax"]["wer"] - wers["torch"]["wer"])
