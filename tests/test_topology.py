@@ -61,3 +61,36 @@ def test_prenorm_pretrain_step():
     context_masked, targets_masked, prob_ppl, valid = out
     for arr in (context_masked, targets_masked, prob_ppl):
         assert np.all(np.isfinite(np.asarray(arr, np.float32)))
+
+
+def test_prenorm_tp_forward_matches_replicated():
+    """Stable-LN topology under Megatron TP: the catch-all rule
+    replicates the new params (per-block extractor LNs, stack ln_out,
+    conv biases) and numerics match single-device."""
+    from audio8_tpu.parallel.sharding import (
+        TP_RULES, batch_sharding, make_mesh, shard_params,
+    )
+
+    assert len(jax.devices()) == 8
+    cfg = AcousticConfig(num_labels=12, d_model=64, num_heads=4, num_layers=2,
+                         d_ff=128, dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, **TOPO)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 4000)).astype(np.float32)
+    lens = np.full((8,), 4000, np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(lens))["params"]
+    ref, _ = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(lens))
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh, TP_RULES)
+    bs = batch_sharding(mesh)
+
+    @jax.jit
+    def fwd(p, xs, ls):
+        lp, _ = model.apply({"params": p}, xs, ls)
+        return lp
+
+    got = fwd(sharded, jax.device_put(x, bs), jax.device_put(lens, bs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
