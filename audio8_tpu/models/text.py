@@ -33,7 +33,21 @@ Dtype = Any
 
 def read_vocab_list(vocab_file: str) -> List[str]:
     """Specials (Offsets.VALUES) + one token per line (first whitespace
-    field) — fairseq ``dict.ltr.txt`` format (text.py:22-30)."""
+    field) — fairseq ``dict.ltr.txt`` format (text.py:22-30).
+
+    A ``.json`` file is read as an HF ``vocab.json`` token->index map
+    (specials already included at their indices), so HF checkpoints
+    evaluate with their own symbol table — extension beyond the
+    reference, which reads only fairseq dicts."""
+    if vocab_file.endswith(".json"):
+        import json
+
+        with open(vocab_file) as rf:
+            mapping = json.load(rf)
+        vocab = ["<unused>"] * (max(mapping.values()) + 1)
+        for tok, idx in mapping.items():
+            vocab[idx] = tok
+        return vocab
     vocab = list(Offsets.VALUES)
     with open(vocab_file) as rf:
         for line in rf:

@@ -189,3 +189,18 @@ def test_hf_dir_roundtrip(tmp_path, hf_ctc):
     kernel = params["proj"]["kernel"]
     want = hf_ctc.lm_head.weight.detach().numpy().T
     np.testing.assert_allclose(kernel, want, rtol=1e-6)
+
+
+def test_hf_vocab_json(tmp_path):
+    """read_vocab_list consumes HF vocab.json with specials at their
+    exact indices (no Offsets prepending)."""
+    import json as _json
+
+    from audio8_tpu.models.text import read_vocab_list
+
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4,
+             "E": 5, "T": 6}
+    p = tmp_path / "vocab.json"
+    p.write_text(_json.dumps(vocab))
+    lst = read_vocab_list(str(p))
+    assert lst == ["<pad>", "<s>", "</s>", "<unk>", "|", "E", "T"]
