@@ -1,0 +1,102 @@
+"""Serving helpers: long-audio transcription through fixed-shape chunks.
+
+The reference bounds clip length data-side (max_sample_len ~20 s,
+/root/reference/audio8/pretrain.py:45) and has no long-audio path. On
+TPU the constraint is compile-shape stability: one XLA program must
+serve any input length. ``ChunkedTranscriber`` slices the waveform into
+fixed ``chunk_samples`` windows with ``context_samples`` of overlap on
+each side, runs the acoustic forward on (batch, chunk) blocks, drops the
+margin frames of interior chunks, and stitches per-frame log-probs —
+after which greedy or prefix-beam decoding proceeds exactly as for a
+single clip.
+
+Overlap rationale: the encoder's receptive field is global (self
+attention), so chunk boundaries perturb nearby frames; a ~2 s context
+margin pushes the perturbation outside the kept frames. Accuracy equals
+the unchunked forward for audio shorter than one chunk and degrades only
+at stitch points otherwise.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from audio8_tpu.config import conv_output_length
+
+
+class ChunkedTranscriber:
+    """Stitched log-probs + transcription for arbitrarily long audio.
+
+    ``forward(signal (B, chunk) f32, lengths (B,) i32) -> (log_probs
+    (B, T', V), frame_lengths (B,))`` — the jitted acoustic eval fn
+    (cli/test.py's eval path). Chunk geometry is in samples.
+    """
+
+    def __init__(self, forward: Callable, conv_features: Sequence,
+                 chunk_samples: int = 480_000,
+                 context_samples: int = 32_000, batch_size: int = 4):
+        if chunk_samples <= 2 * context_samples:
+            raise ValueError("chunk must exceed twice the context margin")
+        self.forward = forward
+        self.chunk = int(chunk_samples)
+        self.context = int(context_samples)
+        self.batch = int(batch_size)
+        self.conv_features = list(conv_features)
+        # frames produced by a full chunk, and the per-side margin frames
+        # to drop on interior boundaries
+        self.frames_per_chunk = conv_output_length(self.chunk, self.conv_features)
+        self.stride = self.chunk // max(self.frames_per_chunk, 1)
+        self.margin_frames = self.context // self.stride
+        self.core = self.chunk - 2 * self.context
+
+    def _chunk_starts(self, n: int) -> List[int]:
+        if n <= self.chunk:
+            return [0]
+        starts = list(range(0, n - 2 * self.context, self.core))
+        return starts
+
+    def log_probs(self, wav: np.ndarray) -> np.ndarray:
+        """(T_total', V) stitched frame log-probs for a 1-D waveform."""
+        import jax.numpy as jnp
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        n = len(wav)
+        starts = self._chunk_starts(n)
+        pieces: List[np.ndarray] = []
+        for i in range(0, len(starts), self.batch):
+            block = starts[i:i + self.batch]
+            sig = np.zeros((self.batch, self.chunk), np.float32)
+            lens = np.zeros((self.batch,), np.int32)
+            for j, s in enumerate(block):
+                seg = wav[s:s + self.chunk]
+                sig[j, :len(seg)] = seg
+                lens[j] = len(seg)
+            lp, fl = self.forward(jnp.asarray(sig), jnp.asarray(lens))
+            lp = np.asarray(lp, np.float32)
+            fl = np.asarray(fl)
+            for j, s in enumerate(block):
+                valid = lp[j, :int(fl[j])]
+                lo = self.margin_frames if s > 0 else 0
+                last = s + self.chunk >= n
+                hi = len(valid) - (0 if last else self.margin_frames)
+                pieces.append(valid[lo:hi])
+        return np.concatenate(pieces, axis=0) if pieces else np.zeros(
+            (0, 1), np.float32)
+
+    def transcribe(self, wav: np.ndarray, index2vocab: dict,
+                   decoder=None, blank: Optional[int] = None,
+                   postproc: Optional[Callable] = None) -> str:
+        """Waveform -> text via greedy collapse (or a PrefixBeamSearch)."""
+        from audio8_tpu.ops.ctc import greedy_collapse
+        from audio8_tpu.ops.metrics import postproc_letters
+        from audio8_tpu.utils import Offsets
+
+        lp = self.log_probs(wav)
+        if decoder is not None:
+            chars = decoder.run(lp[None, ...], [len(lp)], n_best=1)[0]
+        else:
+            b = Offsets.GO if blank is None else blank
+            ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32), b)
+            chars = [index2vocab[i] for i in ids]
+        return (postproc or postproc_letters)(chars)

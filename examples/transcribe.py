@@ -39,6 +39,12 @@ def main():
     p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--num_layers", type=int, default=12)
     p.add_argument("--d_ff", type=int, default=3072)
+    p.add_argument("--chunk_seconds", type=float, default=0.0,
+                   help="transcribe arbitrarily long audio through "
+                        "fixed-shape overlapped chunks of this many "
+                        "seconds (0 = single-shot, reference-style)")
+    p.add_argument("--context_seconds", type=float, default=2.0,
+                   help="overlap margin per chunk side")
     args = p.parse_args()
 
     Offsets.remap_fairseq_ctc()
@@ -68,6 +74,18 @@ def main():
         return lp, jnp.sum(mask, axis=-1)
 
     reader = SoundfileAudioReader()
+    if args.chunk_seconds > 0:
+        from audio8_tpu.serve import ChunkedTranscriber
+
+        ct = ChunkedTranscriber(
+            lambda s_, l_: forward(params, s_, l_), cfg.conv_features,
+            chunk_samples=int(args.chunk_seconds * 16_000),
+            context_samples=int(args.context_seconds * 16_000))
+        for path in args.audio:
+            wav = reader.read(path)
+            index2v = index2vocab
+            print(f"{path}\t{ct.transcribe(np.asarray(wav), index2v, decoder)}")
+        return
     for path in args.audio:
         wav = reader.read(path)
         t_pad = (len(wav) + 15999) // 16000 * 16000
