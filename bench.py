@@ -18,11 +18,18 @@ training. Select workloads with --workload {pretrain,ctc,all}.
 """
 import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _note(msg: str) -> None:
+    # progress heartbeat on stderr (stdout carries exactly one JSON line);
+    # the axon relay can wedge silently, so make phases visible
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 A100_BASELINE_AUDIO_SEC_PER_SEC = 650.0
 SAMPLE_RATE = 16_000
@@ -42,6 +49,7 @@ def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
     # audio-sec). The 'large' workload scales dims the way the reference
     # would (--d_model 1024 --num_layers 24 ..., post-norm throughout;
     # /root/reference/audio8/pretrain.py:39-42 exposes the same knobs).
+    _note(f"pretrain d_model={d_model} L={num_layers}: build + compile")
     cfg = PretrainConfig(d_model=d_model, num_heads=num_heads,
                          num_layers=num_layers, d_ff=d_ff,
                          final_dim=final_dim, dropout=0.1)
@@ -65,6 +73,7 @@ def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
     # warmup/compile (np.asarray forces a real host sync on the async relay)
     state, metrics = train_step(state, signal, keys[-1])
     np.asarray(metrics["loss"])
+    _note("pretrain: compiled, timing")
 
     start = time.perf_counter()
     for i in range(n_steps):
@@ -115,8 +124,10 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
 
     keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
 
+    _note(f"ctc freeze={freeze}: build + compile")
     state, loss, _, _ = step(state, batch, keys[-1], freeze=freeze)
     np.asarray(loss)  # compile + host sync through the async relay
+    _note("ctc: compiled, timing")
 
     start = time.perf_counter()
     for i in range(n_steps):
@@ -156,9 +167,11 @@ def bench_seq2seq(n_steps: int = 30) -> float:
     grad_fn, update_fn, _, _ = make_seq2seq_steps(model, tx, clip=25.0)
 
     keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
+    _note("seq2seq: build + compile")
     loss, grads, bsz, _ = grad_fn(state.params, batch, keys[-1], freeze=False)
     state, _ = update_fn(state, grads, bsz)
     np.asarray(loss)
+    _note("seq2seq: compiled, timing")
 
     start = time.perf_counter()
     for i in range(n_steps):
@@ -197,8 +210,10 @@ def bench_decode(n_steps: int = 50) -> float:
     tx = create_optimizer(create_lrs(1e-4, 10, warmup_steps=1))
     _, _, eval_fn = make_ctc_steps(model, tx)
 
+    _note("decode: build + compile")
     loss, frames, frame_lengths = eval_fn(params, batch)
     np.asarray(loss)  # compile + host sync
+    _note("decode: compiled, timing")
 
     start = time.perf_counter()
     for _ in range(n_steps):
