@@ -100,13 +100,21 @@ def resolve_restart(
                     report["missing"][:5], report["unexpected"][:5])
         return merge_params(init_params, loaded), None, 0
 
-    if os.path.isdir(restart_from) and os.path.exists(
-            os.path.join(restart_from, "config.json")):
+    from audio8_tpu.models.convert_hf import is_hf_dir, load_hf_dir
+
+    if is_hf_dir(restart_from):
         # HF transformers save_pretrained dir (extension beyond the
         # reference): warm-start from it like a fairseq .pt
-        from audio8_tpu.models.convert_hf import load_hf_dir
-
         loaded, report = load_hf_dir(restart_from, ctc="auto")
+        if report["topology"] != topo:
+            # topology governs param PLACEMENT (encoder.ln vs the
+            # stack's ln_out, per-block extractor LNs); a mismatch would
+            # merge everything except those params and train with random
+            # norms — fail instead of degrading silently
+            raise ValueError(
+                f"HF checkpoint topology {report['topology']} does not "
+                f"match the model flags {topo}; pass --pre_norm/"
+                f"--extractor_mode/--conv_bias (or --preset) to match")
         # quantizer/projection heads are legitimately absent from a bare
         # Wav2Vec2Model export; missing ones keep their init (the
         # reference's strict=False load, wav2vec2.py:184)
@@ -118,6 +126,13 @@ def resolve_restart(
         if ctc and report["kind"] == "pretrained":
             # pretrained tree warm-starts the downstream encoder submodule
             loaded = {"encoder": loaded}
+        elif not ctc and report["kind"] == "ctc":
+            # ForCTC export warm-starting a pretraining model: the
+            # acoustic tree's 'encoder' submodule (a Wav2Vec2Encoder) has
+            # the Wav2Vec2Model top-level layout; the lm_head is dropped
+            logger.info("CTC-source HF checkpoint: using its encoder to "
+                        "warm-start the pretraining model (head dropped)")
+            loaded = loaded["encoder"]
         logger.info("HF load report (%s): missing=%s unexpected=%s",
                     report["kind"], report["missing"][:5],
                     report["unexpected"][:5])
@@ -206,11 +221,14 @@ _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
 
 
 def apply_preset(args):
-    """Resolve ``--preset``: fill any size flag the user left at its
-    base default with the preset's value (explicit flags win)."""
-    for key, value in MODEL_PRESETS[getattr(args, "preset", "base")].items():
-        if hasattr(args, key) and getattr(args, key) == _PRESET_BASE_DEFAULTS[key]:
-            setattr(args, key, value)
+    """Resolve ``--preset``: preset-managed flags parse with a ``None``
+    sentinel, so an explicit flag ALWAYS wins (even when set to the base
+    default); unset flags take the preset's value, else the base
+    default."""
+    preset = MODEL_PRESETS[getattr(args, "preset", "base")]
+    for key, base_value in _PRESET_BASE_DEFAULTS.items():
+        if hasattr(args, key) and getattr(args, key) is None:
+            setattr(args, key, preset.get(key, base_value))
     return args
 
 
@@ -227,22 +245,22 @@ def add_common_model_args(parser):
                         help="ZeRO-1: shard AdamW moments over the 'data' "
                              "mesh axis (params stay per the TP/DP rules); "
                              "cuts optimizer HBM by the DP extent")
-    parser.add_argument("--d_model", type=int, default=768)
-    parser.add_argument("--d_ff", type=int, default=3072)
-    parser.add_argument("--num_heads", type=int, default=12)
-    parser.add_argument("--num_layers", type=int, default=12)
+    parser.add_argument("--d_model", type=int, default=None)
+    parser.add_argument("--d_ff", type=int, default=None)
+    parser.add_argument("--num_heads", type=int, default=None)
+    parser.add_argument("--num_layers", type=int, default=None)
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--attention_dropout", type=float, default=None,
                         help="attention-prob dropout (default: --dropout)")
     parser.add_argument("--layer_drop", type=float, default=0.0)
-    parser.add_argument("--pre_norm", type=str2bool, default=False,
+    parser.add_argument("--pre_norm", type=str2bool, default=None,
                         help="stable-layer-norm (pre-norm) encoder, the "
                              "LV-60/XLSR large topology")
     parser.add_argument("--extractor_mode", choices=["group", "layer"],
-                        default="group",
+                        default=None,
                         help="conv feature extractor norm: 'group' "
                              "(base) or per-block 'layer' (LV-60/XLSR)")
-    parser.add_argument("--conv_bias", type=str2bool, default=False)
+    parser.add_argument("--conv_bias", type=str2bool, default=None)
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

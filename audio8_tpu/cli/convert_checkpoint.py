@@ -22,7 +22,7 @@ from argparse import ArgumentParser
 import jax
 import jax.numpy as jnp
 
-from audio8_tpu.cli.common import add_common_model_args
+from audio8_tpu.cli.common import add_common_model_args, apply_preset
 from audio8_tpu.config import AcousticConfig, PretrainConfig
 from audio8_tpu.models.convert import load_fairseq_bin, merge_params
 from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel, Wav2Vec2Model
@@ -43,24 +43,19 @@ def main(argv=None):
                         help="fine-tuned CTC checkpoint (vs pretrained)")
     parser.add_argument("--num_labels", type=int, default=32)
     add_common_model_args(parser)
-    args = parser.parse_args(argv)
+    args = apply_preset(parser.parse_args(argv))
     logging.basicConfig(level=logging.INFO)
+
+    from audio8_tpu.models.convert_hf import is_hf_dir, load_hf_dir
 
     fmt = args.format
     if fmt == "auto":
-        fmt = ("hf" if os.path.isdir(args.input)
-               and os.path.exists(os.path.join(args.input, "config.json"))
-               else "fairseq")
+        fmt = "hf" if is_hf_dir(args.input) else "fairseq"
     sr = args.target_sample_rate // 1000
     if fmt == "hf":
-        import json
-
-        from audio8_tpu.models.convert_hf import load_hf_dir
-
         params, report = load_hf_dir(args.input, ctc=args.ctc)
-        with open(os.path.join(args.input, "config.json")) as f:
-            hf_cfg = json.load(f)
-        # size facts live in the HF config; trust it over the flags
+        # size/topology facts live in the HF config; trust it over flags
+        hf_cfg = report["hf_config"]
         args.num_layers = hf_cfg["num_hidden_layers"]
         args.d_model = hf_cfg["hidden_size"]
         args.num_heads = hf_cfg["num_attention_heads"]

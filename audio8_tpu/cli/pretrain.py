@@ -45,7 +45,7 @@ def parse_args(argv=None):
     parser.add_argument("--dataset_key", default="ls")
     parser.add_argument("--num_vq_vars", type=int, default=320)
     parser.add_argument("--num_vq_groups", type=int, default=2)
-    parser.add_argument("--final_dim", type=int, default=256,
+    parser.add_argument("--final_dim", type=int, default=None,
                         help="VQ/contrastive projection width (768 for "
                              "the large preset)")
     parser.add_argument("--num_train_workers", type=int, default=4)

@@ -155,6 +155,12 @@ def _check_hf_config(cfg: Dict[str, Any]) -> None:
             f"unknown feat_extract_norm {cfg.get('feat_extract_norm')!r}")
 
 
+def is_hf_dir(path: str) -> bool:
+    """True when ``path`` looks like a transformers save_pretrained dir."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "config.json"))
+
+
 def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
     """Load a ``save_pretrained`` directory (config.json +
     model.safetensors / pytorch_model.bin) and convert.
@@ -184,4 +190,9 @@ def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
         extractor_mode=cfg.get("feat_extract_norm", "group"),
         conv_bias=cfg.get("conv_bias", False))
     report["kind"] = "ctc" if ctc else "pretrained"
+    report["topology"] = {
+        "pre_norm": cfg.get("do_stable_layer_norm", False),
+        "extractor_mode": cfg.get("feat_extract_norm", "group"),
+        "conv_bias": cfg.get("conv_bias", False)}
+    report["hf_config"] = cfg
     return params, report

@@ -43,12 +43,28 @@ class ChunkedTranscriber:
         self.context = int(context_samples)
         self.batch = int(batch_size)
         self.conv_features = list(conv_features)
-        # frames produced by a full chunk, and the per-side margin frames
-        # to drop on interior boundaries
         self.frames_per_chunk = conv_output_length(self.chunk, self.conv_features)
-        self.stride = self.chunk // max(self.frames_per_chunk, 1)
+        # total stride of the conv stack (product of per-layer strides);
+        # NOT chunk // frames_per_chunk — the receptive field eats a
+        # fraction of a frame, and deriving the stride from that ratio
+        # puts an off-by-one at every seam
+        self.stride = 1
+        for _, _, s in self.conv_features:
+            self.stride *= s
         self.margin_frames = self.context // self.stride
         self.core = self.chunk - 2 * self.context
+        if self.core % self.stride:
+            # chunk starts must stay frame-aligned so local frame j of a
+            # chunk at sample s is global frame s//stride + j
+            self.core -= self.core % self.stride
+        # the receptive field eats a few trailing frames per chunk; the
+        # margin must cover that deficit or interior cuts would index
+        # past the frames a chunk actually produces
+        deficit = self.chunk // self.stride - self.frames_per_chunk
+        if self.margin_frames <= deficit:
+            raise ValueError(
+                f"context_samples too small: margin {self.margin_frames} "
+                f"frames must exceed the receptive-field deficit {deficit}")
 
     def _chunk_starts(self, n: int) -> List[int]:
         if n <= self.chunk:
@@ -57,29 +73,47 @@ class ChunkedTranscriber:
         return starts
 
     def log_probs(self, wav: np.ndarray) -> np.ndarray:
-        """(T_total', V) stitched frame log-probs for a 1-D waveform."""
+        """(T_total', V) stitched frame log-probs for a 1-D waveform.
+
+        Stitching is exact: chunk starts are frame-aligned (stride
+        multiples), so chunk-local frame ``j`` of the chunk at sample
+        ``s`` is global frame ``s // stride + j``; interior cut points
+        are single global frame indices, making the stitched sequence
+        contiguous and exactly ``conv_output_length(len(wav))`` frames
+        long."""
         import jax.numpy as jnp
 
         wav = np.asarray(wav, np.float32).reshape(-1)
         n = len(wav)
         starts = self._chunk_starts(n)
+        # global frame index where chunk k stops and chunk k+1 takes over
+        cuts = [0]
+        for s_next in starts[1:]:
+            cuts.append(s_next // self.stride + self.margin_frames)
+        cuts.append(conv_output_length(n, self.conv_features))
         pieces: List[np.ndarray] = []
         for i in range(0, len(starts), self.batch):
-            block = starts[i:i + self.batch]
+            block = list(enumerate(starts))[i:i + self.batch]
             sig = np.zeros((self.batch, self.chunk), np.float32)
             lens = np.zeros((self.batch,), np.int32)
-            for j, s in enumerate(block):
+            for j, (_, s) in enumerate(block):
                 seg = wav[s:s + self.chunk]
                 sig[j, :len(seg)] = seg
                 lens[j] = len(seg)
             lp, fl = self.forward(jnp.asarray(sig), jnp.asarray(lens))
             lp = np.asarray(lp, np.float32)
             fl = np.asarray(fl)
-            for j, s in enumerate(block):
-                valid = lp[j, :int(fl[j])]
-                lo = self.margin_frames if s > 0 else 0
-                last = s + self.chunk >= n
-                hi = len(valid) - (0 if last else self.margin_frames)
+            del fl  # reshape-all frame lengths undercount the tail by <=1
+            for j, (k, s) in enumerate(block):
+                # exact conv frame count of this chunk's real samples (the
+                # model's reshape-all pad mask may zero the final frame's
+                # transformer input, but the frame exists and belongs in
+                # the stitched sequence)
+                exact = conv_output_length(int(lens[j]), self.conv_features)
+                valid = lp[j, :min(exact, lp.shape[1])]
+                base = s // self.stride
+                lo = cuts[k] - base
+                hi = min(cuts[k + 1] - base, len(valid))
                 pieces.append(valid[lo:hi])
         return np.concatenate(pieces, axis=0) if pieces else np.zeros(
             (0, 1), np.float32)

@@ -83,8 +83,7 @@ def main():
             context_samples=int(args.context_seconds * 16_000))
         for path in args.audio:
             wav = reader.read(path)
-            index2v = index2vocab
-            print(f"{path}\t{ct.transcribe(np.asarray(wav), index2v, decoder)}")
+            print(f"{path}\t{ct.transcribe(np.asarray(wav), index2vocab, decoder)}")
         return
     for path in args.audio:
         wav = reader.read(path)

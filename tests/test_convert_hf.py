@@ -204,3 +204,38 @@ def test_hf_vocab_json(tmp_path):
     p.write_text(_json.dumps(vocab))
     lst = read_vocab_list(str(p))
     assert lst == ["<pad>", "<s>", "</s>", "<unk>", "|", "E", "T"]
+
+
+def test_hf_ctc_source_warmstarts_pretrain_model(tmp_path, hf_ctc):
+    """A ForCTC export warm-starting a PRETRAIN model must fill the
+    encoder body (not silently merge nothing)."""
+    from audio8_tpu.cli.common import resolve_restart
+
+    cfg = PretrainConfig(d_model=D, num_heads=H, num_layers=L,
+                         num_vq_vars=8, num_vq_groups=2, final_dim=16)
+    model = Wav2Vec2Model(config=cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    init = model.init(rngs, jnp.zeros((1, 8000), jnp.float32),
+                      train=False)["params"]
+    d = tmp_path / "ctcsrc"
+    hf_ctc.save_pretrained(str(d))
+    params, _, _ = resolve_restart(str(d), init, ctc=False, num_layers=L)
+    got = params["encoder"]["transformer"]["layer_0"]["self_attn"]["w_Q"]["kernel"]
+    want = hf_ctc.wav2vec2.encoder.layers[0].attention.q_proj.weight
+    np.testing.assert_allclose(got, want.detach().numpy().T, rtol=1e-6)
+
+
+def test_hf_topology_mismatch_raises(tmp_path):
+    """Warm-starting a post-norm model from a stable-LN HF dir must fail
+    loudly (a silent merge would leave LayerNorms at random init)."""
+    from audio8_tpu.cli.common import resolve_restart
+
+    torch.manual_seed(5)
+    hf = transformers.Wav2Vec2ForCTC(hf_config(
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        conv_bias=True)).eval()
+    d = tmp_path / "lv60"
+    hf.save_pretrained(str(d))
+    with pytest.raises(ValueError, match="topology"):
+        resolve_restart(str(d), {}, ctc=True, num_layers=L)

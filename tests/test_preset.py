@@ -43,3 +43,19 @@ def test_other_drivers_accept_preset():
                        (pretrain_paired, TRAIN_ARGS)):
         args = mod.parse_args(extra + ["--preset", "large"])
         assert (args.d_model, args.num_layers) == (1024, 24), mod.__name__
+
+
+def test_explicit_flag_equal_to_base_default_beats_preset():
+    """--preset large --num_heads 12: the explicit 12 must survive even
+    though it equals the base default (None-sentinel resolution)."""
+    args = pretrain.parse_args(
+        BASE_ARGS + ["--preset", "large", "--num_heads", "12"])
+    assert args.num_heads == 12
+    assert args.d_model == 1024
+
+
+def test_lv60_preset_explicit_topology_override():
+    args = pretrain.parse_args(
+        BASE_ARGS + ["--preset", "large-lv60", "--pre_norm", "false"])
+    assert args.pre_norm is False
+    assert args.extractor_mode == "layer"
