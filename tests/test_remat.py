@@ -57,3 +57,37 @@ def test_remat_through_model_config():
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_remat_on_tp_mesh():
+    """remat composes with Megatron TP sharding on the mesh (the
+    jax.checkpoint replay must not break the partitioner)."""
+    from audio8_tpu.config import AcousticConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+    from audio8_tpu.parallel.sharding import (
+        TP_RULES, batch_sharding, make_mesh, shard_params,
+    )
+
+    cfg = AcousticConfig(num_labels=8, d_model=64, num_heads=4, num_layers=2,
+                         d_ff=128, dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, remat=True)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.asarray(np.random.default_rng(0).normal(size=(8, 4000)),
+                   np.float32)
+    lens = np.full((8,), 4000, np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(lens))["params"]
+    ref = jax.grad(lambda p: jnp.sum(model.apply(
+        {"params": p}, jnp.asarray(x), jnp.asarray(lens),
+        freeze=False)[0].astype(jnp.float32) ** 2))(params)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, mesh, TP_RULES)
+    bs = batch_sharding(mesh)
+    g = jax.jit(jax.grad(lambda p, xs, ls: jnp.sum(model.apply(
+        {"params": p}, xs, ls, freeze=False)[0].astype(jnp.float32) ** 2)))(
+        sharded, jax.device_put(x, bs), jax.device_put(lens, bs))
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
