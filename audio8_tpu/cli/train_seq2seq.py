@@ -65,6 +65,10 @@ def parse_args(argv=None):
     parser.add_argument("--channel_mask_len", type=int, default=64)
     parser.add_argument("--train_steps", type=int, default=320_000)
     parser.add_argument("--valid_steps", type=int, default=1000)
+    parser.add_argument("--valid_beam", type=int, default=1,
+                        help="beam width for validation decoding (jitted "
+                             "KV-cached beam search; 1 = greedy like the "
+                             "reference)")
     parser.add_argument("--steps_per_checkpoint", type=int, default=2400)
     parser.add_argument("--verbose", type=str2bool, default=False)
     parser.add_argument("--distributed", type=str2bool, default=False)
@@ -204,7 +208,8 @@ def train(argv=None):
                     # best-metric decision matches on every process
                     vm = validate(state.params, valid_set, decode_fn, eval_loss_fn,
                                   index2vocab, args.valid_steps, postproc,
-                                  args.verbose and rank == 0, mesh)
+                                  args.verbose and rank == 0, mesh,
+                                  beam=args.valid_beam)
                     if rank == 0:
                         logger.info({"average_train_loss": avg_loss.avg})
                         logger.info(vm)
@@ -221,7 +226,7 @@ def train(argv=None):
 
 
 def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
-             valid_steps, postproc, verbose=False, mesh=None):
+             valid_steps, postproc, verbose=False, mesh=None, beam=1):
     avg_valid_loss = Average("average_valid_loss")
     c_errors = c_total = w_errors = w_total = 0
     vm = {}
@@ -239,7 +244,8 @@ def validate(params, valid_set, decode_fn, eval_loss_fn, index2vocab,
             # globally, so derive it from the text pad width instead
             max_len = int(batch["token_ids"].shape[1])
             max_len = (max_len + 31) // 32 * 32
-            toks, _ = decode_fn(params, jbatch, max_output_len=max_len)
+            toks, _ = decode_fn(params, jbatch, max_output_len=max_len,
+                                beam=beam)
             # score only this shard's real rows (frames are global; padding
             # rows sit at the global tail)
             lo = batch.get("row_offset", 0)

@@ -75,6 +75,88 @@ class Seq2Seq(nn.Module):
         lengths = jnp.sum((tokens != Offsets.PAD), axis=-1)
         return tokens, lengths
 
+    def decode_beam(self, x, input_lengths, beam: int = 4,
+                    max_output_len: int = 100, length_penalty: float = 0.6):
+        """Batched beam-search decode with KV cache — an extension beyond
+        the reference, whose Seq2Seq decodes greedily only
+        (/root/reference/audio8/wav2vec2.py:991-1006).
+
+        TPU-native shape discipline: B*K rows flow through the same
+        cached ``step`` as greedy decode; beam reordering is a gather on
+        the leading axis of every cache leaf inside ``lax.while_loop``.
+        Finished hypotheses persist by forcing a PAD continuation at
+        unchanged score. Returns (tokens (B, max_output_len), lengths):
+        the best hypothesis per row under GNMT length normalization
+        ``score / ((5+len)/6)**length_penalty``.
+        """
+        k = beam
+        if k <= 1:
+            return self.decode(x, input_lengths, max_output_len)
+        memory, src_pad_mask = self.encoder(x, input_lengths, train=False)
+        b = x.shape[0]
+        v = self.decoder_config.vocab_size
+        cross_kv = self.decoder.compute_cross_kv(memory)
+        expand = lambda t: jnp.repeat(t, k, axis=0)  # row b*k + j <- utt b
+        memory = expand(memory)
+        src_pad_mask = None if src_pad_mask is None else expand(src_pad_mask)
+        cross_kv = jax.tree_util.tree_map(expand, cross_kv)
+        cache = self.decoder.init_cache(b * k, max_output_len + 1)
+
+        neg_inf = jnp.float32(-1e9)
+        tokens = jnp.full((b, k, max_output_len), Offsets.PAD, jnp.int32)
+        tok = jnp.full((b * k, 1), Offsets.GO, jnp.int32)
+        # only beam 0 live at step 0 so the first expansion seeds k
+        # DISTINCT tokens instead of k copies of the argmax
+        scores = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, neg_inf)[None],
+                          (b, 1))
+        done = jnp.zeros((b, k), jnp.bool_)
+
+        def cond(state):
+            i, _, _, _, done, _ = state
+            return (i < max_output_len) & (~jnp.all(done))
+
+        def body(state):
+            i, tok, tokens, scores, done, cache = state
+            log_probs, cache = self.decoder.step(memory, src_pad_mask, tok,
+                                                 cache, cross_kv=cross_kv)
+            lp = log_probs.reshape(b, k, v).astype(jnp.float32)
+            # finished rows: only PAD continues, at unchanged score
+            pad_only = jnp.full((v,), neg_inf).at[Offsets.PAD].set(0.0)
+            lp = jnp.where(done[..., None], pad_only[None, None, :], lp)
+            cand = scores[..., None] + lp              # (B, K, V)
+            top_scores, flat = jax.lax.top_k(cand.reshape(b, k * v), k)
+            parent = flat // v                          # (B, K)
+            best = (flat % v).astype(jnp.int32)
+            # reorder beam state by parent
+            take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)
+            tokens = jnp.take_along_axis(
+                tokens, parent[..., None], axis=1)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, best[..., None], (0, 0, i))
+            done = take(done) | (best == Offsets.EOS)
+            # cache rows live at b*k + j: gather with flat parent indices
+            flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+            cache = jax.tree_util.tree_map(
+                lambda l: jnp.take(l, flat_parent, axis=0)
+                if getattr(l, "ndim", 0) >= 1 and l.shape[0] == b * k else l,
+                cache)
+            return (i + 1, best.reshape(b * k, 1), tokens, top_scores,
+                    done, cache)
+
+        _, _, tokens, scores, done, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.array(0, jnp.int32), tok, tokens, scores, done, cache))
+        # best beam per row under GNMT length normalization; EOS/PAD tail
+        # excluded from the reported length
+        emitted = jnp.sum((tokens != Offsets.PAD)
+                          & (tokens != Offsets.EOS), axis=-1)
+        lp_norm = ((5.0 + emitted.astype(jnp.float32)) / 6.0) ** length_penalty
+        best_beam = jnp.argmax(scores / lp_norm, axis=-1)
+        out = jnp.take_along_axis(
+            tokens, best_beam[:, None, None], axis=1)[:, 0]
+        lengths = jnp.sum(out != Offsets.PAD, axis=-1)  # EOS kept, as in decode()
+        return out, lengths
+
 
 def create_seq2seq_model(
     vocab_size: int,

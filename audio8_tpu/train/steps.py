@@ -218,8 +218,12 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
             grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
             clip_norm=clip)
 
-    @functools.partial(jax.jit, static_argnames=("max_output_len",))
-    def decode_fn(params, batch, max_output_len: int = 100):
+    @functools.partial(jax.jit, static_argnames=("max_output_len", "beam"))
+    def decode_fn(params, batch, max_output_len: int = 100, beam: int = 1):
+        if beam > 1:
+            return model.apply(
+                {"params": params}, batch["signal"], batch["signal_lengths"],
+                beam, max_output_len, method=type(model).decode_beam)
         toks, lengths = model.apply(
             {"params": params}, batch["signal"], batch["signal_lengths"],
             max_output_len, method=type(model).decode)
