@@ -1,0 +1,128 @@
+"""Transcription CLI: checkpoint + audio files -> text.
+
+A serving entry point with no reference equivalent (audio8 ships no
+inference CLI): loads an a8t/Orbax checkpoint, a fairseq ``.pt`` or an
+HF ``save_pretrained`` dir, batches a jitted acoustic forward, and
+decodes greedily or with prefix-beam(+ARPA LM). Long audio runs through
+``ChunkedTranscriber`` (fixed-shape overlapped chunks — one compiled
+program for any input length) when ``--chunk_seconds > 0``.
+
+  a8t-transcribe --checkpoint ckpt --dict_file dict.ltr.txt a.wav b.flac
+  a8t-transcribe --checkpoint ./hf-wav2vec2-960h --dict_file vocab.json \\
+      --chunk_seconds 30 podcast.flac
+"""
+from __future__ import annotations
+
+import logging
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
+                                   resolve_restart)
+from audio8_tpu.config import AcousticConfig
+from audio8_tpu.data.audio import SoundfileAudioReader
+from audio8_tpu.models.text import read_vocab_list
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+from audio8_tpu.ops.ctc import greedy_collapse
+from audio8_tpu.ops.metrics import postproc_letters
+from audio8_tpu.utils import Offsets, revlut
+
+logger = logging.getLogger("audio8_tpu.transcribe")
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("audio", nargs="+", help="WAV/FLAC files")
+    p.add_argument("--checkpoint", required=True,
+                   help="a8t checkpoint, fairseq .pt, or HF dir")
+    p.add_argument("--dict_file", required=True,
+                   help="fairseq dict.ltr.txt or HF vocab.json")
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--lm", help="ARPA LM for beam decoding")
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--chunk_seconds", type=float, default=0.0,
+                   help=">0: transcribe arbitrarily long audio through "
+                        "fixed-shape overlapped chunks")
+    p.add_argument("--context_seconds", type=float, default=2.0)
+    add_common_model_args(p)
+    return apply_preset(p.parse_args(argv))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    Offsets.remap_fairseq_ctc()
+    vocab_list = read_vocab_list(args.dict_file)
+    index2vocab = revlut({v: i for i, v in enumerate(vocab_list)})
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = AcousticConfig(
+        num_labels=len(vocab_list), d_model=args.d_model,
+        num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
+        timestep_masking=0.0, channel_masking=0.0, pre_norm=args.pre_norm,
+        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
+    params, _, _ = resolve_restart(args.checkpoint, init, ctc=True,
+                                   num_layers=args.num_layers,
+                                   pre_norm=args.pre_norm,
+                                   extractor_mode=args.extractor_mode,
+                                   conv_bias=args.conv_bias)
+
+    decoder = None
+    if args.beam > 1 or args.lm:
+        from audio8_tpu.ops.beam import PrefixBeamSearch
+
+        decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
+                                   beta=args.beta, beam=args.beam,
+                                   lm_file=args.lm)
+
+    @jax.jit
+    def forward(signal, lengths):
+        lp, mask = model.apply({"params": params}, signal, lengths)
+        return lp, jnp.sum(mask, axis=-1)
+
+    reader = SoundfileAudioReader()
+    sr = args.target_sample_rate
+    results = []
+    if args.chunk_seconds > 0:
+        from audio8_tpu.serve import ChunkedTranscriber
+
+        ct = ChunkedTranscriber(
+            forward, cfg.conv_features,
+            chunk_samples=int(args.chunk_seconds * sr),
+            context_samples=int(args.context_seconds * sr))
+        for path in args.audio:
+            text = ct.transcribe(np.asarray(reader.read(path)), index2vocab,
+                                 decoder)
+            results.append((path, text))
+            print(f"{path}\t{text}")
+        return results
+
+    for path in args.audio:
+        wav = np.asarray(reader.read(path), np.float32)
+        t_pad = (len(wav) + sr - 1) // sr * sr
+        signal = np.zeros((1, t_pad), np.float32)
+        signal[0, :len(wav)] = wav
+        lp, frames = forward(jnp.asarray(signal),
+                             jnp.asarray([len(wav)], jnp.int32))
+        n = int(frames[0])
+        if decoder is not None:
+            chars = decoder.run(np.asarray(lp, np.float32), [n], n_best=1)[0]
+        else:
+            ids = greedy_collapse(
+                np.argmax(np.asarray(lp[0, :n]), -1).astype(np.int32),
+                Offsets.GO)
+            chars = [index2vocab[i] for i in ids]
+        text = postproc_letters(chars)
+        results.append((path, text))
+        print(f"{path}\t{text}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
