@@ -220,6 +220,12 @@ _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "conv_bias": False}
 
 
+def topology_kwargs(args):
+    """The encoder-topology flag triple as config/loader kwargs."""
+    return dict(pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
+                conv_bias=args.conv_bias)
+
+
 def apply_preset(args):
     """Resolve ``--preset``: preset-managed flags parse with a ``None``
     sentinel, so an explicit flag ALWAYS wins (even when set to the base

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                    resolve_restart,
-                                   setup, setup_parallelism)
+                                   resolve_restart, setup,
+                                   setup_parallelism, topology_kwargs)
 from audio8_tpu.config import PretrainConfig
 from audio8_tpu.data.datasets import AudioFileDataset, BucketingAudioDataset, PrefetchLoader
 from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
@@ -110,8 +110,7 @@ def train(argv=None):
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
-        remat=args.remat, pre_norm=args.pre_norm,
-        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias,
+        remat=args.remat, **topology_kwargs(args),
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 
@@ -127,9 +126,7 @@ def train(argv=None):
     template = TrainState.create(init_params, tx)
     params, state, global_step = resolve_restart(
         args.restart_from, init_params, template, ctc=False,
-        num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
-        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-        conv_bias=args.conv_bias)
+        num_layers=args.num_layers, sr=args.target_sample_rate // 1000, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

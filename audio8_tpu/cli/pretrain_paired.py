@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                    resolve_restart,
-                                   setup, setup_parallelism)
+                                   resolve_restart, setup,
+                                   setup_parallelism, topology_kwargs)
 from audio8_tpu.config import PooledConfig, TextEncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.dual_encoder import DualEncoderModel, SymmetricCLIPLoss
@@ -136,8 +136,7 @@ def train(argv=None):
         sample_rate=args.target_sample_rate // 1000, d_model=args.d_model,
         num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
         dropout=args.dropout, layer_drop=args.layer_drop, remat=args.remat,
-        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-        conv_bias=args.conv_bias,
+        **topology_kwargs(args),
         reduction_type=args.audio_reduction_type, reduction_d_k=args.audio_d_k)
     text_cfg = TextEncoderConfig(
         vocab_size=len(vocab), d_model=args.text_d_model,
@@ -176,9 +175,7 @@ def train(argv=None):
     init_params = {"model": mp, "loss": lp}
     template = TrainState.create(init_params, tx)
     _, state, global_step = resolve_restart(
-        args.restart_from, init_params, template,
-        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-        conv_bias=args.conv_bias)
+        args.restart_from, init_params, template, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(init_params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

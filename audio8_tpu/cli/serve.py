@@ -1,0 +1,176 @@
+"""`a8t-serve`: HTTP transcription endpoint over a fixed-shape TPU program.
+
+Production serving surface the reference does not have (its inference
+story ends at the batch eval driver, /root/reference/audio8/test.py):
+one process compiles the acoustic forward once at startup, then serves
+
+  GET  /healthz            -> {"ok": true, model info}
+  POST /transcribe         -> {"text", "audio_seconds", "latency_ms"}
+       body: WAV or FLAC bytes (FLAC detected by magic/Content-Type)
+
+Long audio rides the ChunkedTranscriber (fixed-shape overlapped chunks),
+so any input length maps to the same XLA programs. Requests serialize
+through a lock around device dispatch — one TPU program, many HTTP
+threads; host-side decode (beam/LM) runs outside the lock.
+
+Usage:
+  a8t-serve --checkpoint ckpt --dict_file dict.ltr.txt --port 8000
+  curl -s --data-binary @utt.wav localhost:8000/transcribe
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import tempfile
+import threading
+import time
+from argparse import ArgumentParser
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from audio8_tpu.cli.common import add_common_model_args, apply_preset
+from audio8_tpu.data.audio import SoundfileAudioReader
+from audio8_tpu.serve import ChunkedTranscriber, decode_stitched
+
+logger = logging.getLogger("audio8_tpu.serve")
+
+
+class TranscribeService:
+    """Decode-bytes -> text around one ChunkedTranscriber.
+
+    ``transcriber.log_probs`` dispatches to the device, so calls
+    serialize through ``_lock``; the host-side text decode (greedy or
+    beam+LM) happens outside it.
+    """
+
+    def __init__(self, transcriber: ChunkedTranscriber, index2vocab: dict,
+                 decoder=None, sample_rate: int = 16_000, info: dict = None):
+        self.transcriber = transcriber
+        self.index2vocab = index2vocab
+        self.decoder = decoder
+        self.sample_rate = sample_rate
+        self.info = dict(info or {})
+        self._lock = threading.Lock()
+        self._reader = SoundfileAudioReader()
+
+    def decode_bytes(self, data: bytes, content_type: str = "") -> np.ndarray:
+        """Audio container bytes -> float32 waveform."""
+        if not data:
+            raise ValueError("empty request body")
+        is_flac = data[:4] == b"fLaC" or "flac" in content_type.lower()
+        suffix = ".flac" if is_flac else ".wav"
+        fd, path = tempfile.mkstemp(suffix=suffix)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return np.asarray(self._reader.read(path), np.float32)
+        finally:
+            os.unlink(path)
+
+    def transcribe(self, data: bytes, content_type: str = "") -> dict:
+        wav = self.decode_bytes(data, content_type)
+        t0 = time.perf_counter()
+        with self._lock:
+            lp = self.transcriber.log_probs(wav)
+        text = decode_stitched(lp, self.index2vocab, self.decoder)
+        return {"text": text,
+                "audio_seconds": round(len(wav) / self.sample_rate, 3),
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
+
+    def health(self) -> dict:
+        return {"ok": True, **self.info}
+
+
+def make_server(service: TranscribeService, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Bind a ThreadingHTTPServer serving ``service`` (port 0 = ephemeral)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/health"):
+                self._send(200, service.health())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                out = service.transcribe(
+                    data, self.headers.get("Content-Type", ""))
+                self._send(200, out)
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — keep the server alive
+                logger.exception("transcribe failed")
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):  # route to logging, not stderr
+            logger.info("%s %s", self.address_string(), fmt % a)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="a8t checkpoint, fairseq .pt, or HF dir")
+    p.add_argument("--dict_file", required=True,
+                   help="fairseq dict.ltr.txt or HF vocab.json")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--lm", help="ARPA LM for beam decoding")
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--chunk_seconds", type=float, default=30.0)
+    p.add_argument("--context_seconds", type=float, default=2.0)
+    p.add_argument("--batch", type=int, default=4,
+                   help="chunk batch per device dispatch")
+    add_common_model_args(p)
+    return apply_preset(p.parse_args(argv))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    from audio8_tpu.cli.transcribe import load_acoustic
+
+    cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+    sr = args.target_sample_rate
+    ct = ChunkedTranscriber(forward, cfg.conv_features,
+                            chunk_samples=int(args.chunk_seconds * sr),
+                            context_samples=int(args.context_seconds * sr),
+                            batch_size=args.batch)
+    service = TranscribeService(
+        ct, index2vocab, decoder, sample_rate=sr,
+        info={"model": "wav2vec2-ctc", "d_model": args.d_model,
+              "num_layers": args.num_layers, "beam": args.beam,
+              "chunk_seconds": args.chunk_seconds})
+    # warm the XLA programs so the first request doesn't pay the compile
+    logger.info("warming up (compiling %d-sample chunk forward)", ct.chunk)
+    service.transcriber.log_probs(np.zeros(sr, np.float32))
+    srv = make_server(service, args.host, args.port)
+    logger.info("serving on %s:%d", *srv.server_address)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return srv
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup)
+                                   resolve_restart, setup, topology_kwargs)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.text import TextVectorizer, read_vocab_list
@@ -113,8 +113,7 @@ def evaluate(argv=None):
         num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
         d_model=args.d_model, num_heads=args.num_heads, num_layers=args.num_layers,
         d_ff=args.d_ff, dropout=args.dropout, timestep_masking=0.0,
-        channel_masking=0.0, pre_norm=args.pre_norm,
-        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias)
+        channel_masking=0.0, **topology_kwargs(args))
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 
     checkpoint = args.checkpoint
@@ -126,9 +125,7 @@ def evaluate(argv=None):
     params, _, _ = resolve_restart(checkpoint, init_params, ctc=True,
                                    num_layers=args.num_layers,
                                    sr=args.target_sample_rate // 1000,
-                                   pre_norm=args.pre_norm,
-                                   extractor_mode=args.extractor_mode,
-                                   conv_bias=args.conv_bias)
+                                   **topology_kwargs(args))
 
     eval_fn = build_eval_fn(model)
     postproc = M.postproc_letters if args.target_type != "bpe" else M.postproc_bpe

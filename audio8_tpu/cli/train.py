@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                    resolve_restart,
-                                   setup, setup_parallelism)
+                                   resolve_restart, setup,
+                                   setup_parallelism, topology_kwargs)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.text import TextVectorizer, read_vocab_list
@@ -141,8 +141,7 @@ def train(argv=None):
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
-        remat=args.remat, pre_norm=args.pre_norm,
-        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias,
+        remat=args.remat, **topology_kwargs(args),
         timestep_masking=args.timestep_masking,
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
@@ -161,9 +160,7 @@ def train(argv=None):
     params, state, global_step = resolve_restart(
         args.restart_from, init_params, template, ctc=True,
         num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
-        restart_tt=args.restart_tt,
-        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-        conv_bias=args.conv_bias)
+        restart_tt=args.restart_tt, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
     # place params + optimizer state on the mesh (replicated under pure DP,

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                    resolve_restart,
-                                   setup, setup_parallelism)
+                                   resolve_restart, setup,
+                                   setup_parallelism, topology_kwargs)
 from audio8_tpu.config import DecoderConfig, EncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.seq2seq import Seq2Seq
@@ -134,8 +134,7 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len, layer_drop=args.layer_drop,
-        remat=args.remat, pre_norm=args.pre_norm,
-        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias,
+        remat=args.remat, **topology_kwargs(args),
         freeze_fx=args.freeze_fx)
     dec_cfg = DecoderConfig(
         vocab_size=len(vocab), d_model=args.d_model,
@@ -156,9 +155,7 @@ def train(argv=None):
     params, state, global_step = resolve_restart(
         args.restart_from, init_params, template, ctc=True,
         num_layers=args.num_layers, sr=args.target_sample_rate // 1000,
-        restart_tt=args.restart_tt,
-        pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-        conv_bias=args.conv_bias)
+        restart_tt=args.restart_tt, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
     state = shard_state(state, mesh, rules, zero1=args.zero1)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart)
+                                   resolve_restart, topology_kwargs)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.audio import SoundfileAudioReader
 from audio8_tpu.models.text import read_vocab_list
@@ -29,8 +29,6 @@ from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
 from audio8_tpu.ops.ctc import greedy_collapse
 from audio8_tpu.ops.metrics import postproc_letters
 from audio8_tpu.utils import Offsets, revlut
-
-logger = logging.getLogger("audio8_tpu.transcribe")
 
 
 def parse_args(argv=None):
@@ -52,9 +50,14 @@ def parse_args(argv=None):
     return apply_preset(p.parse_args(argv))
 
 
-def main(argv=None):
-    args = parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+def load_acoustic(args):
+    """Build the jitted eval stack a decoding surface needs from CLI args.
+
+    Returns ``(cfg, forward, vocab_list, index2vocab, decoder)`` where
+    ``forward(signal (B, T) f32, lengths (B,)) -> (log_probs, frames)``
+    is jitted with the restored parameters closed over. Shared by the
+    one-shot CLI below and the HTTP server (`cli/serve.py`).
+    """
     Offsets.remap_fairseq_ctc()
     vocab_list = read_vocab_list(args.dict_file)
     index2vocab = revlut({v: i for i, v in enumerate(vocab_list)})
@@ -63,15 +66,12 @@ def main(argv=None):
     cfg = AcousticConfig(
         num_labels=len(vocab_list), d_model=args.d_model,
         num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
-        timestep_masking=0.0, channel_masking=0.0, pre_norm=args.pre_norm,
-        extractor_mode=args.extractor_mode, conv_bias=args.conv_bias)
+        timestep_masking=0.0, channel_masking=0.0, **topology_kwargs(args))
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
     init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))["params"]
     params, _, _ = resolve_restart(args.checkpoint, init, ctc=True,
                                    num_layers=args.num_layers,
-                                   pre_norm=args.pre_norm,
-                                   extractor_mode=args.extractor_mode,
-                                   conv_bias=args.conv_bias)
+                                   **topology_kwargs(args))
 
     decoder = None
     if args.beam > 1 or args.lm:
@@ -86,6 +86,13 @@ def main(argv=None):
         lp, mask = model.apply({"params": params}, signal, lengths)
         return lp, jnp.sum(mask, axis=-1)
 
+    return cfg, forward, vocab_list, index2vocab, decoder
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
     results = []

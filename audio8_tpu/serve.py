@@ -92,19 +92,20 @@ class ChunkedTranscriber:
             cuts.append(s_next // self.stride + self.margin_frames)
         cuts.append(conv_output_length(n, self.conv_features))
         pieces: List[np.ndarray] = []
-        for i in range(0, len(starts), self.batch):
-            block = list(enumerate(starts))[i:i + self.batch]
+        for i0 in range(0, len(starts), self.batch):
+            block = starts[i0:i0 + self.batch]
             sig = np.zeros((self.batch, self.chunk), np.float32)
             lens = np.zeros((self.batch,), np.int32)
-            for j, (_, s) in enumerate(block):
+            for j, s in enumerate(block):
                 seg = wav[s:s + self.chunk]
                 sig[j, :len(seg)] = seg
                 lens[j] = len(seg)
-            lp, fl = self.forward(jnp.asarray(sig), jnp.asarray(lens))
+            # frame lengths from the forward are ignored: the reshape-all
+            # semantics undercount the tail by <=1 vs the exact conv count
+            lp, _ = self.forward(jnp.asarray(sig), jnp.asarray(lens))
             lp = np.asarray(lp, np.float32)
-            fl = np.asarray(fl)
-            del fl  # reshape-all frame lengths undercount the tail by <=1
-            for j, (k, s) in enumerate(block):
+            for j, s in enumerate(block):
+                k = i0 + j
                 # exact conv frame count of this chunk's real samples (the
                 # model's reshape-all pad mask may zero the final frame's
                 # transformer input, but the frame exists and belongs in
@@ -122,15 +123,136 @@ class ChunkedTranscriber:
                    decoder=None, blank: Optional[int] = None,
                    postproc: Optional[Callable] = None) -> str:
         """Waveform -> text via greedy collapse (or a PrefixBeamSearch)."""
-        from audio8_tpu.ops.ctc import greedy_collapse
-        from audio8_tpu.ops.metrics import postproc_letters
-        from audio8_tpu.utils import Offsets
+        return decode_stitched(self.log_probs(wav), index2vocab, decoder,
+                               blank, postproc)
 
-        lp = self.log_probs(wav)
-        if decoder is not None:
-            chars = decoder.run(lp[None, ...], [len(lp)], n_best=1)[0]
-        else:
-            b = Offsets.GO if blank is None else blank
-            ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32), b)
-            chars = [index2vocab[i] for i in ids]
-        return (postproc or postproc_letters)(chars)
+
+def decode_stitched(lp: np.ndarray, index2vocab: dict, decoder=None,
+                    blank: Optional[int] = None,
+                    postproc: Optional[Callable] = None) -> str:
+    """(T', V) stitched frame log-probs -> text (greedy or beam decode)."""
+    from audio8_tpu.ops.ctc import greedy_collapse
+    from audio8_tpu.ops.metrics import postproc_letters
+    from audio8_tpu.utils import Offsets
+
+    if len(lp) == 0:
+        return ""
+    if decoder is not None:
+        chars = decoder.run(lp[None, ...], [len(lp)], n_best=1)[0]
+    else:
+        b = Offsets.GO if blank is None else blank
+        ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32), b)
+        chars = [index2vocab[i] for i in ids]
+    return (postproc or postproc_letters)(chars)
+
+
+class StreamingTranscriber(ChunkedTranscriber):
+    """Incremental transcription: feed audio as it arrives, read partials.
+
+    Produces the SAME stitched log-probs as ``ChunkedTranscriber`` on the
+    concatenated waveform (guard-tested), but consumes the stream in
+    bounded memory: a chunk is forwarded as soon as its samples (plus one
+    lookahead sample proving it is not the final chunk) have arrived, its
+    kept core frames are appended to the stable prefix, and everything
+    before the next chunk's start is discarded. ``text_so_far`` decodes
+    the stable prefix at any time; ``finish`` flushes the tail once the
+    stream ends. The reference has no streaming path (clips are bounded
+    data-side, /root/reference/audio8/pretrain.py:45); this is the
+    TPU-native serving design: one fixed-shape XLA program, host-side
+    stitching, O(chunk) state per stream.
+    """
+
+    def __init__(self, forward: Callable, conv_features: Sequence,
+                 chunk_samples: int = 480_000,
+                 context_samples: int = 32_000):
+        super().__init__(forward, conv_features, chunk_samples=chunk_samples,
+                         context_samples=context_samples, batch_size=1)
+        self.reset()
+
+    def reset(self) -> None:
+        """Forget all stream state; ready for a new utterance."""
+        self._tail = np.zeros((0,), np.float32)   # retained raw samples
+        self._tail_base = 0                       # absolute idx of _tail[0]
+        self._next_chunk = 0                      # next chunk index to emit
+        self._pieces: List[np.ndarray] = []       # stable stitched frames
+        self._final: Optional[np.ndarray] = None
+
+    @property
+    def samples_fed(self) -> int:
+        return self._tail_base + len(self._tail)
+
+    def feed(self, samples: np.ndarray) -> None:
+        """Append samples; forward any chunks that became complete."""
+        if self._final is not None:
+            raise RuntimeError("stream already finished; call reset()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if len(samples) == 0:
+            return
+        self._tail = np.concatenate([self._tail, samples])
+        # chunk k is provably interior once one sample past its window
+        # has arrived: the stream end n can only grow, so start_{k+1}
+        # stays < n - 2*context and the offline geometry keeps chunk k's
+        # cut points exactly where we emit them now
+        while self.samples_fed >= self._next_chunk * self.core + self.chunk + 1:
+            start = self._next_chunk * self.core
+            upper = (start + self.core) // self.stride + self.margin_frames
+            self._emit(start, self.chunk, upper)
+            self._next_chunk += 1
+            drop = self._next_chunk * self.core - self._tail_base
+            if drop > 0:
+                self._tail = self._tail[drop:]
+                self._tail_base += drop
+
+    def _emit(self, start: int, seg_len: int, upper_cut: int) -> None:
+        sig = np.zeros((1, self.chunk), np.float32)
+        seg = self._tail[start - self._tail_base:
+                         start - self._tail_base + seg_len]
+        sig[0, :len(seg)] = seg
+        import jax.numpy as jnp
+
+        lp, _ = self.forward(jnp.asarray(sig),
+                             jnp.asarray([len(seg)], np.int32))
+        lp = np.asarray(lp, np.float32)[0]
+        exact = conv_output_length(len(seg), self.conv_features)
+        valid = lp[:min(exact, len(lp))]
+        base = start // self.stride
+        lo = 0 if start == 0 else self.margin_frames
+        hi = min(upper_cut - base, len(valid))
+        self._pieces.append(valid[lo:hi])
+
+    def log_probs_so_far(self) -> np.ndarray:
+        """(T_stable', V) stable stitched prefix (exact vs offline)."""
+        if not self._pieces:
+            return np.zeros((0, 1), np.float32)
+        return np.concatenate(self._pieces, axis=0)
+
+    def text_so_far(self, index2vocab: dict, decoder=None,
+                    blank: Optional[int] = None,
+                    postproc: Optional[Callable] = None) -> str:
+        return decode_stitched(self.log_probs_so_far(), index2vocab,
+                               decoder, blank, postproc)
+
+    def finish(self) -> np.ndarray:
+        """End of stream: flush remaining chunks, return full (T', V)."""
+        if self._final is not None:
+            return self._final
+        n = self.samples_fed
+        if n == 0:
+            self._final = np.zeros((0, 1), np.float32)
+            return self._final
+        starts = self._chunk_starts(n)
+        total = conv_output_length(n, self.conv_features)
+        for k in range(self._next_chunk, len(starts)):
+            start = starts[k]
+            upper = (starts[k + 1] // self.stride + self.margin_frames
+                     if k + 1 < len(starts) else total)
+            self._emit(start, min(n - start, self.chunk), upper)
+        self._next_chunk = len(starts)
+        self._final = self.log_probs_so_far()
+        return self._final
+
+    def finish_text(self, index2vocab: dict, decoder=None,
+                    blank: Optional[int] = None,
+                    postproc: Optional[Callable] = None) -> str:
+        return decode_stitched(self.finish(), index2vocab, decoder,
+                               blank, postproc)

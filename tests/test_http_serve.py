@@ -1,0 +1,105 @@
+"""a8t-serve HTTP endpoint: health, transcription, errors, concurrency."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from audio8_tpu.cli.serve import TranscribeService, make_server
+from audio8_tpu.config import AcousticConfig
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+from audio8_tpu.serve import ChunkedTranscriber
+
+
+def wav_bytes(wav: np.ndarray, sr: int = 16_000) -> bytes:
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (wav * 32767).astype(np.int16))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = AcousticConfig(num_labels=8, d_model=32, num_heads=2, num_layers=1,
+                         d_ff=64, dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8000), jnp.float32))["params"]
+
+    @jax.jit
+    def forward(signal, lengths):
+        lp, mask = model.apply({"params": params}, signal, lengths)
+        return lp, jnp.sum(mask, axis=-1)
+
+    ct = ChunkedTranscriber(forward, cfg.conv_features,
+                            chunk_samples=32_000, context_samples=4_000,
+                            batch_size=2)
+    i2v = {i: c for i, c in enumerate("_abcdefg")}
+    service = TranscribeService(ct, i2v, info={"model": "tiny"})
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service, ct, i2v
+    srv.shutdown()
+
+
+def request(srv, path, data=None, headers=None):
+    url = "http://127.0.0.1:%d%s" % (srv.server_address[1], path)
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    srv, *_ = server
+    status, body = request(srv, "/healthz")
+    assert status == 200 and body["ok"] and body["model"] == "tiny"
+
+
+def test_transcribe_matches_direct(server):
+    srv, _, ct, i2v = server
+    wav = np.random.default_rng(0).normal(size=50_000).astype(np.float32) * .1
+    status, body = request(srv, "/transcribe", data=wav_bytes(wav))
+    assert status == 200
+    # int16 round-trip through the container, so re-derive the expectation
+    # from the exact samples the server saw
+    seen = (wav * 32767).astype(np.int16).astype(np.float32) / 32768.0
+    assert body["text"] == ct.transcribe(seen, i2v)
+    assert body["audio_seconds"] == pytest.approx(len(wav) / 16_000, abs=1e-3)
+    assert body["latency_ms"] > 0
+
+
+def test_errors(server):
+    srv, *_ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        request(srv, "/transcribe", data=b"")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        request(srv, "/nope")
+    assert e.value.code == 404
+
+
+def test_concurrent_requests(server):
+    srv, _, ct, i2v = server
+    rng = np.random.default_rng(7)
+    wavs = [rng.normal(size=20_000 + 5_000 * i).astype(np.float32) * .1
+            for i in range(4)]
+    results = [None] * len(wavs)
+
+    def hit(i):
+        results[i] = request(srv, "/transcribe", data=wav_bytes(wavs[i]))
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(wavs))]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    for i, wav in enumerate(wavs):
+        status, body = results[i]
+        seen = (wav * 32767).astype(np.int16).astype(np.float32) / 32768.0
+        assert status == 200 and body["text"] == ct.transcribe(seen, i2v)
