@@ -32,7 +32,8 @@ import numpy as np
 
 from audio8_tpu.cli.common import add_common_model_args, apply_preset
 from audio8_tpu.data.audio import SoundfileAudioReader
-from audio8_tpu.serve import ChunkedTranscriber, decode_stitched
+from audio8_tpu.serve import (ChunkedTranscriber, MicroBatcher,
+                              decode_stitched)
 
 logger = logging.getLogger("audio8_tpu.serve")
 
@@ -72,15 +73,24 @@ class TranscribeService:
     def transcribe(self, data: bytes, content_type: str = "") -> dict:
         wav = self.decode_bytes(data, content_type)
         t0 = time.perf_counter()
-        with self._lock:
+        if self.transcriber.batcher is not None:
+            # the MicroBatcher's dispatcher thread serializes device
+            # access; concurrent requests pack into shared batches
             lp = self.transcriber.log_probs(wav)
+        else:
+            with self._lock:
+                lp = self.transcriber.log_probs(wav)
         text = decode_stitched(lp, self.index2vocab, self.decoder)
         return {"text": text,
                 "audio_seconds": round(len(wav) / self.sample_rate, 3),
                 "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
 
     def health(self) -> dict:
-        return {"ok": True, **self.info}
+        out = {"ok": True, **self.info}
+        b = self.transcriber.batcher
+        if b is not None:
+            out["batcher"] = {"dispatches": b.dispatches, "rows": b.rows}
+        return out
 
 
 def make_server(service: TranscribeService, host: str = "127.0.0.1",
@@ -140,6 +150,9 @@ def parse_args(argv=None):
     p.add_argument("--context_seconds", type=float, default=2.0)
     p.add_argument("--batch", type=int, default=4,
                    help="chunk batch per device dispatch")
+    p.add_argument("--batch_wait_ms", type=float, default=2.0,
+                   help="max wait for co-batching concurrent requests; "
+                        "0 disables the cross-request MicroBatcher")
     add_common_model_args(p)
     return apply_preset(p.parse_args(argv))
 
@@ -151,10 +164,15 @@ def main(argv=None):
 
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     sr = args.target_sample_rate
+    chunk = int(args.chunk_seconds * sr)
+    batcher = None
+    if args.batch_wait_ms > 0:
+        batcher = MicroBatcher(forward, chunk, batch_size=args.batch,
+                               max_wait_ms=args.batch_wait_ms)
     ct = ChunkedTranscriber(forward, cfg.conv_features,
-                            chunk_samples=int(args.chunk_seconds * sr),
+                            chunk_samples=chunk,
                             context_samples=int(args.context_seconds * sr),
-                            batch_size=args.batch)
+                            batch_size=args.batch, batcher=batcher)
     service = TranscribeService(
         ct, index2vocab, decoder, sample_rate=sr,
         info={"model": "wav2vec2-ctc", "d_model": args.d_model,

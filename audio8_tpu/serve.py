@@ -18,11 +18,113 @@ at stitch points otherwise.
 """
 from __future__ import annotations
 
+import queue
+import threading
+import time
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
 from audio8_tpu.config import conv_output_length
+
+
+class MicroBatcher:
+    """Cross-request chunk batching: one device program, shared batches.
+
+    Callers (HTTP threads, streams) submit fixed-length chunk rows; a
+    single dispatcher thread packs up to ``batch_size`` pending rows —
+    from ANY caller — into one ``(batch, chunk)`` dispatch of the jitted
+    forward and hands each caller its row back. This is the TPU-idiomatic
+    way to scale a serving endpoint: concurrent requests fill the MXU
+    batch dimension instead of serializing whole forwards behind a lock.
+    The reference has no serving path at all (its inference story ends at
+    the batch eval driver, /root/reference/audio8/test.py).
+
+    A lone row waits at most ``max_wait_ms`` for company before
+    dispatching alone; rows already queued (e.g. one long request's many
+    chunks) pack immediately. Device access is serialized by construction
+    — the dispatcher is the only thread that touches ``forward``.
+    """
+
+    def __init__(self, forward: Callable, chunk_samples: int,
+                 batch_size: int = 4, max_wait_ms: float = 2.0):
+        self.forward = forward
+        self.chunk = int(chunk_samples)
+        self.batch = int(batch_size)
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self.dispatches = 0          # device programs run (stats/tests)
+        self.rows = 0                # rows served
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="a8t-microbatcher")
+        self._thread.start()
+
+    def submit_many(self, segs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Enqueue chunk rows (each 1-D, len <= chunk); block until all
+        are served; return per-row ``(T_chunk', V)`` log-probs."""
+        items = []
+        for seg in segs:
+            if len(seg) > self.chunk:
+                raise ValueError(f"row of {len(seg)} > chunk {self.chunk}")
+            items.append([np.asarray(seg, np.float32), None,
+                          threading.Event()])
+        for it in items:
+            self._q.put(it)
+        for it in items:
+            it[2].wait()
+            if isinstance(it[1], BaseException):
+                raise it[1]
+        return [it[1] for it in items]
+
+    def submit(self, seg: np.ndarray) -> np.ndarray:
+        return self.submit_many([seg])[0]
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            block = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(block) < self.batch:
+                try:
+                    nxt = self._q.get(
+                        timeout=max(deadline - time.monotonic(), 0))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._drain(block, None)
+                    return
+                block.append(nxt)
+            sig = np.zeros((self.batch, self.chunk), np.float32)
+            lens = np.zeros((self.batch,), np.int32)
+            for j, it in enumerate(block):
+                sig[j, :len(it[0])] = it[0]
+                lens[j] = len(it[0])
+            try:
+                lp, _ = self.forward(jnp.asarray(sig), jnp.asarray(lens))
+                lp = np.asarray(lp, np.float32)
+            except Exception as e:  # propagate to every waiting caller
+                self._drain(block, e)
+                continue
+            self.dispatches += 1
+            self.rows += len(block)
+            for j, it in enumerate(block):
+                it[1] = lp[j]
+                it[2].set()
+
+    @staticmethod
+    def _drain(block, exc) -> None:
+        err = exc or RuntimeError("MicroBatcher closed")
+        for it in block:
+            it[1] = err
+            it[2].set()
 
 
 class ChunkedTranscriber:
@@ -35,10 +137,14 @@ class ChunkedTranscriber:
 
     def __init__(self, forward: Callable, conv_features: Sequence,
                  chunk_samples: int = 480_000,
-                 context_samples: int = 32_000, batch_size: int = 4):
+                 context_samples: int = 32_000, batch_size: int = 4,
+                 batcher: Optional[MicroBatcher] = None):
         if chunk_samples <= 2 * context_samples:
             raise ValueError("chunk must exceed twice the context margin")
+        if batcher is not None and batcher.chunk != int(chunk_samples):
+            raise ValueError("batcher chunk size mismatch")
         self.forward = forward
+        self.batcher = batcher
         self.chunk = int(chunk_samples)
         self.context = int(context_samples)
         self.batch = int(batch_size)
@@ -81,8 +187,6 @@ class ChunkedTranscriber:
         are single global frame indices, making the stitched sequence
         contiguous and exactly ``conv_output_length(len(wav))`` frames
         long."""
-        import jax.numpy as jnp
-
         wav = np.asarray(wav, np.float32).reshape(-1)
         n = len(wav)
         starts = self._chunk_starts(n)
@@ -91,33 +195,45 @@ class ChunkedTranscriber:
         for s_next in starts[1:]:
             cuts.append(s_next // self.stride + self.margin_frames)
         cuts.append(conv_output_length(n, self.conv_features))
+        segs = [wav[s:s + self.chunk] for s in starts]
+        rows = self._row_log_probs(segs)
         pieces: List[np.ndarray] = []
-        for i0 in range(0, len(starts), self.batch):
-            block = starts[i0:i0 + self.batch]
-            sig = np.zeros((self.batch, self.chunk), np.float32)
-            lens = np.zeros((self.batch,), np.int32)
-            for j, s in enumerate(block):
-                seg = wav[s:s + self.chunk]
-                sig[j, :len(seg)] = seg
-                lens[j] = len(seg)
-            # frame lengths from the forward are ignored: the reshape-all
-            # semantics undercount the tail by <=1 vs the exact conv count
-            lp, _ = self.forward(jnp.asarray(sig), jnp.asarray(lens))
-            lp = np.asarray(lp, np.float32)
-            for j, s in enumerate(block):
-                k = i0 + j
-                # exact conv frame count of this chunk's real samples (the
-                # model's reshape-all pad mask may zero the final frame's
-                # transformer input, but the frame exists and belongs in
-                # the stitched sequence)
-                exact = conv_output_length(int(lens[j]), self.conv_features)
-                valid = lp[j, :min(exact, lp.shape[1])]
-                base = s // self.stride
-                lo = cuts[k] - base
-                hi = min(cuts[k + 1] - base, len(valid))
-                pieces.append(valid[lo:hi])
+        for k, (s, seg, row) in enumerate(zip(starts, segs, rows)):
+            # exact conv frame count of this chunk's real samples (the
+            # model's reshape-all pad mask may zero the final frame's
+            # transformer input, but the frame exists and belongs in
+            # the stitched sequence)
+            exact = conv_output_length(len(seg), self.conv_features)
+            valid = row[:min(exact, len(row))]
+            base = s // self.stride
+            lo = cuts[k] - base
+            hi = min(cuts[k + 1] - base, len(valid))
+            pieces.append(valid[lo:hi])
         return np.concatenate(pieces, axis=0) if pieces else np.zeros(
             (0, 1), np.float32)
+
+    def _row_log_probs(self, segs: List[np.ndarray]) -> List[np.ndarray]:
+        """Per-chunk ``(T_chunk', V)`` rows. With a ``MicroBatcher`` the
+        rows ride shared cross-request batches; otherwise they pack into
+        this transcriber's own ``(batch, chunk)`` dispatches. The
+        forward's frame lengths are ignored either way: the reshape-all
+        semantics undercount the tail by <=1 vs the exact conv count."""
+        if self.batcher is not None:
+            return self.batcher.submit_many(segs)
+        import jax.numpy as jnp
+
+        rows: List[np.ndarray] = []
+        for i0 in range(0, len(segs), self.batch):
+            block = segs[i0:i0 + self.batch]
+            sig = np.zeros((self.batch, self.chunk), np.float32)
+            lens = np.zeros((self.batch,), np.int32)
+            for j, seg in enumerate(block):
+                sig[j, :len(seg)] = seg
+                lens[j] = len(seg)
+            lp, _ = self.forward(jnp.asarray(sig), jnp.asarray(lens))
+            lp = np.asarray(lp, np.float32)
+            rows.extend(lp[j] for j in range(len(block)))
+        return rows
 
     def transcribe(self, wav: np.ndarray, index2vocab: dict,
                    decoder=None, blank: Optional[int] = None,
@@ -164,9 +280,11 @@ class StreamingTranscriber(ChunkedTranscriber):
 
     def __init__(self, forward: Callable, conv_features: Sequence,
                  chunk_samples: int = 480_000,
-                 context_samples: int = 32_000):
+                 context_samples: int = 32_000,
+                 batcher: Optional[MicroBatcher] = None):
         super().__init__(forward, conv_features, chunk_samples=chunk_samples,
-                         context_samples=context_samples, batch_size=1)
+                         context_samples=context_samples, batch_size=1,
+                         batcher=batcher)
         self.reset()
 
     def reset(self) -> None:
@@ -204,15 +322,9 @@ class StreamingTranscriber(ChunkedTranscriber):
                 self._tail_base += drop
 
     def _emit(self, start: int, seg_len: int, upper_cut: int) -> None:
-        sig = np.zeros((1, self.chunk), np.float32)
         seg = self._tail[start - self._tail_base:
                          start - self._tail_base + seg_len]
-        sig[0, :len(seg)] = seg
-        import jax.numpy as jnp
-
-        lp, _ = self.forward(jnp.asarray(sig),
-                             jnp.asarray([len(seg)], np.int32))
-        lp = np.asarray(lp, np.float32)[0]
+        lp = self._row_log_probs([seg])[0]
         exact = conv_output_length(len(seg), self.conv_features)
         valid = lp[:min(exact, len(lp))]
         base = start // self.stride

@@ -14,7 +14,7 @@ from scipy.io import wavfile
 from audio8_tpu.cli.serve import TranscribeService, make_server
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
-from audio8_tpu.serve import ChunkedTranscriber
+from audio8_tpu.serve import ChunkedTranscriber, MicroBatcher
 
 
 def wav_bytes(wav: np.ndarray, sr: int = 16_000) -> bytes:
@@ -83,6 +83,44 @@ def test_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         request(srv, "/nope")
     assert e.value.code == 404
+
+
+def test_batched_server_concurrency(server):
+    """Same concurrency contract with the cross-request MicroBatcher on:
+    results exact, and /healthz reports fewer dispatches than rows."""
+    _, service, ct, i2v = server
+    mb = MicroBatcher(ct.forward, ct.chunk, batch_size=4, max_wait_ms=200.0)
+    bct = ChunkedTranscriber(ct.forward, ct.conv_features,
+                             chunk_samples=ct.chunk,
+                             context_samples=ct.context, batcher=mb)
+    bservice = TranscribeService(bct, i2v, info={"model": "tiny-batched"})
+    srv = make_server(bservice, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(11)
+        # all shorter than one chunk -> exactly one batcher row per request
+        wavs = [rng.normal(size=16_000 + 3_000 * i).astype(np.float32) * .1
+                for i in range(4)]
+        results = [None] * len(wavs)
+
+        def hit(i):
+            results[i] = request(srv, "/transcribe", data=wav_bytes(wavs[i]))
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(wavs))]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        for i, wav in enumerate(wavs):
+            status, body = results[i]
+            seen = (wav * 32767).astype(np.int16).astype(np.float32) / 32768.0
+            assert status == 200 and body["text"] == ct.transcribe(seen, i2v)
+        _, health = request(srv, "/healthz")
+        stats = health["batcher"]
+        assert stats["rows"] == 4 and stats["dispatches"] <= 2
+    finally:
+        srv.shutdown()
+        mb.close()
 
 
 def test_concurrent_requests(server):
