@@ -4,18 +4,27 @@ Production serving surface the reference does not have (its inference
 story ends at the batch eval driver, /root/reference/audio8/test.py):
 one process compiles the acoustic forward once at startup, then serves
 
-  GET  /healthz            -> {"ok": true, model info}
+  GET  /healthz            -> {"ok": true, model info, batcher stats}
   POST /transcribe         -> {"text", "audio_seconds", "latency_ms"}
        body: WAV or FLAC bytes (FLAC detected by magic/Content-Type)
+  POST /stream             -> ndjson: {"partial"} lines as audio arrives,
+       then {"text", "final": true, "audio_seconds"}
+       body: raw mono PCM at the model sample rate, chunked
+       transfer-encoding (or Content-Length); little-endian int16 by
+       default, float32 with `X-Audio-Format: f32`
 
-Long audio rides the ChunkedTranscriber (fixed-shape overlapped chunks),
-so any input length maps to the same XLA programs. Requests serialize
-through a lock around device dispatch — one TPU program, many HTTP
-threads; host-side decode (beam/LM) runs outside the lock.
+Long audio rides the ChunkedTranscriber (fixed-shape overlapped
+chunks); /stream rides the StreamingTranscriber (same stitched math,
+incremental, bounded memory). Concurrent requests and streams share
+MXU batches through the MicroBatcher dispatcher; without it, device
+dispatch serializes behind a lock. Partials decode greedily; the final
+line uses the beam/LM decoder when configured.
 
 Usage:
   a8t-serve --checkpoint ckpt --dict_file dict.ltr.txt --port 8000
   curl -s --data-binary @utt.wav localhost:8000/transcribe
+  arecord -f S16_LE -r 16000 -t raw | curl -sN -T - \
+      -H 'Transfer-Encoding: chunked' localhost:8000/stream
 """
 from __future__ import annotations
 
@@ -33,7 +42,7 @@ import numpy as np
 from audio8_tpu.cli.common import add_common_model_args, apply_preset
 from audio8_tpu.data.audio import SoundfileAudioReader
 from audio8_tpu.serve import (ChunkedTranscriber, MicroBatcher,
-                              decode_stitched)
+                              StreamingTranscriber, decode_stitched)
 
 logger = logging.getLogger("audio8_tpu.serve")
 
@@ -92,13 +101,55 @@ class TranscribeService:
             out["batcher"] = {"dispatches": b.dispatches, "rows": b.rows}
         return out
 
+    def new_stream(self) -> StreamingTranscriber:
+        """Fresh per-request incremental transcriber sharing the device
+        path (and cross-stream batching) of the one-shot endpoint."""
+        t = self.transcriber
+        return StreamingTranscriber(t.forward, t.conv_features,
+                                    chunk_samples=t.chunk,
+                                    context_samples=t.context,
+                                    batcher=t.batcher)
+
+    def stream_lock(self):
+        """Device-dispatch guard for streams: a real lock only when no
+        MicroBatcher serializes the device already."""
+        if self.transcriber.batcher is not None:
+            return _NULL_LOCK
+        return self._lock
+
+
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+_NULL_LOCK = _NullLock()
+
+
+def pcm_to_float(data: bytes, fmt: str) -> np.ndarray:
+    """Raw little-endian PCM bytes -> float32 waveform in [-1, 1]."""
+    if fmt == "f32":
+        return np.frombuffer(data, "<f4").astype(np.float32)
+    return np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+
 
 def make_server(service: TranscribeService, host: str = "127.0.0.1",
                 port: int = 8000) -> ThreadingHTTPServer:
     """Bind a ThreadingHTTPServer serving ``service`` (port 0 = ephemeral)."""
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked responses (the /stream ndjson) require HTTP/1.1;
+        # _send always sets Content-Length so keep-alive stays correct
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict):
+            if code >= 400:
+                # error paths may leave request-body bytes unread, which
+                # would corrupt the next request on a kept-alive socket
+                self.close_connection = True
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -113,6 +164,9 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if self.path == "/stream":
+                self._stream()
+                return
             if self.path != "/transcribe":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
@@ -127,6 +181,75 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
             except Exception as e:  # noqa: BLE001 — keep the server alive
                 logger.exception("transcribe failed")
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _body_blocks(self):
+            """Yield request-body byte blocks, honoring chunked
+            transfer-encoding (stdlib http.server does not decode it)."""
+            if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                while True:
+                    size = int(self.rfile.readline().split(b";")[0], 16)
+                    if size == 0:
+                        while self.rfile.readline() not in (b"\r\n", b"\n",
+                                                            b""):
+                            pass  # trailers
+                        return
+                    yield self.rfile.read(size)
+                    self.rfile.readline()  # chunk-terminating CRLF
+            else:
+                left = int(self.headers.get("Content-Length", 0))
+                while left > 0:
+                    block = self.rfile.read(min(left, 65536))
+                    if not block:
+                        return
+                    left -= len(block)
+                    yield block
+
+        def _emit(self, payload: dict):
+            line = (json.dumps(payload) + "\n").encode()
+            self.wfile.write(b"%x\r\n" % len(line) + line + b"\r\n")
+            self.wfile.flush()
+
+        def _stream(self):
+            fmt = self.headers.get("X-Audio-Format", "s16").lower()
+            if fmt not in ("s16", "f32"):
+                self._send(400, {"error": f"unknown X-Audio-Format {fmt}"})
+                return
+            width = 4 if fmt == "f32" else 2
+            st = service.new_stream()
+            lock = service.stream_lock()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                partial, leftover = "", b""
+                for block in self._body_blocks():
+                    data = leftover + block
+                    usable = len(data) - len(data) % width
+                    leftover = data[usable:]
+                    with lock:
+                        st.feed(pcm_to_float(data[:usable], fmt))
+                    # greedy partials (cheap host decode); beam/LM waits
+                    # for the final
+                    text = st.text_so_far(service.index2vocab)
+                    if text != partial:
+                        partial = text
+                        self._emit({"partial": text})
+                with lock:
+                    lp = st.finish()
+                text = decode_stitched(lp, service.index2vocab,
+                                       service.decoder)
+                self._emit({"text": text, "final": True,
+                            "audio_seconds": round(
+                                st.samples_fed / service.sample_rate, 3)})
+            except Exception as e:  # noqa: BLE001 — keep the server alive
+                logger.exception("stream failed")
+                self._emit({"error": f"{type(e).__name__}: {e}",
+                            "final": True})
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+            # a failed stream may leave body bytes unread
+            self.close_connection = True
 
         def log_message(self, fmt, *a):  # route to logging, not stderr
             logger.info("%s %s", self.address_string(), fmt % a)

@@ -1,4 +1,5 @@
 """a8t-serve HTTP endpoint: health, transcription, errors, concurrency."""
+import http.client
 import io
 import json
 import threading
@@ -83,6 +84,61 @@ def test_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         request(srv, "/nope")
     assert e.value.code == 404
+
+
+def stream_request(port, body_iter, headers):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    try:
+        conn.request("POST", "/stream", body=body_iter,
+                     headers=headers, encode_chunked=True)
+        resp = conn.getresponse()
+        lines = [json.loads(ln) for ln in resp.read().split(b"\n") if ln]
+        return resp.status, lines
+    finally:
+        conn.close()
+
+
+def test_stream_endpoint_chunked_pcm16(server):
+    srv, _, ct, i2v = server
+    port = srv.server_address[1]
+    wav = np.random.default_rng(21).normal(size=50_000).astype(np.float32) * .1
+    pcm = (wav * 32767).astype("<i2").tobytes()
+
+    def gen():  # ragged blocks, odd sizes straddle the sample width
+        for i in range(0, len(pcm), 9_999):
+            yield pcm[i:i + 9_999]
+
+    status, lines = stream_request(
+        port, gen(), {"Transfer-Encoding": "chunked"})
+    assert status == 200
+    final = lines[-1]
+    assert final["final"] is True
+    seen = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    assert final["text"] == ct.transcribe(seen, i2v)
+    assert final["audio_seconds"] == pytest.approx(len(wav) / 16_000,
+                                                   abs=1e-3)
+    # 50k samples > one 32k chunk -> at least one interim partial line
+    assert any("partial" in ln for ln in lines[:-1])
+
+
+def test_stream_endpoint_f32_and_bad_format(server):
+    srv, _, ct, i2v = server
+    port = srv.server_address[1]
+    wav = np.random.default_rng(22).normal(size=20_000).astype(np.float32) * .1
+
+    def gen():
+        yield wav.astype("<f4").tobytes()
+
+    status, lines = stream_request(
+        port, gen(), {"Transfer-Encoding": "chunked",
+                      "X-Audio-Format": "f32"})
+    assert status == 200 and lines[-1]["text"] == ct.transcribe(wav, i2v)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/stream", body=b"",
+                 headers={"X-Audio-Format": "mp3"})
+    assert conn.getresponse().status == 400
+    conn.close()
 
 
 def test_batched_server_concurrency(server):
