@@ -33,6 +33,61 @@ def conv_output_length(length: int, conv_features) -> int:
     return length
 
 
+def max_input_for_output(frames: int, conv_features) -> int:
+    """Largest sample count whose conv output is exactly ``frames``.
+
+    Exact inverse of :func:`conv_output_length`: per layer the largest
+    preimage of output ``o`` is ``(o - 1) * s + k + (s - 1)``, and because
+    every layer is monotone non-decreasing the per-layer maxima compose.
+    """
+    length = frames
+    for _, k, s in reversed(conv_features):
+        length = (length - 1) * s + k + (s - 1)
+    return length
+
+
+def lane_aligned_length(length: int, conv_features, multiple: int = 128,
+                        max_crop: float = 0.1) -> int:
+    """Snap an audio length (samples) DOWN so the conv stack emits a frame
+    count that is a multiple of ``multiple`` (the TPU MXU lane width, 128).
+
+    The encoder's attention score/AV matmuls are (T', T') x (T', d); XLA
+    pads both T' dims up to the next 128-lane tile, so e.g. T'=546 computes
+    640-wide tiles — ~37% padding FLOPs in the quadratic term. Cropping the
+    clip so T' lands exactly on the tile boundary removes that waste while
+    trimming only a few percent of (linear-cost) audio. The reference crops
+    clips freely in its data layer too (/root/reference/audio8/data.py:439-480);
+    this just picks TPU-shaped crop points.
+
+    Lengths are returned UNCHANGED when snapping would crop more than
+    ``max_crop`` of the frames (snapping T'=194 down to 128 would discard a
+    third of the audio — worse for data efficiency than the tile padding it
+    saves) or when T' < ``multiple`` (one tile regardless; snapping to zero
+    would be invalid).
+    """
+    frames = conv_output_length(length, conv_features)
+    target = (frames // multiple) * multiple
+    if target <= 0 or target == frames:
+        return length
+    if (frames - target) / frames > max_crop:
+        return length
+    return max_input_for_output(target, conv_features)
+
+
+def lane_aligned_grid(grid, conv_features, multiple: int = 128,
+                      max_crop: float = 0.1):
+    """Map a length grid through :func:`lane_aligned_length`, ascending and
+    deduplicated. Grid entries whose T' already sits on a tile boundary, is
+    below one tile, or is too far above the boundary (crop > ``max_crop``)
+    pass through unchanged."""
+    out = []
+    for g in sorted(grid):
+        a = lane_aligned_length(g, conv_features, multiple, max_crop)
+        if a not in out:
+            out.append(a)
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class EncoderConfig:
     """Wav2Vec2Encoder hyperparameters (downstream defaults;

@@ -45,16 +45,19 @@ def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
     from audio8_tpu.train.steps import make_pretrain_steps
 
     # Default = wav2vec2-base; dense min-cropped pretraining batch like the
-    # reference (~1.4M samples/batch budget -> 8 x 175k samples = 87.5
-    # audio-sec). The 'large' workload scales dims the way the reference
-    # would (--d_model 1024 --num_layers 24 ..., post-norm throughout;
-    # /root/reference/audio8/pretrain.py:39-42 exposes the same knobs).
+    # reference (~1.4M samples/batch budget -> 8 x ~164k samples = 82
+    # audio-sec). Clip length is lane-aligned (config.lane_aligned_length):
+    # T'=512 = 4 MXU tiles, the default the pretrain CLI's --lane_align
+    # grid produces; measured +7% over the unaligned T'=546 crop
+    # (tools/exp_lane_align.py). The 'large' workload scales dims the way
+    # the reference would (--d_model 1024 --num_layers 24 ..., post-norm
+    # throughout; /root/reference/audio8/pretrain.py:39-42 same knobs).
     _note(f"pretrain d_model={d_model} L={num_layers}: build + compile")
     cfg = PretrainConfig(d_model=d_model, num_heads=num_heads,
                          num_layers=num_layers, d_ff=d_ff,
                          final_dim=final_dim, dropout=0.1)
     model = Wav2Vec2Model(config=cfg, dtype=jnp.bfloat16)
-    t = 175_000
+    t = 163_920  # conv_output_length(t) == 512 exactly
 
     rng = np.random.default_rng(0)
     signal = jnp.asarray(rng.normal(size=(b, t)).astype(np.float32))

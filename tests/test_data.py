@@ -163,3 +163,66 @@ def test_audio_text_dataset_length_grid(corpus):
         text_pad_multiple=8)
     shapes = {b["signal"].shape[1] for b in iter(ds)}
     assert shapes.issubset(set(grid))
+
+
+def test_lane_aligned_length_inverse_exact():
+    """max_input_for_output is the exact, maximal inverse of the conv
+    stack's length function for both sample-rate stacks."""
+    from audio8_tpu.config import (CONV_FEATURES, conv_output_length,
+                                   max_input_for_output)
+    for sr in (16, 8):
+        cf = CONV_FEATURES[sr]
+        for frames in (1, 2, 33, 127, 128, 129, 512, 546, 640, 1000):
+            t = max_input_for_output(frames, cf)
+            assert conv_output_length(t, cf) == frames
+            # maximality: one more full stride must bump the frame count
+            stride = 1
+            for _, _, s in cf:
+                stride *= s
+            assert conv_output_length(t + stride, cf) > frames
+
+
+def test_lane_aligned_length_guards():
+    from audio8_tpu.config import (CONV_FEATURES, conv_output_length,
+                                   lane_aligned_length)
+    cf = CONV_FEATURES[16]
+    # the bench case: T'=546 snaps down to exactly 512 (6% crop)
+    t = lane_aligned_length(175_000, cf)
+    assert conv_output_length(t, cf) == 512
+    # T' already aligned: unchanged
+    assert lane_aligned_length(t, cf) == t
+    # below one tile: unchanged
+    assert lane_aligned_length(11_111, cf) == 11_111
+    # crop > max_crop (T'=195 -> 128 would drop ~34%): unchanged
+    assert lane_aligned_length(62_500, cf) == 62_500
+    assert lane_aligned_length(62_500, cf, max_crop=0.5) != 62_500
+
+
+def test_lane_aligned_grid_keeps_coverage():
+    """Guarded snapping preserves every length class (no mid-grid collapse)
+    while aligning the large buckets to MXU tiles."""
+    from audio8_tpu.cli.pretrain import DEFAULT_BUCKETS
+    from audio8_tpu.config import (CONV_FEATURES, conv_output_length,
+                                   lane_aligned_grid)
+    cf = CONV_FEATURES[16]
+    grid = lane_aligned_grid(DEFAULT_BUCKETS, cf)
+    assert len(grid) >= len(DEFAULT_BUCKETS) - 1  # only near-dup merges
+    assert grid == sorted(grid)
+    frames = [conv_output_length(g, cf) for g in grid]
+    # the big buckets land exactly on tile boundaries
+    assert {256, 384, 512, 768}.issubset({f for f in frames})
+    # nothing was cropped by more than the guard
+    for raw in DEFAULT_BUCKETS:
+        f_raw = conv_output_length(raw, cf)
+        best = max((f for f in frames if f <= f_raw), default=None)
+        assert best is not None and (f_raw - best) / f_raw <= 0.1 + 1e-9
+
+
+def test_pretrain_cli_lane_align_flag():
+    from audio8_tpu.cli.pretrain import DEFAULT_BUCKETS, parse_args
+    from audio8_tpu.config import CONV_FEATURES, lane_aligned_grid
+    base = ["--manifest_dir", "/tmp"]
+    on = parse_args(base)
+    assert on.buckets == lane_aligned_grid(DEFAULT_BUCKETS, CONV_FEATURES[16])
+    off = parse_args(base + ["--lane_align", "false"])
+    assert off.buckets == DEFAULT_BUCKETS
