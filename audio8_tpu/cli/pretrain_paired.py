@@ -83,6 +83,10 @@ def parse_args(argv=None):
     parser.add_argument("--text_reduction_type", default="max")
     parser.add_argument("--text_d_k", type=int, default=64)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--lane_align", type=str2bool, default=True,
+                        help="clamp pad targets that would push the conv "
+                             "frame count past a 128-lane MXU tile boundary "
+                             "the batch didn't require (never drops audio)")
     parser.add_argument("--length_buckets", type=int, nargs="*",
                         help="geometric audio-length grid (samples); pads "
                              "each batch up to the next bucket, bounding "
@@ -118,7 +122,8 @@ def train(argv=None):
         shard_index=rank, num_shards=world,
         batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
-        length_grid=args.length_buckets)
+        length_grid=args.length_buckets,
+        lane_align=args.lane_align)
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,
@@ -129,7 +134,8 @@ def train(argv=None):
         num_shards=world if row_shard else 1,
         batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
-        length_grid=args.length_buckets)
+        length_grid=args.length_buckets,
+        lane_align=args.lane_align)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     audio_cfg = PooledConfig(

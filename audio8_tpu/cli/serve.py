@@ -40,7 +40,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from audio8_tpu.cli.common import add_common_model_args, apply_preset
+from audio8_tpu.config import lane_aligned_chunk
 from audio8_tpu.data.audio import SoundfileAudioReader
+from audio8_tpu.utils import str2bool
 from audio8_tpu.serve import (ChunkedTranscriber, MicroBatcher,
                               StreamingTranscriber, decode_stitched)
 
@@ -271,6 +273,10 @@ def parse_args(argv=None):
     p.add_argument("--beta", type=float, default=5.0)
     p.add_argument("--chunk_seconds", type=float, default=30.0)
     p.add_argument("--context_seconds", type=float, default=2.0)
+    p.add_argument("--lane_align", type=str2bool, default=True,
+                   help="snap the chunk window UP so its frame count sits "
+                        "on the 128-lane MXU tile boundary (free audio in "
+                        "tiles XLA pads to anyway)")
     p.add_argument("--batch", type=int, default=4,
                    help="chunk batch per device dispatch")
     p.add_argument("--batch_wait_ms", type=float, default=2.0,
@@ -288,6 +294,8 @@ def main(argv=None):
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     sr = args.target_sample_rate
     chunk = int(args.chunk_seconds * sr)
+    if args.lane_align:
+        chunk = lane_aligned_chunk(chunk, cfg.conv_features)
     batcher = None
     if args.batch_wait_ms > 0:
         batcher = MicroBatcher(forward, chunk, batch_size=args.batch,

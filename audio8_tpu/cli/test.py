@@ -73,6 +73,10 @@ def evaluate(argv=None):
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--lane_align", type=str2bool, default=True,
+                        help="clamp pad targets that would push the conv "
+                             "frame count past a 128-lane MXU tile boundary "
+                             "the batch didn't require (never drops audio)")
     parser.add_argument("--length_buckets", type=int, nargs="*",
                         help="geometric audio-length grid (samples); pads "
                              "each batch up to the next bucket, bounding "
@@ -106,7 +110,8 @@ def evaluate(argv=None):
         target_sample_rate=args.target_sample_rate,
         shuffle=False, is_infinite=False, tgt_type=args.target_type,
         pad_to_multiple=args.pad_to_multiple,
-        length_grid=args.length_buckets)
+        length_grid=args.length_buckets,
+        lane_align=args.lane_align)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     cfg = AcousticConfig(

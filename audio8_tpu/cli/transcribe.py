@@ -28,7 +28,7 @@ from audio8_tpu.models.text import read_vocab_list
 from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
 from audio8_tpu.ops.ctc import greedy_collapse
 from audio8_tpu.ops.metrics import postproc_letters
-from audio8_tpu.utils import Offsets, revlut
+from audio8_tpu.utils import Offsets, revlut, str2bool
 
 
 def parse_args(argv=None):
@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help=">0: transcribe arbitrarily long audio through "
                         "fixed-shape overlapped chunks")
     p.add_argument("--context_seconds", type=float, default=2.0)
+    p.add_argument("--lane_align", type=str2bool, default=True,
+                   help="snap the chunk window UP so its frame count sits "
+                        "on the 128-lane MXU tile boundary")
     add_common_model_args(p)
     return apply_preset(p.parse_args(argv))
 
@@ -99,9 +102,13 @@ def main(argv=None):
     if args.chunk_seconds > 0:
         from audio8_tpu.serve import ChunkedTranscriber
 
+        chunk = int(args.chunk_seconds * sr)
+        if args.lane_align:
+            from audio8_tpu.config import lane_aligned_chunk
+            chunk = lane_aligned_chunk(chunk, cfg.conv_features)
         ct = ChunkedTranscriber(
             forward, cfg.conv_features,
-            chunk_samples=int(args.chunk_seconds * sr),
+            chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr))
         for path in args.audio:
             text = ct.transcribe(np.asarray(reader.read(path)), index2vocab,

@@ -74,6 +74,48 @@ def lane_aligned_length(length: int, conv_features, multiple: int = 128,
     return max_input_for_output(target, conv_features)
 
 
+def lane_aligned_pad(t_pad: int, max_audio: int, conv_features,
+                     multiple: int = 128) -> int:
+    """Clamp a PAD target so it never pushes the conv frame count across a
+    128-lane MXU tile boundary that the data itself didn't require.
+
+    Supervised batches pad UP (the audio is transcribed — cropping would
+    drop labelled speech), so the lever differs from the pretrain-side
+    :func:`lane_aligned_length` crop: given the batch's real ``max_audio``
+    and the grid/round-up pad target ``t_pad``, the score/AV attention
+    matmuls tile T' up to ``ceil(T'/128)*128`` lanes either way — but a pad
+    target whose T' overshoots the boundary the data required adds a whole
+    extra 128-wide tile of quadratic FLOPs for nothing (e.g. max_audio
+    41,000 = T'127 = one tile, rounded up to 48,000 = T'149 = two tiles).
+    When ``t_pad`` overshoots, return the LARGEST length whose frame count
+    sits exactly on the data's boundary; otherwise return ``t_pad``
+    unchanged (it is within the same tile set and costs less linear-term
+    compute). Result is always >= ``max_audio``, and the emitted lengths
+    stay a small static set (grid entries ∪ boundary preimages).
+    """
+    frames_needed = conv_output_length(max_audio, conv_features)
+    boundary = -(-frames_needed // multiple) * multiple  # ceil to tile
+    if conv_output_length(t_pad, conv_features) <= boundary:
+        return t_pad
+    return max_input_for_output(boundary, conv_features)
+
+
+def lane_aligned_chunk(length: int, conv_features, multiple: int = 128) -> int:
+    """Snap a serving CHUNK window UP so its frame count sits exactly on a
+    128-lane tile boundary.
+
+    Chunk windows partition the waveform (ChunkedTranscriber), so unlike
+    training batches there is nothing to pad or crop — the window size is a
+    free choice, and any frames between T' and the tile boundary XLA pads
+    to are FLOPs the MXU burns either way. Snapping UP fills them with real
+    audio: the default 480,000-sample (30 s) chunk computes 1536-wide tiles
+    for 1499 real frames; 491,919 samples computes the same tiles for 1536
+    real frames."""
+    frames = conv_output_length(length, conv_features)
+    boundary = max(multiple, -(-frames // multiple) * multiple)
+    return max_input_for_output(boundary, conv_features)
+
+
 def lane_aligned_grid(grid, conv_features, multiple: int = 128,
                       max_crop: float = 0.1):
     """Map a length grid through :func:`lane_aligned_length`, ascending and

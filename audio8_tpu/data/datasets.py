@@ -34,6 +34,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from audio8_tpu.config import CONV_FEATURES, lane_aligned_pad
 from audio8_tpu.data.audio import AudioResampleReader, SoundfileAudioReader
 from audio8_tpu.utils import Offsets
 
@@ -166,6 +167,7 @@ class AudioTextLetterDataset:
         row_shard: bool = False,
         seed: int = 0,
         read_workers: int = 4,
+        lane_align: bool = False,
     ):
         """``length_grid``: optional ascending audio lengths (samples); each
         batch pads UP to the smallest grid entry >= its max length, bounding
@@ -174,7 +176,12 @@ class AudioTextLetterDataset:
 
         ``batch_multiple``: the per-shard batch size is always a multiple of
         this (pass the per-process 'data' mesh extent so batches shard
-        evenly over devices)."""
+        evenly over devices).
+
+        ``lane_align``: clamp pad targets that would push the conv frame
+        count past a 128-lane MXU tile boundary the batch's real max length
+        didn't require (config.lane_aligned_pad); never drops audio, only
+        trims wasted pad."""
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
             AudioResampleReader(self.sample_factor)
@@ -194,6 +201,12 @@ class AudioTextLetterDataset:
         self.pad_to_multiple = pad_to_multiple
         self.text_pad_multiple = text_pad_multiple
         self.length_grid = sorted(length_grid) if length_grid else None
+        # lane alignment needs the conv stack's length function; 16/8 kHz
+        # stacks are the only ones defined (config.CONV_FEATURES)
+        sr_khz = target_sample_rate // 1000
+        self.lane_align_features = (
+            CONV_FEATURES[sr_khz] if lane_align and sr_khz in CONV_FEATURES
+            else None)
         self.batch_multiple = max(batch_multiple, 1)
         self.row_shard = row_shard
         self._rng = random.Random(seed)
@@ -283,6 +296,9 @@ class AudioTextLetterDataset:
             t_audio = fits[0] if fits else _round_up(max_audio, self.pad_to_multiple)
         else:
             t_audio = _round_up(max_audio, self.pad_to_multiple)
+        if self.lane_align_features is not None:
+            t_audio = lane_aligned_pad(t_audio, max_audio,
+                                       self.lane_align_features)
         max_text = max(min(len(self.tokens[idx]), self.max_dst_length) for idx in batch)
         t_text = _round_up(max_text, self.text_pad_multiple)
         t_text = min(t_text, _round_up(self.max_dst_length, self.text_pad_multiple))

@@ -98,7 +98,13 @@ def bench_pretrain_large(n_steps: int = 12) -> float:
 
 def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
     """CTC fine-tune step (train.py workload): wav2vec2-base + letter
-    head, 16 x 3s = 48 audio-sec/step (docs/PERF.md §CTC)."""
+    head, 16 x 41,359 samples = 41.4 audio-sec/step. The clip length is
+    the shape train.py's lane-aligned data pipeline emits (T'=128 = one
+    MXU tile exactly; config.lane_aligned_pad) and respects the
+    reference's 700k-sample batch budget (661,744 samples;
+    /root/reference/audio8/train.py:112). Measured +4.4% over the old
+    T'=149 shape (tools/exp_ctc_lane_align.py); T'=256 clips reach 2203
+    audio-sec/sec but need a 1.3M-sample budget (docs/PERF.md §CTC)."""
     from audio8_tpu.config import AcousticConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -109,7 +115,7 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
     cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.1,
                          timestep_masking=0.5, channel_masking=0.1)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
-    b, t, u = 16, 48_000, 64
+    b, t, u = 16, 41_359, 64  # T'=128 exactly (lane-aligned pipeline shape)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -144,7 +150,7 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
 def bench_seq2seq(n_steps: int = 30) -> float:
     """Seq2seq ASR fine-tune step (train_seq2seq.py workload):
     wav2vec2-base encoder + 2L/4H decoder, teacher forcing, bf16,
-    16 x 3s = 48 audio-sec/step."""
+    16 x 41,359 samples (T'=128, lane-aligned) = 41.4 audio-sec/step."""
     from audio8_tpu.models.seq2seq import create_seq2seq_model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
     from audio8_tpu.train.steps import make_seq2seq_steps
@@ -153,7 +159,7 @@ def bench_seq2seq(n_steps: int = 30) -> float:
     Offsets.remap_fairseq_ctc()
     model = create_seq2seq_model(vocab_size=32, d_ff=3072, dropout=0.1,
                                  dtype=jnp.bfloat16)
-    b, t, u = 16, 48_000, 64
+    b, t, u = 16, 41_359, 64  # T'=128 exactly (lane-aligned pipeline shape)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -199,7 +205,7 @@ def bench_decode(n_steps: int = 50) -> float:
     cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.0,
                          timestep_masking=0.0, channel_masking=0.0)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
-    b, t, u = 16, 48_000, 64
+    b, t, u = 16, 41_359, 64  # T'=128 exactly (lane-aligned pipeline shape)
 
     rng = np.random.default_rng(0)
     batch = {

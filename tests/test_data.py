@@ -226,3 +226,69 @@ def test_pretrain_cli_lane_align_flag():
     assert on.buckets == lane_aligned_grid(DEFAULT_BUCKETS, CONV_FEATURES[16])
     off = parse_args(base + ["--lane_align", "false"])
     assert off.buckets == DEFAULT_BUCKETS
+
+
+def test_lane_aligned_pad_rules():
+    from audio8_tpu.config import (CONV_FEATURES, conv_output_length,
+                                   lane_aligned_pad, max_input_for_output)
+    cf = CONV_FEATURES[16]
+    # data needs T'=127 (one tile) but the 16k-multiple grid rounds to
+    # 48000 (T'=149, two tiles): clamp to the boundary's largest preimage
+    t = lane_aligned_pad(48_000, 41_000, cf)
+    assert t == max_input_for_output(128, cf)
+    assert t >= 41_000 and conv_output_length(t, cf) == 128
+    # pad target within the same tile set: untouched (cheaper linear term)
+    assert lane_aligned_pad(41_359, 41_000, cf) == 41_359
+    assert lane_aligned_pad(41_200, 41_000, cf) == 41_200
+    # pad target only slightly over, but still a new tile: clamp
+    assert lane_aligned_pad(42_000, 41_000, cf) == max_input_for_output(128, cf)
+    # data itself crosses the boundary: two tiles are required, keep t_pad
+    assert lane_aligned_pad(48_000, 47_000, cf) == 48_000
+    # sub-tile shapes never snap up
+    assert lane_aligned_pad(16_000, 9_000, cf) == 16_000
+
+
+def test_dataset_lane_align_pads_to_boundary(corpus):
+    """With lane_align on, emitted audio lengths whose frame count would
+    overshoot a 128-frame tile boundary clamp to the boundary preimage,
+    and no clip is ever cropped."""
+    from audio8_tpu.config import CONV_FEATURES, conv_output_length
+    vec = TextVectorizer(letter_vocab())
+    common = dict(
+        target_tokens_per_batch=40_000, shuffle=False, is_infinite=False,
+        pad_to_multiple=16_000)
+    ds = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, lane_align=True, **common)
+    base = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, lane_align=False, **common)
+    cf = CONV_FEATURES[16]
+    got = list(iter(ds))
+    assert got, "no batches"
+    for b, raw in zip(got, iter(base)):
+        t = b["signal"].shape[1]
+        frames = conv_output_length(t, cf)
+        # never longer than the unaligned pad, never crops real audio
+        assert t <= raw["signal"].shape[1]
+        assert t >= int(max(b["signal_lengths"]))
+        if frames >= 128:
+            # within one tile of what the longest real clip requires
+            need = conv_output_length(int(max(b["signal_lengths"])), cf)
+            assert frames <= -(-need // 128) * 128
+    # the 6-clip corpus max is 32000 samples (T'=99 < 128): the sub-tile
+    # batches must be identical to the unaligned pipeline
+    assert all(
+        a["signal"].shape == b["signal"].shape
+        for a, b in zip(got, iter(base)))
+
+
+def test_lane_aligned_chunk_snaps_up():
+    from audio8_tpu.config import (CONV_FEATURES, conv_output_length,
+                                   lane_aligned_chunk)
+    cf = CONV_FEATURES[16]
+    # the serving default: 30s chunk (T'=1499) -> T'=1536 exactly
+    t = lane_aligned_chunk(480_000, cf)
+    assert conv_output_length(t, cf) == 1536 and t >= 480_000
+    # already on a boundary: fixed point
+    assert lane_aligned_chunk(t, cf) == t
+    # tiny chunks round up to one full tile
+    assert conv_output_length(lane_aligned_chunk(16_000, cf), cf) == 128
