@@ -77,9 +77,9 @@ def parse_args(argv=None):
                         help="capture a jax.profiler trace window here")
     add_common_model_args(parser)
     args = apply_preset(parser.parse_args(argv))
-    if args.lane_align:
-        args.buckets = lane_aligned_grid(
-            args.buckets, CONV_FEATURES[args.target_sample_rate // 1000])
+    sr_khz = args.target_sample_rate // 1000
+    if args.lane_align and sr_khz in CONV_FEATURES:
+        args.buckets = lane_aligned_grid(args.buckets, CONV_FEATURES[sr_khz])
     return args
 
 

@@ -308,7 +308,9 @@ def main(argv=None):
         ct, index2vocab, decoder, sample_rate=sr,
         info={"model": "wav2vec2-ctc", "d_model": args.d_model,
               "num_layers": args.num_layers, "beam": args.beam,
-              "chunk_seconds": args.chunk_seconds})
+              # the lane-aligned (snapped) window actually served, not
+              # the requested flag value
+              "chunk_seconds": round(ct.chunk / sr, 3)})
     # warm the XLA programs so the first request doesn't pay the compile
     logger.info("warming up (compiling %d-sample chunk forward)", ct.chunk)
     service.transcriber.log_probs(np.zeros(sr, np.float32))

@@ -94,7 +94,9 @@ def lane_aligned_pad(t_pad: int, max_audio: int, conv_features,
     stay a small static set (grid entries ∪ boundary preimages).
     """
     frames_needed = conv_output_length(max_audio, conv_features)
-    boundary = -(-frames_needed // multiple) * multiple  # ceil to tile
+    # ceil to tile; at least one tile so degenerate sub-receptive-field
+    # batches (frames_needed == 0) keep a valid, frame-producing pad
+    boundary = max(multiple, -(-frames_needed // multiple) * multiple)
     if conv_output_length(t_pad, conv_features) <= boundary:
         return t_pad
     return max_input_for_output(boundary, conv_features)
@@ -121,10 +123,16 @@ def lane_aligned_grid(grid, conv_features, multiple: int = 128,
     """Map a length grid through :func:`lane_aligned_length`, ascending and
     deduplicated. Grid entries whose T' already sits on a tile boundary, is
     below one tile, or is too far above the boundary (crop > ``max_crop``)
-    pass through unchanged."""
+    pass through unchanged. When two adjacent entries would snap onto the
+    SAME boundary preimage, the second keeps its original value instead —
+    collapsing a grid level would compound the per-clip crop beyond the
+    ``max_crop`` guard (a clip just under the next bucket would fall two
+    levels instead of one)."""
     out = []
     for g in sorted(grid):
         a = lane_aligned_length(g, conv_features, multiple, max_crop)
+        if a in out:
+            a = g
         if a not in out:
             out.append(a)
     return out

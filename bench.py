@@ -38,7 +38,7 @@ SAMPLE_RATE = 16_000
 def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
                    num_heads: int = 12, num_layers: int = 12,
                    d_ff: int = 3072, final_dim: int = 256,
-                   b: int = 8) -> float:
+                   b: int = 8, t: int = 163_920) -> float:
     from audio8_tpu.config import PretrainConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -57,7 +57,7 @@ def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
                          num_layers=num_layers, d_ff=d_ff,
                          final_dim=final_dim, dropout=0.1)
     model = Wav2Vec2Model(config=cfg, dtype=jnp.bfloat16)
-    t = 163_920  # conv_output_length(t) == 512 exactly
+    # default t: conv_output_length(163,920) == 512 exactly (lane-aligned)
 
     rng = np.random.default_rng(0)
     signal = jnp.asarray(rng.normal(size=(b, t)).astype(np.float32))
@@ -96,7 +96,8 @@ def bench_pretrain_large(n_steps: int = 12) -> float:
                           num_layers=24, d_ff=4096, final_dim=768)
 
 
-def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
+def bench_ctc(freeze: bool, n_steps: int = 30, *, b: int = 16,
+              t: int = 41_359) -> float:
     """CTC fine-tune step (train.py workload): wav2vec2-base + letter
     head, 16 x 41,359 samples = 41.4 audio-sec/step. The clip length is
     the shape train.py's lane-aligned data pipeline emits (T'=128 = one
@@ -115,7 +116,7 @@ def bench_ctc(freeze: bool, n_steps: int = 30) -> float:
     cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.1,
                          timestep_masking=0.5, channel_masking=0.1)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
-    b, t, u = 16, 41_359, 64  # T'=128 exactly (lane-aligned pipeline shape)
+    u = 64  # default (b, t): T'=128 exactly (lane-aligned pipeline shape)
 
     rng = np.random.default_rng(0)
     batch = {

@@ -206,7 +206,10 @@ def test_lane_aligned_grid_keeps_coverage():
                                    lane_aligned_grid)
     cf = CONV_FEATURES[16]
     grid = lane_aligned_grid(DEFAULT_BUCKETS, cf)
-    assert len(grid) >= len(DEFAULT_BUCKETS) - 1  # only near-dup merges
+    # every length class survives: entries whose snap would collide with
+    # an earlier entry pass through unchanged instead of collapsing a
+    # grid level (which would compound the per-clip crop past the guard)
+    assert len(grid) == len(DEFAULT_BUCKETS)
     assert grid == sorted(grid)
     frames = [conv_output_length(g, cf) for g in grid]
     # the big buckets land exactly on tile boundaries
@@ -246,6 +249,10 @@ def test_lane_aligned_pad_rules():
     assert lane_aligned_pad(48_000, 47_000, cf) == 48_000
     # sub-tile shapes never snap up
     assert lane_aligned_pad(16_000, 9_000, cf) == 16_000
+    # degenerate: a batch of sub-receptive-field stubs (frames_needed=0)
+    # must keep a frame-producing pad, not collapse to 399 samples
+    t = lane_aligned_pad(16_000, 300, cf)
+    assert t == 16_000 and conv_output_length(t, cf) > 0
 
 
 def test_dataset_lane_align_pads_to_boundary(corpus):
