@@ -299,3 +299,25 @@ def test_lane_aligned_chunk_snaps_up():
     assert lane_aligned_chunk(t, cf) == t
     # tiny chunks round up to one full tile
     assert conv_output_length(lane_aligned_chunk(16_000, cf), cf) == 128
+
+
+def test_lane_align_row_shard_shape_agreement(corpus):
+    """row_shard multi-host contract: every shard derives the same global
+    (B, T) from manifest metadata alone — lane_align must preserve that
+    (it only looks at max_audio + the pad target, both metadata)."""
+    vec = TextVectorizer(letter_vocab())
+    common = dict(
+        target_tokens_per_batch=33_000, shuffle=False, is_infinite=False,
+        pad_to_multiple=16_000, lane_align=True, num_shards=2,
+        batch_multiple=1, row_shard=True, seed=7)
+    shards = [
+        list(iter(AudioTextLetterDataset(
+            str(corpus / "train.tsv"), vec, shard_index=i, **common)))
+        for i in range(2)
+    ]
+    assert len(shards[0]) == len(shards[1]) > 0
+    for a, b in zip(*shards):
+        assert a["signal"].shape[1] == b["signal"].shape[1]
+        assert a["token_ids"].shape[1] == b["token_ids"].shape[1]
+        # row blocks are disjoint
+        assert not (set(a["files"]) & set(b["files"]))
