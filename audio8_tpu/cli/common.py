@@ -213,6 +213,16 @@ MODEL_PRESETS = {
     "large-lv60": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
                    "num_layers": 24, "final_dim": 768, "pre_norm": True,
                    "extractor_mode": "layer", "conv_bias": True},
+    # HuBERT (arXiv 2106.07447) checkpoints load through the same two
+    # layouts: hubert-base is exactly the group-norm post-norm base
+    # topology; hubert-large is the stable-LN layer-norm-extractor one at
+    # LARGE dims (transformers HubertConfig defaults conv_bias=False).
+    # NOTE: checkpoint LOADING always takes the topology from the HF
+    # config.json (models/convert_hf.load_hf_dir), so this preset only
+    # sets from-scratch training defaults — pass --conv_bias to override.
+    "hubert-large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                     "num_layers": 24, "final_dim": 768, "pre_norm": True,
+                     "extractor_mode": "layer", "conv_bias": False},
 }
 _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "num_layers": 12, "final_dim": 256,

@@ -9,7 +9,13 @@ converter (``models/convert.py``). Supported sources:
 - ``Wav2Vec2Model`` / ``Wav2Vec2ForPreTraining`` -> ``Wav2Vec2Model``
   params (quantizer + projections included when present);
 - ``Wav2Vec2ForCTC`` -> ``Wav2Vec2AcousticModel`` params (``lm_head`` ->
-  CTC projection).
+  CTC projection);
+- ``HubertModel`` / ``HubertForCTC`` -> the same targets: HuBERT's HF
+  module tree is key-for-key identical to Wav2Vec2's under the
+  ``hubert.`` prefix (no quantizer in released checkpoints), and both
+  HuBERT topologies map to layouts we already express — hubert-base is
+  the group-norm post-norm layout, hubert-large/xlarge the stable-LN
+  layer-norm-extractor one.
 
 Both wav2vec2 topologies convert: the post-norm base layout
 (``do_stable_layer_norm=False``, ``feat_extract_norm='group'``) and the
@@ -110,7 +116,7 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
             out["w2v_encoder.proj.bias"] = value
             continue
         base_key = key
-        for prefix in ("wav2vec2.", "wav2vec2_model."):
+        for prefix in ("wav2vec2.", "wav2vec2_model.", "hubert."):
             if base_key.startswith(prefix):
                 base_key = base_key[len(prefix):]
                 break

@@ -239,3 +239,84 @@ def test_hf_topology_mismatch_raises(tmp_path):
     hf.save_pretrained(str(d))
     with pytest.raises(ValueError, match="topology"):
         resolve_restart(str(d), {}, ctc=True, num_layers=L)
+
+
+def hubert_config(**kw):
+    base = dict(hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+                intermediate_size=4 * D, vocab_size=V,
+                do_stable_layer_norm=False, feat_extract_norm="group",
+                layerdrop=0.0)
+    base.update(kw)
+    return transformers.HubertConfig(**base)
+
+
+def test_hf_hubert_ctc_forward_parity(tmp_path):
+    """HubertForCTC converts through the same translation (the HF module
+    tree is key-for-key Wav2Vec2's under the ``hubert.`` prefix) and our
+    group-norm post-norm acoustic model reproduces its forward — a model
+    family the reference cannot load at all."""
+    torch.manual_seed(4)
+    hf = transformers.HubertForCTC(hubert_config()).eval()
+    d = tmp_path / "hubert"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc="auto")
+    assert report["kind"] == "ctc"
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(2).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
+
+
+def test_hf_hubert_large_topology_parity(tmp_path):
+    """hubert-large's stable-LN / layer-norm-extractor topology (the
+    --preset hubert-large layout) converts and matches HF's forward."""
+    torch.manual_seed(5)
+    hf = transformers.HubertForCTC(hubert_config(
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        conv_bias=False)).eval()
+    d = tmp_path / "hubert-large"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc=True)
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+    assert report["topology"] == {"pre_norm": True,
+                                  "extractor_mode": "layer",
+                                  "conv_bias": False}
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, pre_norm=True,
+                         extractor_mode="layer", conv_bias=False)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(3).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+
+
+def test_hubert_large_preset():
+    from audio8_tpu.cli.train import parse_args
+
+    args = parse_args(["--basedir", "x", "--root_dir", "y",
+                       "--train_dataset", "t.tsv",
+                       "--valid_dataset", "v.tsv",
+                       "--preset", "hubert-large"])
+    assert (args.d_model, args.num_layers, args.pre_norm,
+            args.extractor_mode, args.conv_bias) == (
+        1024, 24, True, "layer", False)
