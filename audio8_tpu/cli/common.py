@@ -68,6 +68,9 @@ def resolve_restart(
     pre_norm: bool = False,
     extractor_mode: str = "group",
     conv_bias: bool = False,
+    pos_conv_depth: int = 1,
+    conv_pos_kernel: int = 128,  # no param-placement effect; accepted so
+                                 # callers can splat topology_kwargs()
 ) -> Tuple[Dict, Optional[Any], int]:
     """Resolve --restart_from like the reference (train.py:215-252):
 
@@ -82,7 +85,7 @@ def resolve_restart(
     if not restart_from:
         return init_params, None, 0
     topo = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-                conv_bias=conv_bias)
+                conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
     if restart_from.endswith(".pt"):
         try:
             loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr, **topo)
@@ -223,17 +226,30 @@ MODEL_PRESETS = {
     "hubert-large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
                      "num_layers": 24, "final_dim": 768, "pre_norm": True,
                      "extractor_mode": "layer", "conv_bias": False},
+    # data2vec-audio (arXiv 2202.03555): post-norm encoder + layer-norm
+    # extractor + a 5-deep stack of plain k=19 grouped positional convs
+    # (no weight norm) — HF Data2VecAudioConfig defaults. Checkpoint
+    # loading takes the actual topology from config.json.
+    "data2vec-base": {"extractor_mode": "layer", "pos_conv_depth": 5,
+                      "conv_pos_kernel": 19},
+    "data2vec-large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                       "num_layers": 24, "final_dim": 768,
+                       "extractor_mode": "layer", "pos_conv_depth": 5,
+                       "conv_pos_kernel": 19},
 }
 _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "num_layers": 12, "final_dim": 256,
                          "pre_norm": False, "extractor_mode": "group",
-                         "conv_bias": False}
+                         "conv_bias": False, "pos_conv_depth": 1,
+                         "conv_pos_kernel": 128}
 
 
 def topology_kwargs(args):
-    """The encoder-topology flag triple as config/loader kwargs."""
+    """The encoder-topology flags as config/loader kwargs."""
     return dict(pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
-                conv_bias=args.conv_bias)
+                conv_bias=args.conv_bias,
+                pos_conv_depth=args.pos_conv_depth,
+                conv_pos_kernel=args.conv_pos_kernel)
 
 
 def apply_preset(args):
@@ -277,6 +293,13 @@ def add_common_model_args(parser):
                         help="conv feature extractor norm: 'group' "
                              "(base) or per-block 'layer' (LV-60/XLSR)")
     parser.add_argument("--conv_bias", type=str2bool, default=None)
+    parser.add_argument("--pos_conv_depth", type=int, default=None,
+                        help=">1: data2vec-audio stacked positional convs "
+                             "(plain grouped convs + affine-less LN + GELU) "
+                             "instead of the single weight-normed pos-conv")
+    parser.add_argument("--conv_pos_kernel", type=int, default=None,
+                        help="positional conv kernel size (128 for "
+                             "wav2vec2/HuBERT, 19 for data2vec-audio)")
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

@@ -162,6 +162,10 @@ class EncoderConfig:
     freeze_fx: bool = True
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
+    # >1 = data2vec-audio positional stack (N plain grouped convs with
+    # affine-less LN + GELU each, typically depth 5 / kernel 19) instead
+    # of the single weight-normed wav2vec2 pos-conv
+    pos_conv_depth: int = 1
     # Pallas flash-attention for encoder self-attention on TPU (skips
     # attention-prob dropout). Off by default: at wav2vec2's short frame
     # counts (~550) XLA's fused attention is faster (measured on v5e);

@@ -41,7 +41,8 @@ def _set(tree: Dict, path: List[str], value: np.ndarray) -> None:
 def _encoder_assignments(num_layers: int, num_fx_layers: int,
                          pre_norm: bool = False,
                          extractor_mode: str = "group",
-                         conv_bias: bool = False):
+                         conv_bias: bool = False,
+                         pos_conv_depth: int = 1):
     """(fairseq_key, our_path, transform) for the shared encoder body.
 
     Paths are relative to our ``Wav2Vec2Encoder`` params tree and fairseq
@@ -75,11 +76,20 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
     out.append(("post_extract_proj.weight", ["proj_to_input", "kernel"], _t))
     out.append(("post_extract_proj.bias", ["proj_to_input", "bias"], np.asarray))
     out.append(("mask_emb", ["mask_emb"], np.asarray))
-    # conv positional embedding (weight-normed)
-    out.append(("encoder.pos_conv.0.weight_v", ["encoder", "pos_conv", "weight_v"], _conv))
-    out.append(("encoder.pos_conv.0.weight_g", ["encoder", "pos_conv", "weight_g"],
-                lambda x: np.transpose(np.asarray(x), (2, 1, 0))))
-    out.append(("encoder.pos_conv.0.bias", ["encoder", "pos_conv", "bias"], np.asarray))
+    if pos_conv_depth > 1:
+        # data2vec-audio positional stack: plain grouped convs, no weight
+        # norm (fairseq names the i-th conv ``encoder.pos_conv.{i}.0``)
+        for i in range(pos_conv_depth):
+            out.append((f"encoder.pos_conv.{i}.0.weight",
+                        ["encoder", "pos_conv", f"layer_{i}", "kernel"], _conv))
+            out.append((f"encoder.pos_conv.{i}.0.bias",
+                        ["encoder", "pos_conv", f"layer_{i}", "bias"], np.asarray))
+    else:
+        # conv positional embedding (weight-normed)
+        out.append(("encoder.pos_conv.0.weight_v", ["encoder", "pos_conv", "weight_v"], _conv))
+        out.append(("encoder.pos_conv.0.weight_g", ["encoder", "pos_conv", "weight_g"],
+                    lambda x: np.transpose(np.asarray(x), (2, 1, 0))))
+        out.append(("encoder.pos_conv.0.bias", ["encoder", "pos_conv", "bias"], np.asarray))
     # encoder-level layer norm: pre-transformer in the post-norm layout,
     # after the stack (ln_out) under layer_norm_first/stable-LN
     ln_path = (["encoder", "transformer", "ln_out"] if pre_norm
@@ -112,7 +122,8 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
 def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
                              num_fx_layers: int = 7, pre_norm: bool = False,
                              extractor_mode: str = "group",
-                             conv_bias: bool = False) -> Tuple[Dict, Dict]:
+                             conv_bias: bool = False,
+                             pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
     """fairseq pretrained wav2vec2 'model' dict -> Wav2Vec2Model params.
 
     Returns (params, report) with report['missing'/'unexpected'] like
@@ -122,7 +133,7 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
-                                              conv_bias):
+                                              conv_bias, pos_conv_depth):
         if key in state:
             _set(params, path, tf(state.pop(key)))
         else:
@@ -148,7 +159,8 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
 def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
                       num_fx_layers: int = 7, pre_norm: bool = False,
                       extractor_mode: str = "group",
-                      conv_bias: bool = False) -> Tuple[Dict, Dict]:
+                      conv_bias: bool = False,
+                      pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
     """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
     Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
     w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
@@ -158,7 +170,7 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
-                                              conv_bias):
+                                              conv_bias, pos_conv_depth):
         full = prefix + key
         if full in state:
             _set(params, ["encoder"] + path, tf(state.pop(full)))
@@ -191,15 +203,17 @@ def load_torch_file(bin_file: str) -> Dict[str, Any]:
 def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
                      sr: int = 16, pre_norm: bool = False,
                      extractor_mode: str = "group",
-                     conv_bias: bool = False) -> Tuple[Dict, Dict]:
+                     conv_bias: bool = False,
+                     pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
     """Reference-shaped entry point (wav2vec2.py:171-186): returns
     (params, {'missing': [...], 'unexpected': [...]}). The topology
-    kwargs select the LV-60/XLSR stable-LN layout (beyond the
-    reference's post-norm-only loader)."""
+    kwargs select the LV-60/XLSR stable-LN layout or (pos_conv_depth>1)
+    the data2vec-audio positional stack (beyond the reference's
+    post-norm-only loader)."""
     state = load_torch_file(bin_file)
     num_fx = 7 if sr == 16 else 6
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-              conv_bias=conv_bias)
+              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
     if ctc:
         return convert_ctc_state(state, num_layers, num_fx, **kw)
     return convert_pretrained_state(state, num_layers, num_fx, **kw)

@@ -76,6 +76,14 @@ def _translate_key(key: str, extractor_mode: str = "group"):
             # group-mode: only block 0 carries a GroupNorm, index 2
             return f"feature_extractor.conv_layers.{i}.2.{leaf}"
         return None
+    if key.startswith("encoder.pos_conv_embed.layers."):
+        # data2vec-audio positional stack: HF layers.{i}.conv -> the
+        # fairseq-style stacked name encoder.pos_conv.{i}.0
+        rest = key[len("encoder.pos_conv_embed.layers."):]
+        i, sub = rest.split(".", 1)
+        if sub in ("conv.weight", "conv.bias"):
+            return f"encoder.pos_conv.{i}.0.{sub.split('.')[1]}"
+        return None
     if key.startswith("encoder.layers."):
         rest = key[len("encoder.layers."):]
         i, sub = rest.split(".", 1)
@@ -116,7 +124,8 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
             out["w2v_encoder.proj.bias"] = value
             continue
         base_key = key
-        for prefix in ("wav2vec2.", "wav2vec2_model.", "hubert."):
+        for prefix in ("wav2vec2.", "wav2vec2_model.", "hubert.",
+                       "data2vec_audio."):
             if base_key.startswith(prefix):
                 base_key = base_key[len(prefix):]
                 break
@@ -136,15 +145,17 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
 def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
                      num_fx_layers: int = 7, ctc: bool = False,
                      pre_norm: bool = False, extractor_mode: str = "group",
-                     conv_bias: bool = False) -> Tuple[Dict, Dict]:
+                     conv_bias: bool = False,
+                     pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
     """HF Wav2Vec2 state dict -> our params. Same (params, report)
     contract as ``load_fairseq_bin``; untranslatable HF keys are reported
     under ``unexpected``. ``pre_norm``/``extractor_mode``/``conv_bias``
-    select the stable-LN (LV-60/XLSR) topology."""
+    select the stable-LN (LV-60/XLSR) topology; ``pos_conv_depth>1``
+    the data2vec-audio positional stack."""
     renamed, skipped = hf_to_fairseq_state(state, ctc=ctc,
                                            extractor_mode=extractor_mode)
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-              conv_bias=conv_bias)
+              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
     if ctc:
         params, report = convert_ctc_state(renamed, num_layers,
                                            num_fx_layers, **kw)
@@ -155,10 +166,21 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
     return params, report
 
 
-def _check_hf_config(cfg: Dict[str, Any]) -> None:
+def _hf_topology(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Encoder-topology kwargs from an HF config dict, by model_type."""
+    if cfg.get("model_type") == "data2vec-audio":
+        # data2vec-audio is always layer-norm extractor + post-norm
+        # encoder, with the stacked positional conv
+        return dict(pre_norm=False, extractor_mode="layer",
+                    conv_bias=cfg.get("conv_bias", False),
+                    pos_conv_depth=cfg.get("num_conv_pos_embeddings", 5))
     if cfg.get("feat_extract_norm", "group") not in ("group", "layer"):
         raise ValueError(
             f"unknown feat_extract_norm {cfg.get('feat_extract_norm')!r}")
+    return dict(pre_norm=cfg.get("do_stable_layer_norm", False),
+                extractor_mode=cfg.get("feat_extract_norm", "group"),
+                conv_bias=cfg.get("conv_bias", False),
+                pos_conv_depth=1)
 
 
 def is_hf_dir(path: str) -> bool:
@@ -175,7 +197,7 @@ def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
     ForCTC); the decision is reported as ``report['kind']``."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
-    _check_hf_config(cfg)
+    topology = _hf_topology(cfg)
     st_path = os.path.join(model_dir, "model.safetensors")
     if os.path.exists(st_path):
         from safetensors.numpy import load_file
@@ -192,13 +214,8 @@ def load_hf_dir(model_dir: str, ctc=False) -> Tuple[Dict, Dict]:
         ctc = any(k.startswith("lm_head") for k in state)
     params, report = convert_hf_state(
         state, num_layers=cfg["num_hidden_layers"], num_fx_layers=num_fx,
-        ctc=ctc, pre_norm=cfg.get("do_stable_layer_norm", False),
-        extractor_mode=cfg.get("feat_extract_norm", "group"),
-        conv_bias=cfg.get("conv_bias", False))
+        ctc=ctc, **topology)
     report["kind"] = "ctc" if ctc else "pretrained"
-    report["topology"] = {
-        "pre_norm": cfg.get("do_stable_layer_norm", False),
-        "extractor_mode": cfg.get("feat_extract_norm", "group"),
-        "conv_bias": cfg.get("conv_bias", False)}
+    report["topology"] = dict(topology)
     report["hf_config"] = cfg
     return params, report

@@ -44,7 +44,8 @@ from audio8_tpu.config import (
     conv_output_length,
 )
 from audio8_tpu.nn.dropout import Dropout
-from audio8_tpu.nn.layers import Conv1D, Dense, GroupNorm, LayerNorm, PositionalConv, gelu
+from audio8_tpu.nn.layers import (Conv1D, Dense, GroupNorm, LayerNorm,
+                                  PositionalConv, StackedPositionalConv, gelu)
 from audio8_tpu.nn.pooling import Reduction
 from audio8_tpu.nn.transformer import TransformerEncoderStack
 from audio8_tpu.ops.masks import compact_mask_indices, num_spans, span_mask
@@ -240,6 +241,10 @@ class AudioTransformerEncoder(nn.Module):
     d_ff: Optional[int] = None
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
+    # >1 selects the data2vec-audio positional stack (N unnormalized
+    # grouped convs + affine-less LN + GELU) instead of the single
+    # weight-normed wav2vec2 pos-conv
+    pos_conv_depth: int = 1
     layer_drop: float = 0.0
     pre_norm: bool = False
     flash_attention: bool = False
@@ -250,10 +255,17 @@ class AudioTransformerEncoder(nn.Module):
 
     def setup(self):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.pos_conv = PositionalConv(
-            features=self.d_model, kernel_size=self.conv_pos_kernel,
-            groups=self.conv_pos_groups, dropout_rate=self.dropout, **dd,
-        )
+        if self.pos_conv_depth > 1:
+            self.pos_conv = StackedPositionalConv(
+                features=self.d_model, depth=self.pos_conv_depth,
+                kernel_size=self.conv_pos_kernel,
+                groups=self.conv_pos_groups, **dd,
+            )
+        else:
+            self.pos_conv = PositionalConv(
+                features=self.d_model, kernel_size=self.conv_pos_kernel,
+                groups=self.conv_pos_groups, dropout_rate=self.dropout, **dd,
+            )
         if not self.pre_norm:
             self.ln = LayerNorm(**dd)
         self.drop = Dropout(self.dropout)
@@ -306,6 +318,7 @@ class Wav2Vec2Encoder(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
+            pos_conv_depth=cfg.pos_conv_depth,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
@@ -436,6 +449,7 @@ class Wav2Vec2Model(nn.Module):
             num_layers=cfg.num_layers, dropout=cfg.dropout,
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
+            pos_conv_depth=cfg.pos_conv_depth,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)

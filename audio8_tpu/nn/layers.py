@@ -200,6 +200,42 @@ class Conv1D(nn.Module):
         return y
 
 
+class StackedPositionalConv(nn.Module):
+    """data2vec-audio positional embedding: ``depth`` stacked blocks of
+    [grouped conv (odd kernel, SAME padding, bias), affine-less LayerNorm,
+    GELU] — no weight normalization (HF
+    ``Data2VecAudioPositionalConvEmbedding``; fairseq data2vec names the
+    convs ``encoder.pos_conv.{i}.0``). Complements :class:`PositionalConv`
+    (the single weight-normed k=128 wav2vec2 layout).
+
+    Params: ``layer_{i}`` -> ``kernel (K, C/groups, C)``, ``bias (C,)``.
+    """
+
+    features: int
+    depth: int = 5
+    kernel_size: int = 19
+    groups: int = 16
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        for i in range(self.depth):
+            x = Conv1D(features=self.features, kernel_size=self.kernel_size,
+                       stride=1, padding=(pad, pad), groups=self.groups,
+                       use_bias=True, name=f"layer_{i}",
+                       dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            if self.kernel_size % 2 == 0:  # fairseq SamePad semantics
+                x = x[:, :-1, :]
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            x = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(self.dtype)
+            x = gelu(x)
+        return x
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with torch epsilon (1e-5) and fp32 statistics."""
 

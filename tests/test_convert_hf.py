@@ -293,7 +293,8 @@ def test_hf_hubert_large_topology_parity(tmp_path):
     assert report["unexpected"] == [], report["unexpected"]
     assert report["topology"] == {"pre_norm": True,
                                   "extractor_mode": "layer",
-                                  "conv_bias": False}
+                                  "conv_bias": False,
+                                  "pos_conv_depth": 1}
 
     cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
                          dropout=0.0, timestep_masking=0.0,
@@ -320,3 +321,56 @@ def test_hubert_large_preset():
     assert (args.d_model, args.num_layers, args.pre_norm,
             args.extractor_mode, args.conv_bias) == (
         1024, 24, True, "layer", False)
+
+
+def test_hf_data2vec_ctc_forward_parity(tmp_path):
+    """Data2VecAudioForCTC converts (layer-norm extractor + 5-deep plain
+    positional conv stack, pos_conv_depth=5/k=19) and our forward matches
+    HF's — a third model family beyond the reference."""
+    torch.manual_seed(6)
+    hf = transformers.Data2VecAudioForCTC(transformers.Data2VecAudioConfig(
+        hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=4 * D, vocab_size=V, layerdrop=0.0)).eval()
+    d = tmp_path / "d2v"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc="auto")
+    assert report["kind"] == "ctc"
+    assert report["topology"] == {"pre_norm": False,
+                                  "extractor_mode": "layer",
+                                  "conv_bias": False,
+                                  "pos_conv_depth": 5}
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, extractor_mode="layer",
+                         conv_bias=False, pos_conv_depth=5,
+                         conv_pos_kernel=19)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(4).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = lambda t: {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_leaves_with_path(t)}
+    fi, fc = flat(init), flat(params)
+    assert set(fc) == set(fi), set(fi) ^ set(fc)
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
+
+
+def test_data2vec_preset():
+    from audio8_tpu.cli.train import parse_args
+
+    args = parse_args(["--basedir", "x", "--root_dir", "y",
+                       "--train_dataset", "t.tsv",
+                       "--valid_dataset", "v.tsv",
+                       "--preset", "data2vec-base"])
+    assert (args.d_model, args.extractor_mode, args.pos_conv_depth,
+            args.conv_pos_kernel, args.pre_norm) == (
+        768, "layer", 5, 19, False)
