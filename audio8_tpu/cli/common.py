@@ -69,8 +69,13 @@ def resolve_restart(
     extractor_mode: str = "group",
     conv_bias: bool = False,
     pos_conv_depth: int = 1,
-    conv_pos_kernel: int = 128,  # no param-placement effect; accepted so
-                                 # callers can splat topology_kwargs()
+    gated_rel_pos: bool = False,
+    # no param-placement effect (kernel size / bucket-table shape come
+    # from the checkpoint itself); accepted so callers can splat
+    # topology_kwargs()
+    conv_pos_kernel: int = 128,
+    rel_pos_buckets: int = 320,
+    rel_pos_max_distance: int = 800,
 ) -> Tuple[Dict, Optional[Any], int]:
     """Resolve --restart_from like the reference (train.py:215-252):
 
@@ -85,7 +90,8 @@ def resolve_restart(
     if not restart_from:
         return init_params, None, 0
     topo = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-                conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
+                conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
+                gated_rel_pos=gated_rel_pos)
     if restart_from.endswith(".pt"):
         try:
             loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr, **topo)
@@ -236,12 +242,21 @@ MODEL_PRESETS = {
                        "num_layers": 24, "final_dim": 768,
                        "extractor_mode": "layer", "pos_conv_depth": 5,
                        "conv_pos_kernel": 19},
+    # WavLM (arXiv 2110.13900): wav2vec2 layouts + a gated relative
+    # position bias (shared 320-bucket table, per-layer gates). base is
+    # the group-norm post-norm layout, large the stable-LN one.
+    "wavlm-base": {"gated_rel_pos": True},
+    "wavlm-large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                    "num_layers": 24, "final_dim": 768, "pre_norm": True,
+                    "extractor_mode": "layer", "gated_rel_pos": True},
 }
 _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "num_layers": 12, "final_dim": 256,
                          "pre_norm": False, "extractor_mode": "group",
                          "conv_bias": False, "pos_conv_depth": 1,
-                         "conv_pos_kernel": 128}
+                         "conv_pos_kernel": 128, "gated_rel_pos": False,
+                         "rel_pos_buckets": 320,
+                         "rel_pos_max_distance": 800}
 
 
 def topology_kwargs(args):
@@ -249,7 +264,10 @@ def topology_kwargs(args):
     return dict(pre_norm=args.pre_norm, extractor_mode=args.extractor_mode,
                 conv_bias=args.conv_bias,
                 pos_conv_depth=args.pos_conv_depth,
-                conv_pos_kernel=args.conv_pos_kernel)
+                conv_pos_kernel=args.conv_pos_kernel,
+                gated_rel_pos=args.gated_rel_pos,
+                rel_pos_buckets=args.rel_pos_buckets,
+                rel_pos_max_distance=args.rel_pos_max_distance)
 
 
 def apply_preset(args):
@@ -300,6 +318,12 @@ def add_common_model_args(parser):
     parser.add_argument("--conv_pos_kernel", type=int, default=None,
                         help="positional conv kernel size (128 for "
                              "wav2vec2/HuBERT, 19 for data2vec-audio)")
+    parser.add_argument("--gated_rel_pos", type=str2bool, default=None,
+                        help="WavLM gated relative position bias")
+    parser.add_argument("--rel_pos_buckets", type=int, default=None,
+                        help="WavLM relative-position buckets (320)")
+    parser.add_argument("--rel_pos_max_distance", type=int, default=None,
+                        help="WavLM relative-position max distance (800)")
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

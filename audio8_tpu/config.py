@@ -166,6 +166,12 @@ class EncoderConfig:
     # affine-less LN + GELU each, typically depth 5 / kernel 19) instead
     # of the single weight-normed wav2vec2 pos-conv
     pos_conv_depth: int = 1
+    # WavLM gated relative position bias: a bucketed T5-style bias table
+    # shared across the stack, scaled per layer by a gate computed from
+    # the attention inputs (arXiv 2110.13900)
+    gated_rel_pos: bool = False
+    rel_pos_buckets: int = 320
+    rel_pos_max_distance: int = 800
     # Pallas flash-attention for encoder self-attention on TPU (skips
     # attention-prob dropout). Off by default: at wav2vec2's short frame
     # counts (~550) XLA's fused attention is faster (measured on v5e);

@@ -42,7 +42,8 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
                          pre_norm: bool = False,
                          extractor_mode: str = "group",
                          conv_bias: bool = False,
-                         pos_conv_depth: int = 1):
+                         pos_conv_depth: int = 1,
+                         gated_rel_pos: bool = False):
     """(fairseq_key, our_path, transform) for the shared encoder body.
 
     Paths are relative to our ``Wav2Vec2Encoder`` params tree and fairseq
@@ -116,6 +117,20 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
         out.append((f"{base}.fc2.bias", ours + ["ffn", "contract", "bias"], np.asarray))
         out.append((f"{base}.final_layer_norm.weight", ours + ["ln_ffn", "scale"], np.asarray))
         out.append((f"{base}.final_layer_norm.bias", ours + ["ln_ffn", "bias"], np.asarray))
+        if gated_rel_pos:
+            # WavLM per-layer gate over the shared position bias
+            out.append((f"{base}.self_attn.gru_rel_pos_linear.weight",
+                        ours + ["self_attn", "gru_rel_pos_linear", "kernel"], _t))
+            out.append((f"{base}.self_attn.gru_rel_pos_linear.bias",
+                        ours + ["self_attn", "gru_rel_pos_linear", "bias"], np.asarray))
+            out.append((f"{base}.self_attn.gru_rel_pos_const",
+                        ours + ["self_attn", "gru_rel_pos_const"], np.asarray))
+    if gated_rel_pos:
+        # the bucketed bias embedding lives in layer 0's attention in the
+        # torch tree; ours is a stack-level module shared by all layers
+        out.append(("encoder.layers.0.self_attn.rel_attn_embed.weight",
+                    ["encoder", "transformer", "rel_pos_bias",
+                     "rel_attn_embed", "embedding"], np.asarray))
     return out
 
 
@@ -123,7 +138,8 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
                              num_fx_layers: int = 7, pre_norm: bool = False,
                              extractor_mode: str = "group",
                              conv_bias: bool = False,
-                             pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
+                             pos_conv_depth: int = 1,
+                             gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
     """fairseq pretrained wav2vec2 'model' dict -> Wav2Vec2Model params.
 
     Returns (params, report) with report['missing'/'unexpected'] like
@@ -133,7 +149,8 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
-                                              conv_bias, pos_conv_depth):
+                                              conv_bias, pos_conv_depth,
+                                              gated_rel_pos):
         if key in state:
             _set(params, path, tf(state.pop(key)))
         else:
@@ -160,7 +177,8 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
                       num_fx_layers: int = 7, pre_norm: bool = False,
                       extractor_mode: str = "group",
                       conv_bias: bool = False,
-                      pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
+                      pos_conv_depth: int = 1,
+                      gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
     """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
     Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
     w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
@@ -170,7 +188,8 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
-                                              conv_bias, pos_conv_depth):
+                                              conv_bias, pos_conv_depth,
+                                              gated_rel_pos):
         full = prefix + key
         if full in state:
             _set(params, ["encoder"] + path, tf(state.pop(full)))
@@ -204,7 +223,8 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
                      sr: int = 16, pre_norm: bool = False,
                      extractor_mode: str = "group",
                      conv_bias: bool = False,
-                     pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
+                     pos_conv_depth: int = 1,
+                     gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
     """Reference-shaped entry point (wav2vec2.py:171-186): returns
     (params, {'missing': [...], 'unexpected': [...]}). The topology
     kwargs select the LV-60/XLSR stable-LN layout or (pos_conv_depth>1)
@@ -213,7 +233,8 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
     state = load_torch_file(bin_file)
     num_fx = 7 if sr == 16 else 6
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
+              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
+              gated_rel_pos=gated_rel_pos)
     if ctc:
         return convert_ctc_state(state, num_layers, num_fx, **kw)
     return convert_pretrained_state(state, num_layers, num_fx, **kw)

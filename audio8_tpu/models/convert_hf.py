@@ -15,7 +15,13 @@ converter (``models/convert.py``). Supported sources:
   ``hubert.`` prefix (no quantizer in released checkpoints), and both
   HuBERT topologies map to layouts we already express — hubert-base is
   the group-norm post-norm layout, hubert-large/xlarge the stable-LN
-  layer-norm-extractor one.
+  layer-norm-extractor one;
+- ``Data2VecAudioModel`` / ``Data2VecAudioForCTC`` -> the stacked
+  positional-conv layout (``pos_conv_depth>1``);
+- ``WavLMModel`` / ``WavLMForCTC`` -> the gated-relative-position-bias
+  layout (``gated_rel_pos=True``; the shared bucket embedding sits in
+  layer 0's attention in the torch tree and in the stack-level
+  ``rel_pos_bias`` module here).
 
 Both wav2vec2 topologies convert: the post-norm base layout
 (``do_stable_layer_norm=False``, ``feat_extract_norm='group'``) and the
@@ -125,7 +131,7 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
             continue
         base_key = key
         for prefix in ("wav2vec2.", "wav2vec2_model.", "hubert.",
-                       "data2vec_audio."):
+                       "data2vec_audio.", "wavlm."):
             if base_key.startswith(prefix):
                 base_key = base_key[len(prefix):]
                 break
@@ -146,7 +152,8 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
                      num_fx_layers: int = 7, ctc: bool = False,
                      pre_norm: bool = False, extractor_mode: str = "group",
                      conv_bias: bool = False,
-                     pos_conv_depth: int = 1) -> Tuple[Dict, Dict]:
+                     pos_conv_depth: int = 1,
+                     gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
     """HF Wav2Vec2 state dict -> our params. Same (params, report)
     contract as ``load_fairseq_bin``; untranslatable HF keys are reported
     under ``unexpected``. ``pre_norm``/``extractor_mode``/``conv_bias``
@@ -155,7 +162,8 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
     renamed, skipped = hf_to_fairseq_state(state, ctc=ctc,
                                            extractor_mode=extractor_mode)
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
-              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth)
+              conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
+              gated_rel_pos=gated_rel_pos)
     if ctc:
         params, report = convert_ctc_state(renamed, num_layers,
                                            num_fx_layers, **kw)
@@ -168,19 +176,28 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
 
 def _hf_topology(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Encoder-topology kwargs from an HF config dict, by model_type."""
+    if cfg.get("model_type") == "wavlm":
+        # WavLM (arXiv 2110.13900): wav2vec2 layouts + gated relative
+        # position bias. base is group-norm post-norm, large is the
+        # stable-LN layer-norm-extractor layout — both read from config.
+        return dict(pre_norm=cfg.get("do_stable_layer_norm", False),
+                    extractor_mode=cfg.get("feat_extract_norm", "group"),
+                    conv_bias=cfg.get("conv_bias", False),
+                    pos_conv_depth=1, gated_rel_pos=True)
     if cfg.get("model_type") == "data2vec-audio":
         # data2vec-audio is always layer-norm extractor + post-norm
         # encoder, with the stacked positional conv
         return dict(pre_norm=False, extractor_mode="layer",
                     conv_bias=cfg.get("conv_bias", False),
-                    pos_conv_depth=cfg.get("num_conv_pos_embeddings", 5))
+                    pos_conv_depth=cfg.get("num_conv_pos_embeddings", 5),
+                    gated_rel_pos=False)
     if cfg.get("feat_extract_norm", "group") not in ("group", "layer"):
         raise ValueError(
             f"unknown feat_extract_norm {cfg.get('feat_extract_norm')!r}")
     return dict(pre_norm=cfg.get("do_stable_layer_norm", False),
                 extractor_mode=cfg.get("feat_extract_norm", "group"),
                 conv_bias=cfg.get("conv_bias", False),
-                pos_conv_depth=1)
+                pos_conv_depth=1, gated_rel_pos=False)
 
 
 def is_hf_dir(path: str) -> bool:

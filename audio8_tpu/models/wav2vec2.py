@@ -245,6 +245,11 @@ class AudioTransformerEncoder(nn.Module):
     # grouped convs + affine-less LN + GELU) instead of the single
     # weight-normed wav2vec2 pos-conv
     pos_conv_depth: int = 1
+    # WavLM gated relative position bias (shared bucket table + per-layer
+    # gates; see nn.transformer.RelativePositionBias)
+    gated_rel_pos: bool = False
+    rel_pos_buckets: int = 320
+    rel_pos_max_distance: int = 800
     layer_drop: float = 0.0
     pre_norm: bool = False
     flash_attention: bool = False
@@ -275,7 +280,10 @@ class AudioTransformerEncoder(nn.Module):
             dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
             activation="gelu", pre_norm=self.pre_norm,
             layer_drop=self.layer_drop, flash=self.flash_attention,
-            bf16_softmax=self.bf16_softmax, remat=self.remat, **dd,
+            bf16_softmax=self.bf16_softmax, remat=self.remat,
+            gated_rel_pos=self.gated_rel_pos,
+            rel_pos_buckets=self.rel_pos_buckets,
+            rel_pos_max_distance=self.rel_pos_max_distance, **dd,
         )
 
     def __call__(self, x, pad_mask=None, train: bool = False):
@@ -319,6 +327,9 @@ class Wav2Vec2Encoder(nn.Module):
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             pos_conv_depth=cfg.pos_conv_depth,
+            gated_rel_pos=cfg.gated_rel_pos,
+            rel_pos_buckets=cfg.rel_pos_buckets,
+            rel_pos_max_distance=cfg.rel_pos_max_distance,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
@@ -450,6 +461,9 @@ class Wav2Vec2Model(nn.Module):
             attention_dropout=cfg.attention_dropout, d_ff=cfg.d_ff,
             conv_pos_kernel=cfg.conv_pos_kernel, conv_pos_groups=cfg.conv_pos_groups,
             pos_conv_depth=cfg.pos_conv_depth,
+            gated_rel_pos=cfg.gated_rel_pos,
+            rel_pos_buckets=cfg.rel_pos_buckets,
+            rel_pos_max_distance=cfg.rel_pos_max_distance,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)

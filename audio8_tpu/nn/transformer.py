@@ -53,6 +53,56 @@ class KVCache:
         }
 
 
+def relative_position_buckets(t_q: int, t_k: int, num_buckets: int,
+                              max_distance: int) -> np.ndarray:
+    """WavLM/T5 bidirectional relative-position bucketing (static shapes).
+
+    Computed host-side with numpy at trace time — T is static under jit,
+    so the (t_q, t_k) int32 bucket table is a compile-time constant and
+    the only traced op downstream is the embedding gather. Semantics
+    match HF ``WavLMAttention._relative_positions_bucket``: half the
+    buckets for each sign, half of those exact, the rest log-spaced up
+    to ``max_distance``.
+    """
+    rel = np.arange(t_k)[None, :] - np.arange(t_q)[:, None]
+    half = num_buckets // 2
+    out = (rel > 0).astype(np.int64) * half
+    rel = np.abs(rel)
+    max_exact = half // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1) / max_exact)
+        / np.log(max_distance / max_exact) * (half - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    out += np.where(is_small, rel, large)
+    return out.astype(np.int32)
+
+
+class RelativePositionBias(nn.Module):
+    """Bucketed relative-position bias shared across a WavLM encoder
+    stack (HF ``WavLMAttention.compute_bias``; the embedding lives in
+    layer 0's attention in the torch tree — here it is a stack-level
+    module so the (T, T) table is built once per forward)."""
+
+    num_heads: int
+    num_buckets: int = 320
+    max_distance: int = 800
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.rel_attn_embed = nn.Embed(
+            self.num_buckets, self.num_heads,
+            dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, t_q: int, t_k: int) -> jnp.ndarray:
+        buckets = relative_position_buckets(
+            t_q, t_k, self.num_buckets, self.max_distance)
+        bias = self.rel_attn_embed(jnp.asarray(buckets))  # (Tq, Tk, H)
+        return bias.transpose(2, 0, 1)[None]  # (1, H, Tq, Tk)
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with separate Q/K/V/O projections.
 
@@ -80,6 +130,11 @@ class MultiHeadAttention(nn.Module):
     # bench; docs/PERF.md). Kept like the conv/AdamW kernels: a measured
     # ablation and the template for regimes XLA handles worse.
     fused_attention: Optional[bool] = None
+    # WavLM gated relative position bias: per-layer gates (a small
+    # per-head Dense over the attention *inputs* + a learned constant)
+    # scale a shared bucketed position bias passed in as
+    # ``position_bias`` (HF WavLMAttention steps 1-4)
+    gated_rel_pos: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -92,6 +147,11 @@ class MultiHeadAttention(nn.Module):
         self.w_K = Dense(d_qk, **dd)
         self.w_V = Dense(d_qk, **dd)
         self.w_O = Dense(self.d_model, **dd)
+        if self.gated_rel_pos:
+            self.gru_rel_pos_linear = Dense(8, **dd)
+            self.gru_rel_pos_const = self.param(
+                "gru_rel_pos_const", nn.initializers.ones,
+                (1, self.num_heads, 1, 1), self.param_dtype)
         if self.rpr_k is not None:
             self.rpr_key_emb = nn.Embed(
                 2 * self.rpr_k + 1, self.d_head, dtype=self.dtype, param_dtype=self.param_dtype
@@ -206,8 +266,13 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         cache: Optional[dict] = None,
         cache_index=None,
+        position_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """mask: boolean, broadcastable to (B, H, T_q, T_k); True = attend.
+
+        ``position_bias``: optional (1|B, H, T_q, T_k) float bias added to
+        the scaled logits. With ``gated_rel_pos=True`` it is first scaled
+        by the WavLM per-layer gate computed from the attention inputs.
 
         When ``cache`` is given (a dict with 'k'/'v' of shape
         (B, H, T_max, d_head)), the new key/value rows are written at
@@ -218,7 +283,8 @@ class MultiHeadAttention(nn.Module):
         k = self._split(self.w_K(key))
         v = self._split(self.w_V(value))
 
-        fused = self._fused_eligible(mask, cache, q.shape[2], k.shape[2])
+        fused = (None if position_bias is not None
+                 else self._fused_eligible(mask, cache, q.shape[2], k.shape[2]))
         if fused is not None:
             from audio8_tpu.ops.pallas.attention_kernel import attention_core
 
@@ -241,6 +307,7 @@ class MultiHeadAttention(nn.Module):
             self.flash
             and cache is None
             and self.rpr_k is None
+            and position_bias is None
             and jax.default_backend() == "tpu"
         ):
             # Pallas flash-attention path (jax.experimental.pallas.ops.tpu).
@@ -288,6 +355,22 @@ class MultiHeadAttention(nn.Module):
                    and self.rpr_k is None)
         acc_t = self.dtype if bf16_sm else jnp.float32
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_t)
+        if position_bias is not None:
+            bias = position_bias.astype(jnp.float32)
+            if self.gated_rel_pos:
+                # WavLM gate (HF WavLMAttention steps 1-4): per-head slices
+                # of the *input* features -> Dense(8) -> (..., 2, 4).sum ->
+                # sigmoid -> a * (b * const - 1) + 2, broadcast over keys
+                b_, t_q = query.shape[0], query.shape[1]
+                g = query.reshape(b_, t_q, self.num_heads,
+                                  self.d_head).transpose(0, 2, 1, 3)
+                proj = self.gru_rel_pos_linear(g).astype(jnp.float32)
+                proj = proj.reshape(proj.shape[:-1] + (2, 4)).sum(-1)
+                gates = jax.nn.sigmoid(proj)
+                gate_a, gate_b = gates[..., :1], gates[..., 1:]
+                const = self.gru_rel_pos_const.astype(jnp.float32)
+                bias = (gate_a * (gate_b * const - 1.0) + 2.0) * bias
+            logits = logits + bias.astype(logits.dtype)
         if self.rpr_k is not None:
             rel = self.rpr_key_emb(self._rel_ids(q.shape[2], k.shape[2], q_offset))
             logits = logits + jnp.einsum(
@@ -351,6 +434,7 @@ class TransformerEncoderLayer(nn.Module):
     flash: bool = False
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
+    gated_rel_pos: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -369,6 +453,7 @@ class TransformerEncoderLayer(nn.Module):
             flash=self.flash,
             bf16_softmax=self.bf16_softmax,
             fused_attention=self.fused_attention,
+            gated_rel_pos=self.gated_rel_pos,
             **dd,
         )
         self.ffn = FFN(
@@ -383,14 +468,17 @@ class TransformerEncoderLayer(nn.Module):
         self.ln_ffn = LayerNorm(**dd)
         self.drop = Dropout(self.dropout_rate)
 
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 position_bias=None):
+        attn = lambda h: self.self_attn(h, h, h, mask, deterministic,
+                                        position_bias=position_bias)
         if self.pre_norm:
             h = self.ln_attn(x)
-            x = x + self.drop(self.self_attn(h, h, h, mask, deterministic), deterministic=deterministic)
+            x = x + self.drop(attn(h), deterministic=deterministic)
             h = self.ln_ffn(x)
             x = x + self.drop(self.ffn(h, deterministic), deterministic=deterministic)
         else:
-            x = x + self.drop(self.self_attn(x, x, x, mask, deterministic), deterministic=deterministic)
+            x = x + self.drop(attn(x), deterministic=deterministic)
             x = self.ln_attn(x)
             x = x + self.drop(self.ffn(x, deterministic), deterministic=deterministic)
             x = self.ln_ffn(x)
@@ -415,6 +503,11 @@ class TransformerEncoderStack(nn.Module):
     flash: bool = False
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
+    # WavLM: one bucketed RelativePositionBias shared by the stack,
+    # gated per layer inside MultiHeadAttention
+    gated_rel_pos: bool = False
+    rel_pos_buckets: int = 320
+    rel_pos_max_distance: int = 800
     # Rematerialize each encoder layer in the backward pass
     # (jax.checkpoint): only the layer *inputs* are saved, activations
     # inside the layer (incl. the (B,H,T,T) attention probs) are
@@ -450,12 +543,18 @@ class TransformerEncoderStack(nn.Module):
                 flash=self.flash,
                 bf16_softmax=self.bf16_softmax,
                 fused_attention=self.fused_attention,
+                gated_rel_pos=self.gated_rel_pos,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]
+        if self.gated_rel_pos:
+            self.rel_pos_bias = RelativePositionBias(
+                num_heads=self.num_heads, num_buckets=self.rel_pos_buckets,
+                max_distance=self.rel_pos_max_distance,
+                dtype=self.dtype, param_dtype=self.param_dtype)
         if self.pre_norm:
             self.ln_out = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
 
@@ -463,8 +562,10 @@ class TransformerEncoderStack(nn.Module):
         use_layer_drop = self.layer_drop > 0.0 and not deterministic
         if use_layer_drop:
             keys = jax.random.split(self.make_rng("dropout"), len(self.encoders))
+        position_bias = (self.rel_pos_bias(x.shape[1], x.shape[1])
+                         if self.gated_rel_pos else None)
         for i, layer in enumerate(self.encoders):
-            y = layer(x, mask, deterministic)
+            y = layer(x, mask, deterministic, position_bias)
             if use_layer_drop:
                 # Stochastic depth (LayerDrop): drop the whole layer for the
                 # whole batch. Compute-and-select keeps shapes static for XLA.

@@ -294,7 +294,8 @@ def test_hf_hubert_large_topology_parity(tmp_path):
     assert report["topology"] == {"pre_norm": True,
                                   "extractor_mode": "layer",
                                   "conv_bias": False,
-                                  "pos_conv_depth": 1}
+                                  "pos_conv_depth": 1,
+                                  "gated_rel_pos": False}
 
     cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
                          dropout=0.0, timestep_masking=0.0,
@@ -338,7 +339,8 @@ def test_hf_data2vec_ctc_forward_parity(tmp_path):
     assert report["topology"] == {"pre_norm": False,
                                   "extractor_mode": "layer",
                                   "conv_bias": False,
-                                  "pos_conv_depth": 5}
+                                  "pos_conv_depth": 5,
+                                  "gated_rel_pos": False}
     assert report["missing"] == [], report["missing"]
     assert report["unexpected"] == [], report["unexpected"]
 
@@ -374,3 +376,141 @@ def test_data2vec_preset():
     assert (args.d_model, args.extractor_mode, args.pos_conv_depth,
             args.conv_pos_kernel, args.pre_norm) == (
         768, "layer", 5, 19, False)
+
+
+def test_hf_wavlm_ctc_forward_parity(tmp_path):
+    """WavLMForCTC converts (gated relative position bias: shared
+    320-bucket table + per-layer gates) and our forward matches HF's —
+    a fourth model family beyond the reference."""
+    torch.manual_seed(7)
+    hf = transformers.WavLMForCTC(transformers.WavLMConfig(
+        hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=4 * D, vocab_size=V, layerdrop=0.0)).eval()
+    d = tmp_path / "wavlm"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc="auto")
+    assert report["kind"] == "ctc"
+    assert report["topology"] == {"pre_norm": False,
+                                  "extractor_mode": "group",
+                                  "conv_bias": False,
+                                  "pos_conv_depth": 1,
+                                  "gated_rel_pos": True}
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, gated_rel_pos=True)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(5).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = lambda t: {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_leaves_with_path(t)}
+    fi, fc = flat(init), flat(params)
+    assert set(fc) == set(fi), set(fi) ^ set(fc)
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
+
+
+def test_hf_wavlm_large_topology_parity(tmp_path):
+    """wavlm-large layout: gated rel-pos bias combined with the stable-LN
+    (pre-norm + layer-norm-extractor) topology, encoder-only export."""
+    torch.manual_seed(8)
+    hf = transformers.WavLMModel(transformers.WavLMConfig(
+        hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=4 * D, vocab_size=V, layerdrop=0.0,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        num_buckets=32, max_bucket_distance=16)).eval()
+    d = tmp_path / "wavlm_large"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d))
+    assert report["kind"] == "pretrained"
+    assert report["topology"]["pre_norm"] is True
+    assert report["topology"]["gated_rel_pos"] is True
+    # encoder-only export: only pretraining heads may be missing
+    assert all(k.split(".")[0] in ("quantizer", "project_q", "final_proj")
+               for k in report["missing"]), report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    from audio8_tpu.config import EncoderConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    cfg = EncoderConfig(d_model=D, num_heads=H, num_layers=L, dropout=0.0,
+                        timestep_masking=0.0, channel_masking=0.0,
+                        pre_norm=True, extractor_mode="layer",
+                        gated_rel_pos=True, rel_pos_buckets=32,
+                        rel_pos_max_distance=16, freeze_fx=False)
+    model = Wav2Vec2Encoder(config=cfg)
+    x = np.random.default_rng(6).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    # a pretrained Wav2Vec2Model tree is layout-compatible with
+    # Wav2Vec2Encoder (the extra quantizer/head keys are dropped)
+    out, _ = model.apply({"params": merge_params(init, params)},
+                         jnp.asarray(x))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(x)).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(out), want, atol=3e-4)
+
+
+def test_wavlm_bucket_parity():
+    """Our static relative_position_buckets matches HF
+    WavLMAttention._relative_positions_bucket exactly."""
+    from audio8_tpu.nn.transformer import relative_position_buckets
+
+    attn = transformers.models.wavlm.modeling_wavlm.WavLMAttention(
+        embed_dim=D, num_heads=H, num_buckets=320, max_distance=800)
+    t = 257
+    rel = (torch.arange(t, dtype=torch.long)[None, :]
+           - torch.arange(t, dtype=torch.long)[:, None])
+    want = attn._relative_positions_bucket(rel).numpy()
+    got = relative_position_buckets(t, t, 320, 800)
+    np.testing.assert_array_equal(got, want)
+
+    attn_small = transformers.models.wavlm.modeling_wavlm.WavLMAttention(
+        embed_dim=D, num_heads=H, num_buckets=32, max_distance=16)
+    want = attn_small._relative_positions_bucket(rel).numpy()
+    got = relative_position_buckets(t, t, 32, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wavlm_preset():
+    from audio8_tpu.cli.train import parse_args
+
+    args = parse_args(["--basedir", "x", "--root_dir", "y",
+                       "--train_dataset", "t.tsv",
+                       "--valid_dataset", "v.tsv",
+                       "--preset", "wavlm-large"])
+    assert (args.d_model, args.num_layers, args.pre_norm,
+            args.extractor_mode, args.gated_rel_pos,
+            args.rel_pos_buckets, args.rel_pos_max_distance) == (
+        1024, 24, True, "layer", True, 320, 800)
+
+
+def test_wavlm_gate_grads_flow():
+    """Training path: gradients reach the gate params and the shared
+    bias table (the WavLM additions are trainable, not inference-only)."""
+    from audio8_tpu.config import EncoderConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    cfg = EncoderConfig(d_model=D, num_heads=H, num_layers=L, dropout=0.0,
+                        timestep_masking=0.0, channel_masking=0.0,
+                        gated_rel_pos=True, rel_pos_buckets=32,
+                        rel_pos_max_distance=16, freeze_fx=False)
+    model = Wav2Vec2Encoder(config=cfg)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(1, 4000)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    grads = jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, x)[0] ** 2))(params)
+    enc = grads["encoder"]["transformer"]
+    assert float(np.abs(
+        enc["rel_pos_bias"]["rel_attn_embed"]["embedding"]).max()) > 0
+    lyr = enc["layer_0"]["self_attn"]
+    assert float(np.abs(lyr["gru_rel_pos_linear"]["kernel"]).max()) > 0
+    assert float(np.abs(lyr["gru_rel_pos_const"]).max()) > 0
