@@ -78,3 +78,55 @@ def test_parity_harness_hf(tmp_path, stable_ln):
     taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
     assert taps["log_probs"] < 1e-3
     assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["wavlm", "data2vec"])
+def test_parity_harness_hf_families(tmp_path, family):
+    """--hf mode resolves non-wav2vec2 families via AutoModelForCTC and
+    the converter's reported topology (WavLM gated rel-pos bias,
+    data2vec-audio stacked positional convs)."""
+    import numpy as np
+    import torch
+    import transformers
+    from scipy.io import wavfile
+
+    from tools.parity_eval import main
+
+    torch.manual_seed(11)
+    dims = dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+                intermediate_size=128, vocab_size=12, layerdrop=0.0)
+    if family == "wavlm":
+        hf = transformers.WavLMForCTC(transformers.WavLMConfig(**dims)).eval()
+    else:
+        hf = transformers.Data2VecAudioForCTC(
+            transformers.Data2VecAudioConfig(**dims)).eval()
+    hf_dir = tmp_path / "hf"
+    hf.save_pretrained(str(hf_dir))
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    rng = np.random.default_rng(0)
+    letters = list("ABCDEFG") + ["|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as df:
+        for ch in letters:
+            df.write(f"{ch} 1\n")
+    with open(tmp_path / "dev.tsv", "w") as tf, \
+         open(tmp_path / "dev.ltr", "w") as lf:
+        tf.write(str(audio) + "\n")
+        for i in range(3):
+            n = 8000 + 2000 * i
+            wavfile.write(str(audio / f"u{i}.wav"), 16000,
+                          (rng.normal(size=n) * 5000).astype(np.int16))
+            tf.write(f"u{i}.wav\t{n}\n")
+            lf.write("A B | C D |\n")
+
+    out = tmp_path / "report.json"
+    rc = main(["--hf", str(hf_dir), "--root_dir", str(tmp_path),
+               "--valid_dataset", "dev.tsv", "--valid_steps", "3",
+               "--json_out", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["ok"], report
+    taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
+    assert taps["log_probs"] < 1e-3
+    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]

@@ -251,7 +251,10 @@ def main(argv=None):
 
         from audio8_tpu.models.convert_hf import load_hf_dir
 
-        hf_model = transformers.Wav2Vec2ForCTC.from_pretrained(args.hf).eval()
+        # AutoModelForCTC resolves the family from config.json (Wav2Vec2,
+        # HuBERT, Data2VecAudio, WavLM); the converter reports the matching
+        # topology kwargs for our model
+        hf_model = transformers.AutoModelForCTC.from_pretrained(args.hf).eval()
         hc = hf_model.config
         params, report = load_hf_dir(args.hf, ctc=True)
         if report["missing"] or report["unexpected"]:
@@ -260,14 +263,20 @@ def main(argv=None):
                 "d_ff": hc.intermediate_size, "num_labels": hc.vocab_size}
         args.num_heads = hc.num_attention_heads
         args.checkpoint = args.hf
-        logger.info("HF checkpoint dims: %s", dims)
+        logger.info("HF checkpoint dims: %s topology: %s", dims,
+                    report["topology"])
+        topo = dict(report["topology"])
+        if topo["pos_conv_depth"] > 1:
+            topo["conv_pos_kernel"] = getattr(hc, "conv_pos_kernel_size", 19)
+        if topo["gated_rel_pos"]:
+            topo["rel_pos_buckets"] = getattr(hc, "num_buckets", 320)
+            topo["rel_pos_max_distance"] = getattr(hc, "max_bucket_distance",
+                                                   800)
         cfg = AcousticConfig(
             num_labels=hc.vocab_size, sample_rate=args.sample_rate,
             d_model=hc.hidden_size, num_heads=hc.num_attention_heads,
             num_layers=hc.num_hidden_layers, d_ff=hc.intermediate_size,
-            dropout=0.0, timestep_masking=0.0, channel_masking=0.0,
-            pre_norm=hc.do_stable_layer_norm,
-            extractor_mode=hc.feat_extract_norm, conv_bias=hc.conv_bias)
+            dropout=0.0, timestep_masking=0.0, channel_masking=0.0, **topo)
 
         def oracle(x, taps=None):
             with torch.no_grad():
@@ -279,7 +288,7 @@ def main(argv=None):
                 hs = out.hidden_states  # hs[i] = input to layer i
                 # hs[i+1] == output of layer i, except under stable-LN the
                 # final entry has the post-stack LayerNorm applied
-                last = len(hs) - (2 if hc.do_stable_layer_norm else 1)
+                last = len(hs) - (2 if topo["pre_norm"] else 1)
                 for i in range(last):
                     taps.append((f"layer_{i}", hs[i + 1].numpy()))
             return lp
