@@ -134,6 +134,27 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
     return out
 
 
+# unilm/fairseq-native WavLM key spellings -> the HF-style names our
+# assignments use (official WavLM .pt files name the gate ``grep_linear``
+# / ``grep_a`` and the bucket table ``relative_attention_bias``)
+_WAVLM_FAIRSEQ_ALIASES = (
+    (".self_attn.grep_linear.", ".self_attn.gru_rel_pos_linear."),
+    (".self_attn.grep_a", ".self_attn.gru_rel_pos_const"),
+    (".self_attn.relative_attention_bias.", ".self_attn.rel_attn_embed."),
+)
+
+
+def _canonicalize_wavlm_keys(state: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in state.items():
+        for old, new in _WAVLM_FAIRSEQ_ALIASES:
+            if old in k:
+                k = k.replace(old, new)
+                break
+        out[k] = v
+    return out
+
+
 def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
                              num_fx_layers: int = 7, pre_norm: bool = False,
                              extractor_mode: str = "group",
@@ -144,7 +165,7 @@ def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
 
     Returns (params, report) with report['missing'/'unexpected'] like
     ``load_fairseq_bin`` (wav2vec2.py:171-186)."""
-    state = dict(state)
+    state = _canonicalize_wavlm_keys(state) if gated_rel_pos else dict(state)
     params: Dict = {}
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
@@ -182,7 +203,7 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
     """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
     Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
     w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
-    state = dict(state)
+    state = _canonicalize_wavlm_keys(state) if gated_rel_pos else dict(state)
     prefix = "w2v_encoder.w2v_model."
     params: Dict = {}
     missing: List[str] = []

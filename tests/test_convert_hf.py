@@ -514,3 +514,42 @@ def test_wavlm_gate_grads_flow():
     lyr = enc["layer_0"]["self_attn"]
     assert float(np.abs(lyr["gru_rel_pos_linear"]["kernel"]).max()) > 0
     assert float(np.abs(lyr["gru_rel_pos_const"]).max()) > 0
+
+
+def test_wavlm_fairseq_native_key_aliases():
+    """Official (unilm/fairseq) WavLM .pt files spell the gate params
+    grep_linear/grep_a and the bucket table relative_attention_bias; the
+    structural converter canonicalizes those to the HF-style names."""
+    from audio8_tpu.models.convert import convert_pretrained_state
+    from audio8_tpu.models.convert_hf import hf_to_fairseq_state
+
+    torch.manual_seed(9)
+    hf = transformers.WavLMModel(transformers.WavLMConfig(
+        hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=4 * D, vocab_size=V, layerdrop=0.0)).eval()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    fs, skipped = hf_to_fairseq_state(state)
+    assert skipped == [], skipped
+    unilm = {}
+    for k, v in fs.items():
+        k = (k.replace(".self_attn.gru_rel_pos_linear.",
+                       ".self_attn.grep_linear.")
+             .replace(".self_attn.gru_rel_pos_const", ".self_attn.grep_a")
+             .replace(".self_attn.rel_attn_embed.",
+                      ".self_attn.relative_attention_bias."))
+        unilm[k] = v
+    assert any(".grep_linear." in k for k in unilm)
+    params, report = convert_pretrained_state(
+        unilm, num_layers=L, gated_rel_pos=True)
+    assert all(k.split(".")[0] in ("quantizer", "project_q", "final_proj")
+               for k in report["missing"]), report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+    np.testing.assert_allclose(
+        params["encoder"]["transformer"]["rel_pos_bias"]["rel_attn_embed"][
+            "embedding"],
+        hf.encoder.layers[0].attention.rel_attn_embed.weight.detach().numpy())
+    np.testing.assert_allclose(
+        params["encoder"]["transformer"]["layer_1"]["self_attn"][
+            "gru_rel_pos_linear"]["kernel"],
+        hf.encoder.layers[1].attention.gru_rel_pos_linear.weight
+        .detach().numpy().T)
