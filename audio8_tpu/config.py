@@ -220,6 +220,23 @@ class PretrainConfig(EncoderConfig):
 
 
 @dataclasses.dataclass(frozen=True)
+class HubertPretrainConfig(EncoderConfig):
+    """HuBERT masked-prediction pretraining (arXiv 2106.07447 §3.3) —
+    beyond the reference, which loads HuBERT checkpoints but has no
+    HuBERT training objective. Defaults follow fairseq hubert-base
+    (mask_prob 0.8 / span 10, logit_temp 0.1, masked-only loss)."""
+
+    num_clusters: int = 100
+    final_dim: int = 256
+    logit_temp: float = 0.1
+    pred_masked_weight: float = 1.0
+    pred_unmasked_weight: float = 0.0
+    dropout_input: float = 0.1
+    timestep_masking: float = 0.80
+    channel_masking: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class AcousticConfig(EncoderConfig):
     """CTC acoustic model (/root/reference/audio8/wav2vec2.py:262-296)."""
 

@@ -144,6 +144,10 @@ class AudioTextLetterDataset:
     TGT_LETTER = "ltr"
     TGT_BPE = "bpe"
     TGT_WRD = "wrd"
+    # HuBERT cluster targets (cli/cluster_targets.py): one int id per
+    # encoder frame, padded with -1 (every id 0..K-1 is a real cluster,
+    # so Offsets.PAD would collide); ``vec`` may be None
+    TGT_KM = "km"
 
     def __init__(
         self,
@@ -237,7 +241,9 @@ class AudioTextLetterDataset:
                 if self.max_src_length and x_length > self.max_src_length:
                     continue
                 text = transcription.split()
-                if self.tgt_type != self.TGT_BPE:
+                if self.tgt_type == self.TGT_KM:
+                    tokens = np.array([int(t) for t in text], dtype=np.int32)
+                elif self.tgt_type != self.TGT_BPE:
                     tokens = self.vec.run(text)
                 else:
                     # pre-tokenized BPE: just map pieces to ids, add specials
@@ -319,7 +325,8 @@ class AudioTextLetterDataset:
 
         signal = np.zeros((b_local, t_audio), np.float32)
         audio_lengths = np.zeros(b_local, np.int32)
-        token_ids = np.full((b_local, t_text), Offsets.PAD, np.int32)
+        pad_id = -1 if self.tgt_type == self.TGT_KM else Offsets.PAD
+        token_ids = np.full((b_local, t_text), pad_id, np.int32)
         text_lengths = np.zeros(b_local, np.int32)
         for i, idx in enumerate(rows):
             a = audios[i][:t_audio]

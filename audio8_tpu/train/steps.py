@@ -171,6 +171,54 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
     return train_step, eval_step
 
 
+# ------------------------------------------------------------------ hubert
+
+
+def make_hubert_steps(model, tx: optax.GradientTransformation,
+                      clip: float = 1.0):
+    """(train_step, eval_fn) for HuBERT masked-prediction pretraining
+    (models/hubert.py). Batches are the supervised pipeline's dicts with
+    ``token_ids`` = frame cluster ids (TGT_KM, padded -1); padded rows
+    (signal_lengths == 0) contribute nothing because their pad mask is
+    empty."""
+    from audio8_tpu.models.hubert import hubert_pretrain_loss
+
+    cfg = model.config
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        signal = batch["signal"]
+        signal_lengths = batch["signal_lengths"]
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1)}
+            logits, time_mask, pad_mask = model.apply(
+                {"params": p}, signal, signal_lengths, train=True, rngs=rngs)
+            return hubert_pretrain_loss(
+                logits, time_mask, pad_mask, batch["token_ids"],
+                batch["token_lengths"], cfg.pred_masked_weight,
+                cfg.pred_unmasked_weight)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_fn(params, batch, rng):
+        logits, time_mask, pad_mask = model.apply(
+            {"params": params}, batch["signal"], batch["signal_lengths"],
+            train=False, rngs={"mask": jax.random.fold_in(rng, 1)})
+        loss, metrics = hubert_pretrain_loss(
+            logits, time_mask, pad_mask, batch["token_ids"],
+            batch["token_lengths"], cfg.pred_masked_weight,
+            cfg.pred_unmasked_weight)
+        return loss, metrics
+
+    return train_step, eval_fn
+
+
 # ---------------------------------------------------------------- seq2seq
 
 

@@ -97,7 +97,7 @@ def bench_pretrain_large(n_steps: int = 12) -> float:
 
 
 def bench_ctc(freeze: bool, n_steps: int = 30, *, b: int = 16,
-              t: int = 41_359) -> float:
+              t: int = 41_359, **cfg_kwargs) -> float:
     """CTC fine-tune step (train.py workload): wav2vec2-base + letter
     head, 16 x 41,359 samples = 41.4 audio-sec/step. The clip length is
     the shape train.py's lane-aligned data pipeline emits (T'=128 = one
@@ -114,7 +114,8 @@ def bench_ctc(freeze: bool, n_steps: int = 30, *, b: int = 16,
 
     Offsets.remap_fairseq_ctc()
     cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.1,
-                         timestep_masking=0.5, channel_masking=0.1)
+                         timestep_masking=0.5, channel_masking=0.1,
+                         **cfg_kwargs)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
     u = 64  # default (b, t): T'=128 exactly (lane-aligned pipeline shape)
 
