@@ -8,10 +8,19 @@ manifest (one line per utterance: space-separated cluster ids, one id
 per encoder frame — the fairseq HuBERT label format) plus the centroids
 as ``.npy`` for later assignment runs.
 
+Iteration 2+ (HuBERT refines targets by re-clustering a trained model's
+intermediate features, arXiv 2106.07447 §3.2): pass ``--checkpoint``
+(a8t HuBERT/wav2vec2 checkpoint, fairseq .pt, or HF dir) and
+``--feature_layer N`` to cluster transformer layer-N outputs instead of
+MFCCs — frames stay conv-grid-aligned by construction.
+
 Usage:
   a8t-cluster-targets --root_dir /data --manifests train.tsv valid.tsv \\
       --num_clusters 100
   a8t-pretrain-hubert ... --train_dataset train.tsv  # picks up train.km
+  # iteration 2: 500 clusters over layer-6 features of the iteration-1 run
+  a8t-cluster-targets --root_dir /data --manifests train.tsv valid.tsv \\
+      --num_clusters 500 --checkpoint runs/hubert-it1 --feature_layer 6
 """
 from __future__ import annotations
 
@@ -34,6 +43,62 @@ def read_manifest(tsv: str):
     return directory, rows
 
 
+def make_model_featurizer(args):
+    """audio (T,) -> (frames, d_model) transformer layer-N features of a
+    restored model (HuBERT iteration 2+).
+
+    Audio pads to a sample grid (bounded compile count); the frame count
+    is sliced back to the true conv output length, and attention is
+    pad-masked via input_lengths, so features stay aligned with the
+    MFCC/conv grid.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio8_tpu.cli.common import resolve_restart, topology_kwargs
+    from audio8_tpu.config import (CONV_FEATURES, EncoderConfig,
+                                   conv_output_length)
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    # head-free encoder: HuBERT/wav2vec2 pretrain trees share its layout,
+    # so any source checkpoint warm-starts it (extra head keys drop in
+    # merge) regardless of the source run's num_clusters/final_dim
+    cfg = EncoderConfig(
+        d_model=args.d_model, num_heads=args.num_heads,
+        num_layers=args.num_layers, d_ff=args.d_ff, dropout=0.0,
+        timestep_masking=0.0, channel_masking=0.0, freeze_fx=False,
+        **topology_kwargs(args))
+    model = Wav2Vec2Encoder(config=cfg)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16000), jnp.float32))["params"]
+    params, _, _ = resolve_restart(args.checkpoint, init,
+                                   num_layers=args.num_layers,
+                                   **topology_kwargs(args))
+    layer = f"layer_{args.feature_layer - 1}"  # layer-N output, 1-based
+    is_tap = lambda mdl, method: (method == "__call__"
+                                  and getattr(mdl, "name", None) == layer)
+
+    @jax.jit
+    def run(signal, lengths):
+        _, inter = model.apply({"params": params}, signal, lengths,
+                               capture_intermediates=is_tap,
+                               mutable=["intermediates"])
+        return inter["intermediates"]["encoder"]["transformer"][layer][
+            "__call__"][0]
+
+    conv = CONV_FEATURES[args.target_sample_rate // 1000]
+
+    def featurize(x):
+        n = len(x)
+        pad = (n + 15_999) // 16_000 * 16_000
+        sig = jnp.zeros((1, pad), jnp.float32).at[0, :n].set(
+            jnp.asarray(x, jnp.float32))
+        feats = run(sig, jnp.asarray([n], jnp.int32))
+        return np.asarray(feats[0, :conv_output_length(n, conv)], np.float32)
+
+    return featurize
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = ArgumentParser(description=__doc__)
@@ -48,10 +113,22 @@ def main(argv=None):
     p.add_argument("--centroids", help="reuse fitted centroids (.npy) "
                                        "instead of fitting")
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args(argv)
+    p.add_argument("--checkpoint",
+                   help="cluster a trained model's features instead of "
+                        "MFCCs (HuBERT iteration 2+): a8t checkpoint, "
+                        "fairseq .pt, or HF dir")
+    p.add_argument("--feature_layer", type=int, default=6,
+                   help="1-based transformer layer whose output is "
+                        "clustered (HuBERT it-2 uses 6 of a base model)")
+    from audio8_tpu.cli.common import add_common_model_args, apply_preset
+
+    add_common_model_args(p)
+    args = apply_preset(p.parse_args(argv))
 
     reader = SoundfileAudioReader()
     rng = np.random.default_rng(args.seed)
+    featurize = (make_model_featurizer(args) if args.checkpoint
+                 else (lambda x: mfcc(x)))
     manifests = [os.path.join(args.root_dir, m) for m in args.manifests]
 
     if args.centroids:
@@ -63,7 +140,8 @@ def main(argv=None):
         sample: list = []
         per_file = max(1, args.fit_frames // max(len(rows), 1))
         for name in rows:
-            feats = mfcc(reader.read(os.path.join(directory, name)).squeeze())
+            feats = featurize(
+                reader.read(os.path.join(directory, name)).squeeze())
             if not len(feats):
                 continue
             take = min(per_file, len(feats))
@@ -82,7 +160,7 @@ def main(argv=None):
         km_path = tsv.replace(".tsv", ".km")
         with open(km_path, "w") as out:
             for name in rows:
-                feats = mfcc(
+                feats = featurize(
                     reader.read(os.path.join(directory, name)).squeeze())
                 ids = assign_clusters(feats, centroids) if len(feats) else []
                 out.write(" ".join(str(int(i)) for i in ids) + "\n")

@@ -526,8 +526,12 @@ def sample_negative_indices(
 
 
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    # rsqrt of the CLAMPED squared norm: sqrt'(0) = inf makes the naive
+    # sqrt-then-max form produce 0*inf = NaN gradients at exactly-zero
+    # vectors (hit by fully-padded rows in the HuBERT loss); this form is
+    # numerically identical for ||x|| > eps and has finite grads at 0
+    norm2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(norm2, eps * eps))
 
 
 def wav2vec2_pretrain_loss(

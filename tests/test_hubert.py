@@ -101,6 +101,41 @@ def test_hubert_model_shapes_and_grads():
             "kernel"]).max()) > 0
 
 
+def test_hubert_grads_finite_with_padding_row():
+    """Regression: a fully padded row (signal_lengths == 0, the batch-size
+    snapping filler) must not NaN the gradients — the naive
+    sqrt-then-max l2-normalize had inf*0 backward at exactly-zero
+    vectors."""
+    cfg = HubertPretrainConfig(num_clusters=6, final_dim=16, d_model=32,
+                               num_heads=2, num_layers=1, d_ff=64,
+                               dropout=0.1)
+    model = HubertPretrainModel(config=cfg)
+    x = np.zeros((2, 4000), np.float32)
+    x[0] = np.random.default_rng(8).normal(size=4000)
+    lens = jnp.asarray([4000, 0], jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)},
+                        jnp.asarray(x), lens)["params"]
+    tp = conv_output_length(4000, CONV_FEATURES[16])
+    targets = np.full((2, tp), -1, np.int32)
+    targets[0] = np.random.default_rng(9).integers(0, 6, size=tp)
+    lengths = jnp.asarray([tp, 0], jnp.int32)
+
+    def loss_fn(p):
+        lg, m, pad = model.apply(
+            {"params": p}, jnp.asarray(x), lens, train=True,
+            rngs={"mask": jax.random.PRNGKey(2),
+                  "dropout": jax.random.PRNGKey(3)})
+        return hubert_pretrain_loss(lg, m, pad, jnp.asarray(targets),
+                                    lengths)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        assert np.isfinite(np.asarray(leaf)).all(), \
+            "/".join(str(getattr(k, "key", k)) for k in path)
+
+
 def test_hubert_tree_warmstarts_ctc_encoder():
     """The HuBERT param tree mirrors Wav2Vec2Encoder, so a pretrained
     tree fills every encoder leaf of the downstream CTC model (the
@@ -186,3 +221,25 @@ def test_cluster_targets_and_pretrain_cli(km_corpus, tmp_path):
                    "--pad_to_multiple", "4000"])
     assert int(state.step) == 3
     assert os.path.exists(str(tmp_path / "out"))
+
+    # iteration 2: re-cluster the trained model's layer-1 features from
+    # the checkpoint just written; labels must stay conv-grid-aligned
+    from audio8_tpu.cli.cluster_targets import main as cluster_main
+
+    rc = cluster_main(["--root_dir", str(km_corpus),
+                       "--manifests", "valid.tsv",
+                       "--num_clusters", "3", "--fit_frames", "500",
+                       "--kmeans_iters", "3",
+                       "--checkpoint", str(tmp_path / "out"),
+                       "--feature_layer", "1",
+                       "--d_model", "32", "--num_heads", "2",
+                       "--num_layers", "1", "--d_ff", "64"])
+    assert rc == 0
+    with open(km_corpus / "valid.tsv") as tf, \
+            open(km_corpus / "valid.km") as kf:
+        tf.readline()
+        for audio_line, km_line in zip(tf, kf):
+            n = int(audio_line.split("\t")[1])
+            ids = km_line.split()
+            assert len(ids) == conv_output_length(n, CONV_FEATURES[16])
+            assert all(0 <= int(i) < 3 for i in ids)
