@@ -149,6 +149,49 @@ def bench_ctc(freeze: bool, n_steps: int = 30, *, b: int = 16,
     return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
 
 
+def bench_hubert(n_steps: int = 20, *, b: int = 8, t: int = 163_920,
+                 num_clusters: int = 100) -> float:
+    """HuBERT masked-prediction pretraining step (pretrain_hubert.py
+    workload): wav2vec2-base dims + 100-cluster targets on the same
+    lane-aligned 8 x 163,920 shape (T'=512) as the pretrain headline."""
+    from audio8_tpu.config import CONV_FEATURES, HubertPretrainConfig, conv_output_length
+    from audio8_tpu.models.hubert import HubertPretrainModel
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_hubert_steps
+
+    cfg = HubertPretrainConfig(num_clusters=num_clusters, d_ff=3072)
+    model = HubertPretrainModel(config=cfg, dtype=jnp.bfloat16)
+    tp = conv_output_length(t, CONV_FEATURES[16])
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(
+            rng.integers(0, num_clusters, size=(b, tp)), jnp.int32),
+        "token_lengths": jnp.full((b,), tp, jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        batch["signal"][:1], batch["signal_lengths"][:1])["params"]
+    tx = create_optimizer(create_lrs(5e-4, 1000, warmup_steps=10))
+    state = TrainState.create(params, tx)
+    train_step, _ = make_hubert_steps(model, tx, clip=1.0)
+
+    keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
+    _note("hubert: build + compile")
+    state, metrics = train_step(state, batch, keys[-1])
+    np.asarray(metrics["loss"])
+    _note("hubert: compiled, timing")
+
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = train_step(state, batch, keys[i])
+    np.asarray(metrics["loss"])
+    elapsed = time.perf_counter() - start
+    return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
+
+
 def bench_seq2seq(n_steps: int = 30) -> float:
     """Seq2seq ASR fine-tune step (train_seq2seq.py workload):
     wav2vec2-base encoder + 2L/4H decoder, teacher forcing, bf16,
@@ -247,7 +290,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["pretrain", "large", "ctc", "seq2seq", "decode",
-                             "all"],
+                             "hubert", "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("A8T_BENCH_BUDGET", 1500)),
@@ -267,6 +310,10 @@ def main():
     if args.workload == "decode":
         _single("wav2vec2_base_greedy_decode_rtfx",
                 round(bench_decode(), 2), {})
+        return
+    if args.workload == "hubert":
+        _single("hubert_base_pretrain_throughput",
+                round(bench_hubert(), 2), {})
         return
     if args.workload == "ctc":
         v = round(bench_ctc(False), 2)
@@ -289,6 +336,7 @@ def main():
             ("greedy_decode_rtfx", bench_decode),
             ("seq2seq_finetune_throughput", bench_seq2seq),
             ("large_pretrain_throughput", bench_pretrain_large),
+            ("hubert_pretrain_throughput", bench_hubert),
         ]:
             if time.perf_counter() - start > args.budget:
                 extra[key] = "skipped:budget"

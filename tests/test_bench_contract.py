@@ -16,6 +16,7 @@ def bench(monkeypatch):
                         lambda freeze, *a, **k: 3000.0 if freeze else 1800.0)
     monkeypatch.setattr(bench_mod, "bench_decode", lambda *a, **k: 4000.0)
     monkeypatch.setattr(bench_mod, "bench_seq2seq", lambda *a, **k: 1600.0)
+    monkeypatch.setattr(bench_mod, "bench_hubert", lambda *a, **k: 1450.0)
     return bench_mod
 
 
@@ -41,6 +42,7 @@ def test_all_mode_headline_and_extras(bench, capsys):
     assert e["ctc_finetune_frozen_throughput"] == 3000.0
     assert e["greedy_decode_rtfx"] == 4000.0
     assert e["seq2seq_finetune_throughput"] == 1600.0
+    assert e["hubert_pretrain_throughput"] == 1450.0
 
 
 def test_budget_skips_extras_but_keeps_headline(bench, capsys):
@@ -69,3 +71,6 @@ def test_single_workload_modes(bench, capsys):
     assert rec["value"] == 4000.0
     rec = _run(bench, capsys, ["--workload", "seq2seq"])
     assert rec["value"] == 1600.0
+    rec = _run(bench, capsys, ["--workload", "hubert"])
+    assert rec["metric"] == "hubert_base_pretrain_throughput"
+    assert rec["value"] == 1450.0
