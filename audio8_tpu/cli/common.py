@@ -57,6 +57,18 @@ def setup(distributed: bool = False) -> Tuple[int, int]:
     return rank, world
 
 
+_TOPOLOGY_DEFAULTS = dict(pre_norm=False, extractor_mode="group",
+                          conv_bias=False, pos_conv_depth=1,
+                          gated_rel_pos=False, encoder_type="transformer",
+                          position_embeddings_type="relative")
+
+
+def canonical_topology(d: Dict) -> Dict:
+    """Param-placement topology keys, filled with defaults — lets
+    topology dicts from different converter vintages compare equal."""
+    return {k: d.get(k, v) for k, v in _TOPOLOGY_DEFAULTS.items()}
+
+
 def resolve_restart(
     restart_from: Optional[str],
     init_params: Dict,
@@ -70,12 +82,17 @@ def resolve_restart(
     conv_bias: bool = False,
     pos_conv_depth: int = 1,
     gated_rel_pos: bool = False,
+    encoder_type: str = "transformer",
+    position_embeddings_type: str = "relative",
     # no param-placement effect (kernel size / bucket-table shape come
     # from the checkpoint itself); accepted so callers can splat
     # topology_kwargs()
     conv_pos_kernel: int = 128,
     rel_pos_buckets: int = 320,
     rel_pos_max_distance: int = 800,
+    conv_depthwise_kernel_size: int = 31,
+    rotary_base: float = 10000.0,
+    conformer_activation: str = "swish",
 ) -> Tuple[Dict, Optional[Any], int]:
     """Resolve --restart_from like the reference (train.py:215-252):
 
@@ -91,7 +108,8 @@ def resolve_restart(
         return init_params, None, 0
     topo = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
                 conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
-                gated_rel_pos=gated_rel_pos)
+                gated_rel_pos=gated_rel_pos, encoder_type=encoder_type,
+                position_embeddings_type=position_embeddings_type)
     if restart_from.endswith(".pt"):
         try:
             loaded, report = load_fairseq_bin(restart_from, ctc=False, num_layers=num_layers, sr=sr, **topo)
@@ -115,7 +133,7 @@ def resolve_restart(
         # HF transformers save_pretrained dir (extension beyond the
         # reference): warm-start from it like a fairseq .pt
         loaded, report = load_hf_dir(restart_from, ctc="auto")
-        if report["topology"] != topo:
+        if canonical_topology(report["topology"]) != canonical_topology(topo):
             # topology governs param PLACEMENT (encoder.ln vs the
             # stack's ln_out, per-block extractor LNs); a mismatch would
             # merge everything except those params and train with random
@@ -249,6 +267,20 @@ MODEL_PRESETS = {
     "wavlm-large": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
                     "num_layers": 24, "final_dim": 768, "pre_norm": True,
                     "extractor_mode": "layer", "gated_rel_pos": True},
+    # wav2vec2-conformer (fairseq's conformer variant, distributed via HF:
+    # facebook/wav2vec2-conformer-{rope,rel-pos}-large*): macaron conformer
+    # blocks (swish, k=31 depthwise conv) with rotary or Transformer-XL
+    # relative positions, layer-norm extractor at LARGE dims.
+    "conformer-large-rope": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                             "num_layers": 24, "final_dim": 768,
+                             "extractor_mode": "layer", "conv_bias": True,
+                             "encoder_type": "conformer",
+                             "position_embeddings_type": "rotary"},
+    "conformer-large-rel": {"d_model": 1024, "d_ff": 4096, "num_heads": 16,
+                            "num_layers": 24, "final_dim": 768,
+                            "extractor_mode": "layer", "conv_bias": True,
+                            "encoder_type": "conformer",
+                            "position_embeddings_type": "relative"},
 }
 _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "num_layers": 12, "final_dim": 256,
@@ -256,7 +288,12 @@ _PRESET_BASE_DEFAULTS = {"d_model": 768, "d_ff": 3072, "num_heads": 12,
                          "conv_bias": False, "pos_conv_depth": 1,
                          "conv_pos_kernel": 128, "gated_rel_pos": False,
                          "rel_pos_buckets": 320,
-                         "rel_pos_max_distance": 800}
+                         "rel_pos_max_distance": 800,
+                         "encoder_type": "transformer",
+                         "position_embeddings_type": "relative",
+                         "conv_depthwise_kernel_size": 31,
+                         "rotary_base": 10000.0,
+                         "conformer_activation": "swish"}
 
 
 def topology_kwargs(args):
@@ -267,7 +304,12 @@ def topology_kwargs(args):
                 conv_pos_kernel=args.conv_pos_kernel,
                 gated_rel_pos=args.gated_rel_pos,
                 rel_pos_buckets=args.rel_pos_buckets,
-                rel_pos_max_distance=args.rel_pos_max_distance)
+                rel_pos_max_distance=args.rel_pos_max_distance,
+                encoder_type=args.encoder_type,
+                position_embeddings_type=args.position_embeddings_type,
+                conv_depthwise_kernel_size=args.conv_depthwise_kernel_size,
+                rotary_base=args.rotary_base,
+                conformer_activation=args.conformer_activation)
 
 
 def apply_preset(args):
@@ -324,6 +366,21 @@ def add_common_model_args(parser):
                         help="WavLM relative-position buckets (320)")
     parser.add_argument("--rel_pos_max_distance", type=int, default=None,
                         help="WavLM relative-position max distance (800)")
+    parser.add_argument("--encoder_type", choices=["transformer", "conformer"],
+                        default=None,
+                        help="'conformer': macaron conformer blocks "
+                             "(wav2vec2-conformer) instead of the "
+                             "transformer stack")
+    parser.add_argument("--position_embeddings_type",
+                        choices=["relative", "rotary", "none"], default=None,
+                        help="conformer attention positions (XL-relative "
+                             "or rotary)")
+    parser.add_argument("--conv_depthwise_kernel_size", type=int,
+                        default=None,
+                        help="conformer conv-module depthwise kernel (31)")
+    parser.add_argument("--rotary_base", type=float, default=None)
+    parser.add_argument("--conformer_activation", default=None,
+                        help="conformer block activation (swish)")
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

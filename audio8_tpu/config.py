@@ -172,6 +172,14 @@ class EncoderConfig:
     gated_rel_pos: bool = False
     rel_pos_buckets: int = 320
     rel_pos_max_distance: int = 800
+    # wav2vec2-conformer (arXiv 2005.08100): 'conformer' swaps the
+    # transformer stack for macaron conformer blocks with rotary or
+    # Transformer-XL relative positions (nn/conformer.py)
+    encoder_type: str = "transformer"
+    position_embeddings_type: str = "relative"  # conformer: rotary|relative
+    conv_depthwise_kernel_size: int = 31
+    rotary_base: float = 10000.0
+    conformer_activation: str = "swish"
     # Pallas flash-attention for encoder self-attention on TPU (skips
     # attention-prob dropout). Off by default: at wav2vec2's short frame
     # counts (~550) XLA's fused attention is faster (measured on v5e);

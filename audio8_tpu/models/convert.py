@@ -43,7 +43,9 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
                          extractor_mode: str = "group",
                          conv_bias: bool = False,
                          pos_conv_depth: int = 1,
-                         gated_rel_pos: bool = False):
+                         gated_rel_pos: bool = False,
+                         encoder_type: str = "transformer",
+                         position_embeddings_type: str = "relative"):
     """(fairseq_key, our_path, transform) for the shared encoder body.
 
     Paths are relative to our ``Wav2Vec2Encoder`` params tree and fairseq
@@ -77,6 +79,74 @@ def _encoder_assignments(num_layers: int, num_fx_layers: int,
     out.append(("post_extract_proj.weight", ["proj_to_input", "kernel"], _t))
     out.append(("post_extract_proj.bias", ["proj_to_input", "bias"], np.asarray))
     out.append(("mask_emb", ["mask_emb"], np.asarray))
+    if encoder_type == "conformer":
+        # wav2vec2-conformer: no pos-conv (HF constructs one but never
+        # applies it — its dead weights are popped by the callers), a
+        # single post-stack LayerNorm, and the conformer block schema.
+        # Keys keep HF naming (no fairseq distribution of these models).
+        out.append(("encoder.layer_norm.weight",
+                    ["encoder", "transformer", "ln_out", "scale"], np.asarray))
+        out.append(("encoder.layer_norm.bias",
+                    ["encoder", "transformer", "ln_out", "bias"], np.asarray))
+        for i in range(num_layers):
+            base = f"encoder.layers.{i}"
+            ours = ["encoder", "transformer", f"layer_{i}"]
+            for hf_ffn, mine in (("ffn1", "ffn1"), ("ffn2", "ffn2")):
+                out.append((f"{base}.{hf_ffn}_layer_norm.weight",
+                            ours + [f"{mine}_ln", "scale"], np.asarray))
+                out.append((f"{base}.{hf_ffn}_layer_norm.bias",
+                            ours + [f"{mine}_ln", "bias"], np.asarray))
+                out.append((f"{base}.{hf_ffn}.intermediate_dense.weight",
+                            ours + [mine, "expand", "kernel"], _t))
+                out.append((f"{base}.{hf_ffn}.intermediate_dense.bias",
+                            ours + [mine, "expand", "bias"], np.asarray))
+                out.append((f"{base}.{hf_ffn}.output_dense.weight",
+                            ours + [mine, "contract", "kernel"], _t))
+                out.append((f"{base}.{hf_ffn}.output_dense.bias",
+                            ours + [mine, "contract", "bias"], np.asarray))
+            out.append((f"{base}.self_attn_layer_norm.weight",
+                        ours + ["attn_ln", "scale"], np.asarray))
+            out.append((f"{base}.self_attn_layer_norm.bias",
+                        ours + ["attn_ln", "bias"], np.asarray))
+            for hf_p, mine in (("linear_q", "w_Q"), ("linear_k", "w_K"),
+                               ("linear_v", "w_V"), ("linear_out", "w_O")):
+                out.append((f"{base}.self_attn.{hf_p}.weight",
+                            ours + ["self_attn", mine, "kernel"], _t))
+                out.append((f"{base}.self_attn.{hf_p}.bias",
+                            ours + ["self_attn", mine, "bias"], np.asarray))
+            if position_embeddings_type == "relative":
+                out.append((f"{base}.self_attn.linear_pos.weight",
+                            ours + ["self_attn", "linear_pos", "kernel"], _t))
+                out.append((f"{base}.self_attn.pos_bias_u",
+                            ours + ["self_attn", "pos_bias_u"], np.asarray))
+                out.append((f"{base}.self_attn.pos_bias_v",
+                            ours + ["self_attn", "pos_bias_v"], np.asarray))
+            cm = f"{base}.conv_module"
+            out.append((f"{cm}.layer_norm.weight",
+                        ours + ["conv", "ln", "scale"], np.asarray))
+            out.append((f"{cm}.layer_norm.bias",
+                        ours + ["conv", "ln", "bias"], np.asarray))
+            # pointwise convs are k=1: (C_out, C_in, 1) -> Dense (C_in, C_out)
+            pw = lambda x: np.ascontiguousarray(
+                np.asarray(x)[..., 0].T)
+            out.append((f"{cm}.pointwise_conv1.weight",
+                        ours + ["conv", "pw1", "kernel"], pw))
+            out.append((f"{cm}.pointwise_conv2.weight",
+                        ours + ["conv", "pw2", "kernel"], pw))
+            out.append((f"{cm}.depthwise_conv.weight",
+                        ours + ["conv", "dw", "kernel"], _conv))
+            # synthetic keys written by _fold_conformer_batchnorm
+            out.append((f"{cm}.bn_folded.scale",
+                        ours + ["conv", "bn_scale"], np.asarray))
+            out.append((f"{cm}.bn_folded.bias",
+                        ours + ["conv", "bn_bias"], np.asarray))
+            out.append((f"{base}.final_layer_norm.weight",
+                        ours + ["final_ln", "scale"], np.asarray))
+            out.append((f"{base}.final_layer_norm.bias",
+                        ours + ["final_ln", "bias"], np.asarray))
+        if gated_rel_pos:
+            raise ValueError("gated_rel_pos is a transformer-stack feature")
+        return out
     if pos_conv_depth > 1:
         # data2vec-audio positional stack: plain grouped convs, no weight
         # norm (fairseq names the i-th conv ``encoder.pos_conv.{i}.0``)
@@ -155,23 +225,61 @@ def _canonicalize_wavlm_keys(state: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def _fold_conformer_batchnorm(state: Dict[str, Any], prefix: str = "",
+                              eps: float = 1e-5) -> None:
+    """Fold each conv_module BatchNorm's (weight, bias, running stats)
+    into an equivalent per-channel affine, writing synthetic
+    ``...conv_module.bn_folded.{scale,bias}`` keys (exact at inference;
+    our conformer runs frozen-statistics BN — see nn/conformer.py).
+    Also pops the dead pos-conv weights HF constructs but never applies
+    (modeling_wav2vec2_conformer.py:646)."""
+    layers = set()
+    for k in list(state):
+        if ".conv_module.batch_norm." in k and k.startswith(prefix):
+            layers.add(k[len(prefix):].split(".conv_module.")[0])
+        if k.startswith(prefix) and (".pos_conv." in k
+                                      or "embed_positions." in k):
+            state.pop(k)
+    for base in layers:
+        bn = f"{prefix}{base}.conv_module.batch_norm."
+        state.pop(bn + "num_batches_tracked", None)
+        try:
+            w = np.asarray(state.pop(bn + "weight"), np.float64)
+            b = np.asarray(state.pop(bn + "bias"), np.float64)
+            mean = np.asarray(state.pop(bn + "running_mean"), np.float64)
+            var = np.asarray(state.pop(bn + "running_var"), np.float64)
+        except KeyError:
+            continue  # incomplete BN -> surfaces as missing bn_folded keys
+        scale = w / np.sqrt(var + eps)
+        state[f"{prefix}{base}.conv_module.bn_folded.scale"] = \
+            scale.astype(np.float32)
+        state[f"{prefix}{base}.conv_module.bn_folded.bias"] = \
+            (b - mean * scale).astype(np.float32)
+
+
 def convert_pretrained_state(state: Dict[str, Any], num_layers: int = 12,
                              num_fx_layers: int = 7, pre_norm: bool = False,
                              extractor_mode: str = "group",
                              conv_bias: bool = False,
                              pos_conv_depth: int = 1,
-                             gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
+                             gated_rel_pos: bool = False,
+                             encoder_type: str = "transformer",
+                             position_embeddings_type: str = "relative"
+                             ) -> Tuple[Dict, Dict]:
     """fairseq pretrained wav2vec2 'model' dict -> Wav2Vec2Model params.
 
     Returns (params, report) with report['missing'/'unexpected'] like
     ``load_fairseq_bin`` (wav2vec2.py:171-186)."""
     state = _canonicalize_wavlm_keys(state) if gated_rel_pos else dict(state)
+    if encoder_type == "conformer":
+        _fold_conformer_batchnorm(state)
     params: Dict = {}
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
                                               conv_bias, pos_conv_depth,
-                                              gated_rel_pos):
+                                              gated_rel_pos, encoder_type,
+                                              position_embeddings_type):
         if key in state:
             _set(params, path, tf(state.pop(key)))
         else:
@@ -199,18 +307,24 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
                       extractor_mode: str = "group",
                       conv_bias: bool = False,
                       pos_conv_depth: int = 1,
-                      gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
+                      gated_rel_pos: bool = False,
+                      encoder_type: str = "transformer",
+                      position_embeddings_type: str = "relative"
+                      ) -> Tuple[Dict, Dict]:
     """fairseq fine-tuned wav2vec2-CTC 'model' dict ->
     Wav2Vec2AcousticModel params (w2v_encoder.w2v_model.* nesting +
     w2v_encoder.proj head, mirroring W2V_CTC_MAP wav2vec2.py:39-104)."""
     state = _canonicalize_wavlm_keys(state) if gated_rel_pos else dict(state)
     prefix = "w2v_encoder.w2v_model."
+    if encoder_type == "conformer":
+        _fold_conformer_batchnorm(state, prefix)
     params: Dict = {}
     missing: List[str] = []
     for key, path, tf in _encoder_assignments(num_layers, num_fx_layers,
                                               pre_norm, extractor_mode,
                                               conv_bias, pos_conv_depth,
-                                              gated_rel_pos):
+                                              gated_rel_pos, encoder_type,
+                                              position_embeddings_type):
         full = prefix + key
         if full in state:
             _set(params, ["encoder"] + path, tf(state.pop(full)))
@@ -245,7 +359,10 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
                      extractor_mode: str = "group",
                      conv_bias: bool = False,
                      pos_conv_depth: int = 1,
-                     gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
+                     gated_rel_pos: bool = False,
+                     encoder_type: str = "transformer",
+                     position_embeddings_type: str = "relative"
+                     ) -> Tuple[Dict, Dict]:
     """Reference-shaped entry point (wav2vec2.py:171-186): returns
     (params, {'missing': [...], 'unexpected': [...]}). The topology
     kwargs select the LV-60/XLSR stable-LN layout or (pos_conv_depth>1)
@@ -255,7 +372,8 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
     num_fx = 7 if sr == 16 else 6
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
               conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
-              gated_rel_pos=gated_rel_pos)
+              gated_rel_pos=gated_rel_pos, encoder_type=encoder_type,
+              position_embeddings_type=position_embeddings_type)
     if ctc:
         return convert_ctc_state(state, num_layers, num_fx, **kw)
     return convert_pretrained_state(state, num_layers, num_fx, **kw)

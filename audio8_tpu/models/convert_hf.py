@@ -82,6 +82,11 @@ def _translate_key(key: str, extractor_mode: str = "group"):
             # group-mode: only block 0 carries a GroupNorm, index 2
             return f"feature_extractor.conv_layers.{i}.2.{leaf}"
         return None
+    if key == "encoder.embed_positions.inv_freq":
+        # rotary frequency buffer: a deterministic constant, rebuilt from
+        # config (nn/conformer.rotary_tables); passed through for the
+        # conformer converter to consume
+        return key
     if key.startswith("encoder.pos_conv_embed.layers."):
         # data2vec-audio positional stack: HF layers.{i}.conv -> the
         # fairseq-style stacked name encoder.pos_conv.{i}.0
@@ -130,7 +135,8 @@ def hf_to_fairseq_state(state: Dict[str, Any], ctc: bool = False,
             out["w2v_encoder.proj.bias"] = value
             continue
         base_key = key
-        for prefix in ("wav2vec2.", "wav2vec2_model.", "hubert.",
+        for prefix in ("wav2vec2_conformer.", "wav2vec2.",
+                       "wav2vec2_model.", "hubert.",
                        "data2vec_audio.", "wavlm."):
             if base_key.startswith(prefix):
                 base_key = base_key[len(prefix):]
@@ -153,7 +159,10 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
                      pre_norm: bool = False, extractor_mode: str = "group",
                      conv_bias: bool = False,
                      pos_conv_depth: int = 1,
-                     gated_rel_pos: bool = False) -> Tuple[Dict, Dict]:
+                     gated_rel_pos: bool = False,
+                     encoder_type: str = "transformer",
+                     position_embeddings_type: str = "relative"
+                     ) -> Tuple[Dict, Dict]:
     """HF Wav2Vec2 state dict -> our params. Same (params, report)
     contract as ``load_fairseq_bin``; untranslatable HF keys are reported
     under ``unexpected``. ``pre_norm``/``extractor_mode``/``conv_bias``
@@ -163,7 +172,8 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
                                            extractor_mode=extractor_mode)
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
               conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
-              gated_rel_pos=gated_rel_pos)
+              gated_rel_pos=gated_rel_pos, encoder_type=encoder_type,
+              position_embeddings_type=position_embeddings_type)
     if ctc:
         params, report = convert_ctc_state(renamed, num_layers,
                                            num_fx_layers, **kw)
@@ -176,6 +186,17 @@ def convert_hf_state(state: Dict[str, Any], num_layers: int = 12,
 
 def _hf_topology(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Encoder-topology kwargs from an HF config dict, by model_type."""
+    if cfg.get("model_type") == "wav2vec2-conformer":
+        # macaron conformer blocks with rotary/XL-relative positions; the
+        # stack layer-norms once after the blocks (our ln_out) and the
+        # extractor layout reads from config like wav2vec2
+        return dict(pre_norm=False,
+                    extractor_mode=cfg.get("feat_extract_norm", "group"),
+                    conv_bias=cfg.get("conv_bias", False),
+                    pos_conv_depth=1, gated_rel_pos=False,
+                    encoder_type="conformer",
+                    position_embeddings_type=cfg.get(
+                        "position_embeddings_type", "relative"))
     if cfg.get("model_type") == "wavlm":
         # WavLM (arXiv 2110.13900): wav2vec2 layouts + gated relative
         # position bias. base is group-norm post-norm, large is the

@@ -64,6 +64,11 @@ class HubertPretrainModel(nn.Module):
             gated_rel_pos=cfg.gated_rel_pos,
             rel_pos_buckets=cfg.rel_pos_buckets,
             rel_pos_max_distance=cfg.rel_pos_max_distance,
+            encoder_type=cfg.encoder_type,
+            position_embeddings_type=cfg.position_embeddings_type,
+            conv_depthwise_kernel_size=cfg.conv_depthwise_kernel_size,
+            rotary_base=cfg.rotary_base,
+            conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)

@@ -250,6 +250,13 @@ class AudioTransformerEncoder(nn.Module):
     gated_rel_pos: bool = False
     rel_pos_buckets: int = 320
     rel_pos_max_distance: int = 800
+    # wav2vec2-conformer: 'conformer' swaps the transformer stack for
+    # conformer blocks (no pos-conv; see nn/conformer.py)
+    encoder_type: str = "transformer"
+    position_embeddings_type: str = "relative"
+    conv_depthwise_kernel_size: int = 31
+    rotary_base: float = 10000.0
+    conformer_activation: str = "swish"
     layer_drop: float = 0.0
     pre_norm: bool = False
     flash_attention: bool = False
@@ -260,6 +267,26 @@ class AudioTransformerEncoder(nn.Module):
 
     def setup(self):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.encoder_type == "conformer":
+            # conformer: positions live INSIDE the attention (rotary/XL
+            # relative); HF's conformer encoder never applies a pos-conv
+            # (see nn/conformer.py docstring) and layer-norms after the
+            # stack only
+            from audio8_tpu.nn.conformer import ConformerEncoderStack
+
+            self.transformer = ConformerEncoderStack(
+                num_heads=self.num_heads, d_model=self.d_model,
+                num_layers=self.num_layers,
+                d_ff=self.d_ff or 4 * self.d_model,
+                position_embeddings_type=self.position_embeddings_type,
+                rotary_base=self.rotary_base,
+                conv_kernel_size=self.conv_depthwise_kernel_size,
+                activation=self.conformer_activation,
+                dropout_rate=self.dropout,
+                attention_dropout=self.attention_dropout,
+                layer_drop=self.layer_drop, remat=self.remat, **dd,
+            )
+            return
         if self.pos_conv_depth > 1:
             self.pos_conv = StackedPositionalConv(
                 features=self.d_model, depth=self.pos_conv_depth,
@@ -289,11 +316,13 @@ class AudioTransformerEncoder(nn.Module):
     def __call__(self, x, pad_mask=None, train: bool = False):
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0)
+        attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
+        if self.encoder_type == "conformer":
+            return self.transformer(x, attn_mask, deterministic=not train)
         x = x + self.pos_conv(x)
         if not self.pre_norm:
             x = self.ln(x)
         x = self.drop(x, deterministic=not train)
-        attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
         return self.transformer(x, attn_mask, deterministic=not train)
 
 
@@ -330,6 +359,11 @@ class Wav2Vec2Encoder(nn.Module):
             gated_rel_pos=cfg.gated_rel_pos,
             rel_pos_buckets=cfg.rel_pos_buckets,
             rel_pos_max_distance=cfg.rel_pos_max_distance,
+            encoder_type=cfg.encoder_type,
+            position_embeddings_type=cfg.position_embeddings_type,
+            conv_depthwise_kernel_size=cfg.conv_depthwise_kernel_size,
+            rotary_base=cfg.rotary_base,
+            conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
@@ -464,6 +498,11 @@ class Wav2Vec2Model(nn.Module):
             gated_rel_pos=cfg.gated_rel_pos,
             rel_pos_buckets=cfg.rel_pos_buckets,
             rel_pos_max_distance=cfg.rel_pos_max_distance,
+            encoder_type=cfg.encoder_type,
+            position_embeddings_type=cfg.position_embeddings_type,
+            conv_depthwise_kernel_size=cfg.conv_depthwise_kernel_size,
+            rotary_base=cfg.rotary_base,
+            conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)

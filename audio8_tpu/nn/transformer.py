@@ -37,6 +37,8 @@ def _activation(name: str):
         return gelu
     if name == "relu":
         return jax.nn.relu
+    if name in ("swish", "silu"):
+        return jax.nn.silu
     raise ValueError(f"Unknown activation {name!r}")
 
 

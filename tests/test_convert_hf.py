@@ -553,3 +553,128 @@ def test_wavlm_fairseq_native_key_aliases():
             "gru_rel_pos_linear"]["kernel"],
         hf.encoder.layers[1].attention.gru_rel_pos_linear.weight
         .detach().numpy().T)
+
+
+@pytest.mark.parametrize("pos_type", ["rotary", "relative"])
+def test_hf_conformer_ctc_forward_parity(tmp_path, pos_type):
+    """Wav2Vec2ConformerForCTC converts (macaron blocks, rotary or
+    Transformer-XL relative positions, conv-module BatchNorm folded to a
+    frozen affine) and our forward matches HF's — a fifth model family
+    beyond the reference."""
+    torch.manual_seed(10)
+    hf = transformers.Wav2Vec2ConformerForCTC(
+        transformers.Wav2Vec2ConformerConfig(
+            hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+            intermediate_size=4 * D, vocab_size=V, layerdrop=0.0,
+            position_embeddings_type=pos_type, hidden_act="swish")).eval()
+    # non-trivial BN statistics so the folding is actually exercised
+    for layer in hf.wav2vec2_conformer.encoder.layers:
+        bn = layer.conv_module.batch_norm
+        bn.running_mean.uniform_(-0.5, 0.5)
+        bn.running_var.uniform_(0.5, 1.5)
+    d = tmp_path / "conformer"
+    hf.save_pretrained(str(d))
+    params, report = load_hf_dir(str(d), ctc="auto")
+    assert report["kind"] == "ctc"
+    assert report["topology"]["encoder_type"] == "conformer"
+    assert report["topology"]["position_embeddings_type"] == pos_type
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0,
+                         extractor_mode=hf.config.feat_extract_norm,
+                         conv_bias=hf.config.conv_bias,
+                         encoder_type="conformer",
+                         position_embeddings_type=pos_type,
+                         conformer_activation="swish")
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(7).normal(size=(2, 4000)).astype(np.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    flat = lambda t: {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.shape(l)
+        for p, l in jax.tree_util.tree_leaves_with_path(t)}
+    assert set(flat(params)) == set(flat(init))
+    merged = merge_params(init, params)
+
+    lp, _ = model.apply({"params": merged}, jnp.asarray(x))
+    with torch.no_grad():
+        want = torch.log_softmax(hf(torch.from_numpy(x)).logits, -1).numpy()
+    np.testing.assert_allclose(np.asarray(lp), want, atol=3e-4)
+    assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
+
+
+def test_hf_conformer_pad_mask_parity(tmp_path):
+    """Conformer forward with per-row lengths matches HF's
+    attention_mask path (relative positions interact with masking)."""
+    torch.manual_seed(12)
+    # layer-norm extractor: padding-invariant per construction (the
+    # group-norm extractor's statistics see HF's zero padding — a
+    # documented deviation, docs/PARITY.md — and the released conformer
+    # checkpoints are layer-norm anyway)
+    hf = transformers.Wav2Vec2ConformerForCTC(
+        transformers.Wav2Vec2ConformerConfig(
+            hidden_size=D, num_hidden_layers=L, num_attention_heads=H,
+            intermediate_size=4 * D, vocab_size=V, layerdrop=0.0,
+            position_embeddings_type="relative", hidden_act="swish",
+            feat_extract_norm="layer", conv_bias=True)).eval()
+    d = tmp_path / "c"
+    hf.save_pretrained(str(d))
+    params, _ = load_hf_dir(str(d), ctc=True)
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=L,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0,
+                         extractor_mode=hf.config.feat_extract_norm,
+                         conv_bias=hf.config.conv_bias,
+                         encoder_type="conformer",
+                         position_embeddings_type="relative",
+                         conformer_activation="swish", freeze_fx=False)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = np.random.default_rng(8).normal(size=(2, 4800)).astype(np.float32)
+    lens = np.array([4800, 3200], np.int32)
+    x[1, 3200:] = 0.0
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    lp, pm = model.apply({"params": merge_params(init, params)},
+                         jnp.asarray(x), jnp.asarray(lens))
+    attn = torch.zeros(2, 4800, dtype=torch.long)
+    attn[0] = 1
+    attn[1, :3200] = 1
+    with torch.no_grad():
+        want = torch.log_softmax(
+            hf(torch.from_numpy(x), attention_mask=attn).logits, -1).numpy()
+    fl = np.asarray(pm.sum(-1))
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(lp)[i, :fl[i]],
+                                   want[i, :fl[i]], atol=5e-4)
+
+
+def test_conformer_preset_and_grads():
+    from audio8_tpu.cli.train import parse_args
+
+    args = parse_args(["--basedir", "x", "--root_dir", "y",
+                       "--train_dataset", "t.tsv",
+                       "--valid_dataset", "v.tsv",
+                       "--preset", "conformer-large-rope"])
+    assert (args.d_model, args.num_layers, args.encoder_type,
+            args.position_embeddings_type, args.extractor_mode,
+            args.conformer_activation) == (
+        1024, 24, "conformer", "rotary", "layer", "swish")
+
+    # training path: grads reach the conformer-specific params
+    cfg = AcousticConfig(num_labels=V, d_model=D, num_heads=H, num_layers=1,
+                         dropout=0.0, timestep_masking=0.0,
+                         channel_masking=0.0, encoder_type="conformer",
+                         position_embeddings_type="relative",
+                         freeze_fx=False)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(1, 4000)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    grads = jax.grad(
+        lambda p: jnp.sum(
+            model.apply({"params": p}, x, freeze=False)[0] ** 2))(params)
+    lyr = grads["encoder"]["encoder"]["transformer"]["layer_0"]
+    for leaf in (lyr["self_attn"]["pos_bias_u"], lyr["conv"]["bn_scale"],
+                 lyr["conv"]["dw"]["kernel"], lyr["ffn1"]["expand"]["kernel"]):
+        assert float(np.abs(leaf).max()) > 0
