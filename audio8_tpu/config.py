@@ -245,6 +245,22 @@ class HubertPretrainConfig(EncoderConfig):
 
 
 @dataclasses.dataclass(frozen=True)
+class Data2VecPretrainConfig(EncoderConfig):
+    """data2vec-audio masked-regression pretraining (arXiv 2202.03555) —
+    beyond the reference: the student regresses an EMA teacher's
+    instance-normalized top-k layer average at masked frames. Defaults
+    follow fairseq data2vec_audio base."""
+
+    average_top_k_layers: int = 8
+    ema_decay: float = 0.999
+    ema_end_decay: float = 0.9999
+    ema_anneal_steps: int = 30_000
+    dropout_input: float = 0.0
+    timestep_masking: float = 0.65
+    channel_masking: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class AcousticConfig(EncoderConfig):
     """CTC acoustic model (/root/reference/audio8/wav2vec2.py:262-296)."""
 

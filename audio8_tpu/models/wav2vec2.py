@@ -313,17 +313,20 @@ class AudioTransformerEncoder(nn.Module):
             rel_pos_max_distance=self.rel_pos_max_distance, **dd,
         )
 
-    def __call__(self, x, pad_mask=None, train: bool = False):
+    def __call__(self, x, pad_mask=None, train: bool = False,
+                 return_hiddens: bool = False):
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0)
         attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
         if self.encoder_type == "conformer":
+            assert not return_hiddens, "hiddens: transformer stack only"
             return self.transformer(x, attn_mask, deterministic=not train)
         x = x + self.pos_conv(x)
         if not self.pre_norm:
             x = self.ln(x)
         x = self.drop(x, deterministic=not train)
-        return self.transformer(x, attn_mask, deterministic=not train)
+        return self.transformer(x, attn_mask, deterministic=not train,
+                                return_hiddens=return_hiddens)
 
 
 def downsample_lengths(input_lengths: jnp.ndarray, t_samples: int, t_frames: int) -> jnp.ndarray:

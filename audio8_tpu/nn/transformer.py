@@ -560,12 +560,17 @@ class TransformerEncoderStack(nn.Module):
         if self.pre_norm:
             self.ln_out = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
 
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 return_hiddens: bool = False):
+        """``return_hiddens=True`` (static) additionally returns the
+        per-layer outputs [(B, T, D)] * num_layers — the data2vec teacher
+        averages the top-k of these (models/data2vec.py)."""
         use_layer_drop = self.layer_drop > 0.0 and not deterministic
         if use_layer_drop:
             keys = jax.random.split(self.make_rng("dropout"), len(self.encoders))
         position_bias = (self.rel_pos_bias(x.shape[1], x.shape[1])
                          if self.gated_rel_pos else None)
+        hiddens = []
         for i, layer in enumerate(self.encoders):
             y = layer(x, mask, deterministic, position_bias)
             if use_layer_drop:
@@ -575,8 +580,12 @@ class TransformerEncoderStack(nn.Module):
                 x = jnp.where(keep, y, x)
             else:
                 x = y
+            if return_hiddens:
+                hiddens.append(x)
         if self.pre_norm:
             x = self.ln_out(x)
+        if return_hiddens:
+            return x, hiddens
         return x
 
 

@@ -171,6 +171,55 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
     return train_step, eval_step
 
 
+# ---------------------------------------------------------------- data2vec
+
+
+def make_data2vec_steps(model, tx: optax.GradientTransformation,
+                        clip: float = 1.0):
+    """(train_step, eval_fn) for data2vec masked-regression pretraining
+    (models/data2vec.py). ``train_step(state, teacher, batch, rng)``
+    returns (state, teacher, metrics): the student updates by gradient,
+    the teacher by an annealed EMA of the updated student — one jitted
+    program per step."""
+    from audio8_tpu.models.data2vec import (
+        data2vec_loss, data2vec_targets, ema_decay_schedule, ema_update)
+
+    cfg = model.config
+
+    def _loss(params, teacher, signal, lengths, rng, train):
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "mask": jax.random.fold_in(rng, 1)}
+        pred, time_mask, pad_mask = model.apply(
+            {"params": params}, signal, lengths, train=train, rngs=rngs)
+        hiddens, _, _ = model.apply(
+            {"params": jax.lax.stop_gradient(teacher)}, signal, lengths,
+            train=False, mask=False, collect_hiddens=True)
+        target = data2vec_targets(hiddens, cfg.average_top_k_layers)
+        return data2vec_loss(pred, target, time_mask, pad_mask)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state, teacher, batch, rng):
+        signal = batch["signal"]
+        lengths = batch.get("signal_lengths")
+
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: _loss(p, teacher, signal, lengths, rng, True),
+            has_aux=True)(state.params)
+        new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
+        decay = ema_decay_schedule(new_state.step, cfg.ema_decay,
+                                   cfg.ema_end_decay, cfg.ema_anneal_steps)
+        teacher = ema_update(teacher, new_state.params, decay)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm, ema_decay=decay)
+        return new_state, teacher, metrics
+
+    @jax.jit
+    def eval_fn(params, teacher, batch, rng):
+        return _loss(params, teacher, batch["signal"],
+                     batch.get("signal_lengths"), rng, False)
+
+    return train_step, eval_fn
+
+
 # ------------------------------------------------------------------ hubert
 
 

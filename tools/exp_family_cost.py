@@ -28,6 +28,12 @@ def main():
         ("data2vec-audio", dict(extractor_mode="layer", pos_conv_depth=5,
                                 conv_pos_kernel=19)),
         ("wavlm", dict(gated_rel_pos=True)),
+        ("conformer-rope", dict(extractor_mode="layer", conv_bias=True,
+                                encoder_type="conformer",
+                                position_embeddings_type="rotary")),
+        ("conformer-rel", dict(extractor_mode="layer", conv_bias=True,
+                               encoder_type="conformer",
+                               position_embeddings_type="relative")),
     ):
         tput = bench_ctc(False, b=B, t=T, **kw)
         step_ms = B * T / SAMPLE_RATE / tput * 1e3
