@@ -1,0 +1,82 @@
+"""a8t-embed: pooled utterance embeddings + trial-list EER scoring."""
+import os
+
+import numpy as np
+import pytest
+
+from audio8_tpu.cli.embed import compute_eer
+
+
+def test_eer_perfect_and_random():
+    scores = np.array([0.9, 0.8, 0.2, 0.1])
+    labels = np.array([1, 1, 0, 0])
+    assert compute_eer(scores, labels) == pytest.approx(0.0)
+    scores = np.array([0.1, 0.9, 0.2, 0.8])
+    labels = np.array([1, 1, 0, 0])
+    assert 0.0 < compute_eer(scores, labels) <= 1.0
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    from scipy.io import wavfile
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    rng = np.random.default_rng(3)
+    with open(tmp_path / "test.tsv", "w") as tf:
+        tf.write(str(audio) + "\n")
+        for i in range(4):
+            n = 8000 + 1000 * i
+            wavfile.write(str(audio / f"u{i}.wav"), 16000,
+                          (rng.normal(size=n) * 5000).astype(np.int16))
+            tf.write(f"u{i}.wav\t{n}\n")
+    return tmp_path
+
+
+def test_embed_cli_writes_unit_vectors(corpus, tmp_path, monkeypatch):
+    from audio8_tpu.cli.embed import main
+
+    # random-init encoder (no checkpoint content needed for the contract):
+    # point --restart_from-style loading at an HF-free a8t tree by saving
+    # one first
+    import jax
+    import jax.numpy as jnp
+
+    from audio8_tpu.cli.common import topology_kwargs
+    from audio8_tpu.config import PooledConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2PooledEncoder
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    cfg = PooledConfig(d_model=32, num_heads=2, num_layers=1, d_ff=64,
+                       dropout=0.0, timestep_masking=0.0,
+                       channel_masking=0.0, freeze_fx=False,
+                       reduction_type="mean")
+    model = Wav2Vec2PooledEncoder(config=cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16000), jnp.float32),
+                        jnp.asarray([16000]))["params"]
+    ckpt = save_checkpoint(params, str(tmp_path / "ckpt"), 1)
+
+    out = str(tmp_path / "emb")
+    rc = main(["--checkpoint", ckpt, "--root_dir", str(corpus),
+               "--dataset", "test.tsv", "--output", out,
+               "--reduction_type", "mean", "--batch", "2",
+               "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+               "--d_ff", "64"])
+    assert rc == 0
+    vecs = np.load(out + ".npy")
+    assert vecs.shape == (4, 32)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=-1), 1.0, rtol=1e-4)
+    lines = open(out + ".tsv").read().strip().splitlines()
+    assert len(lines) == 4 and lines[0].startswith("u0.wav\t")
+
+    # trials mode: same-file pairs score higher than cross-file pairs
+    trials = tmp_path / "trials.txt"
+    trials.write_text("u0.wav u0.wav 1\nu1.wav u1.wav 1\n"
+                      "u0.wav u3.wav 0\nu1.wav u2.wav 0\n")
+    rc = main(["--checkpoint", ckpt, "--root_dir", str(corpus),
+               "--dataset", "test.tsv", "--trials", str(trials),
+               "--reduction_type", "mean",
+               "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+               "--d_ff", "64"])
+    assert rc == 0
