@@ -48,6 +48,22 @@ def _conv1d_cin1_matmul(x, kernel, stride):
     return win @ kernel.reshape(k, c_out)
 
 
+def _conv1d_nonoverlap_matmul(x, kernel):
+    """kernel_size == stride VALID conv as exact reshape+matmul.
+
+    Non-overlapping windows mean the conv IS ``x.reshape(B, T', K*C_in) @
+    W.reshape(K*C_in, C_out)`` — and unlike the k3s2 phase decomposition
+    (rejected, docs/PERF.md ablations) the backward is pure matmuls too:
+    no overlap-add dgrad. Measured on the two k=2/s=2 wav2vec2 extractor
+    layers (tools/exp_conv_k2s2.py, bench shape): f+b 1.86 vs 2.66 ms for
+    XLA's conv lowering, parity exact to 0 ulp."""
+    b, t, c_in = x.shape
+    k, _, c_out = kernel.shape
+    rows = t // k
+    return x[:, : rows * k].reshape(b, rows, k * c_in) @ kernel.reshape(
+        k * c_in, c_out)
+
+
 def _grouped_conv1d_split(x, kernel, stride, padding, groups):
     """Grouped conv as an unrolled loop of dense (G=1) convs — numerically
     identical to ``feature_group_count=groups`` but avoids XLA's grouped-conv
@@ -191,6 +207,10 @@ class Conv1D(nn.Module):
               and x.shape[1] >= self.kernel_size):
             y = _conv1d_cin1_matmul(x.astype(self.dtype),
                                     kernel.astype(self.dtype), self.stride)
+        elif (self.kernel_size == self.stride and padding == "VALID"
+              and x.shape[1] >= self.kernel_size):
+            y = _conv1d_nonoverlap_matmul(x.astype(self.dtype),
+                                          kernel.astype(self.dtype))
         else:
             y = _conv1d_nwc(x.astype(self.dtype), kernel.astype(self.dtype),
                             self.stride, padding)

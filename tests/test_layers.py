@@ -39,6 +39,25 @@ def test_conv1d_matches_torch(rng):
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 1)), atol=1e-5)
 
 
+def test_conv1d_nonoverlap_matmul_matches_torch(rng):
+    # k == stride hits the exact reshape+matmul path (the wav2vec2 k=2/s=2
+    # extractor layers); includes a T not divisible by k to check the
+    # VALID-window trim
+    for b, t, cin, cout, k in [(2, 40, 8, 16, 2), (2, 41, 8, 16, 2),
+                               (1, 30, 4, 8, 3)]:
+        x = rng.normal(size=(b, t, cin)).astype(np.float32)
+        m = Conv1D(features=cout, kernel_size=k, stride=k, use_bias=False)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(m.apply(params, jnp.asarray(x)))
+        w = np.transpose(np.asarray(params["params"]["kernel"]), (2, 1, 0))
+        want = F.conv1d(
+            torch.from_numpy(np.transpose(x, (0, 2, 1))), torch.from_numpy(w),
+            stride=k,
+        ).numpy()
+        np.testing.assert_allclose(got, np.transpose(want, (0, 2, 1)),
+                                   atol=1e-5)
+
+
 def test_groupnorm_matches_torch_instance_case(rng):
     # the wav2vec2 case: GroupNorm(C, C) == per-channel instance norm
     b, t, c = 3, 20, 32
