@@ -195,26 +195,44 @@ def resolve_restart(
     return merged, None, step
 
 
-def setup_parallelism(tensor_parallel: int = 1):
+def setup_parallelism(tensor_parallel: int = 1, pipeline_parallel: int = 1,
+                      pp_microbatches: int = 1):
     """Build the device mesh + sharding rules for a training driver.
 
     Returns (mesh, rules, batch_multiple, row_shard):
     - mesh: ('data', 'model') over ALL devices — the drivers run every
       step through it, so on a multi-chip host XLA shards the batch and
       inserts the gradient psums the reference obtains from DDP
-      (/root/reference/audio8/train.py:266-268,320-326);
+      (/root/reference/audio8/train.py:266-268,320-326). With
+      pipeline_parallel > 1 the mesh is ('pipe', 'data') instead and the
+      transformer stack GPipe-stages over 'pipe' (parallel/pipeline.py);
     - rules: param partition rules (TP over the transformer when
       tensor_parallel > 1, else replicated);
     - batch_multiple: required PER-PROCESS batch-size multiple, to pass to
-      the datasets;
+      the datasets (under PP it includes the microbatch count, so every
+      global batch splits evenly into data-sharded microbatches);
     - row_shard: True under multi-process (each process materializes its
       row block of globally-identical batches; see datasets.py).
     """
     from audio8_tpu.parallel.sharding import DP_ONLY_RULES, TP_RULES, make_mesh
 
+    world = jax.process_count()
+    if pipeline_parallel > 1:
+        if tensor_parallel > 1:
+            raise ValueError("--pipeline_parallel excludes --tensor_parallel")
+        from audio8_tpu.parallel.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(pipe=pipeline_parallel)
+        rules = DP_ONLY_RULES
+        dp_total = mesh.shape["data"]
+        if dp_total % world != 0:
+            raise ValueError(
+                f"data-parallel extent {dp_total} not divisible by "
+                f"process count {world}")
+        return mesh, rules, (dp_total // world) * max(pp_microbatches, 1), world > 1
+
     mesh = make_mesh(data=-1, model=max(tensor_parallel, 1))
     rules = TP_RULES if tensor_parallel > 1 else DP_ONLY_RULES
-    world = jax.process_count()
     dp_total = mesh.shape["data"]
     if dp_total % world != 0:
         raise ValueError(
@@ -337,6 +355,12 @@ def add_common_model_args(parser):
                         help="ZeRO-1: shard AdamW moments over the 'data' "
                              "mesh axis (params stay per the TP/DP rules); "
                              "cuts optimizer HBM by the DP extent")
+    parser.add_argument("--sequence_parallel", type=str2bool, default=False,
+                        help="Megatron-SP: shard the frame axis of the "
+                             "residual stream over the 'model' mesh axis "
+                             "between transformer layers (needs "
+                             "--tensor_parallel > 1 to have effect); cuts "
+                             "activation HBM for long clips")
     parser.add_argument("--d_model", type=int, default=None)
     parser.add_argument("--d_ff", type=int, default=None)
     parser.add_argument("--num_heads", type=int, default=None)

@@ -121,6 +121,7 @@ def train(argv=None):
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
         remat=args.remat, **topology_kwargs(args),
+        sequence_parallel=args.sequence_parallel,
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 
@@ -144,7 +145,7 @@ def train(argv=None):
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 
     train_step, eval_step = make_pretrain_steps(
-        model, tx, clip=args.clip, n_negatives=args.n_negatives)
+        model, tx, clip=args.clip, n_negatives=args.n_negatives, mesh=mesh)
 
     from audio8_tpu.train.profiler import StepProfiler
     profiler = StepProfiler(args.profile_dir)

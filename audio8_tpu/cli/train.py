@@ -44,6 +44,16 @@ def parse_args(argv=None):
     parser.add_argument("--dataset_key", default="LibriSpeech")
     parser.add_argument("--grad_accum", type=int, default=2)
     parser.add_argument("--loss_reduction_type", default="sum", choices=["sum", "mean"])
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="devices on a 'pipe' mesh axis: GPipe-stage "
+                             "the transformer stack (parallel/pipeline.py); "
+                             "the rest go to 'data'. Requires "
+                             "--grad_accum 1, --unfreeze_enc_after_step -1, "
+                             "and excludes --tensor_parallel/--zero1/"
+                             "--sequence_parallel")
+    parser.add_argument("--pp_microbatches", type=int, default=4,
+                        help="GPipe microbatches per step under "
+                             "--pipeline_parallel (bubble = (S-1)/(M+S-1))")
     parser.add_argument("--num_train_workers", type=int, default=4)
     parser.add_argument("--max_sample_len", type=int)
     parser.add_argument("--lr_scheduler", default="cosine")
@@ -99,7 +109,16 @@ def train(argv=None):
 
     Offsets.remap_fairseq_ctc()
     rank, world = setup(args.distributed)
-    mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
+    if args.pipeline_parallel > 1:
+        if args.grad_accum != 1 or args.unfreeze_enc_after_step >= 0:
+            raise ValueError("--pipeline_parallel requires --grad_accum 1 "
+                             "and --unfreeze_enc_after_step -1 (the "
+                             "pipelined step always trains the stack)")
+        if args.zero1 or args.sequence_parallel:
+            raise ValueError("--pipeline_parallel excludes --zero1 and "
+                             "--sequence_parallel")
+    mesh, rules, batch_multiple, row_shard = setup_parallelism(
+        args.tensor_parallel, args.pipeline_parallel, args.pp_microbatches)
 
     vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
     vocab_list = read_vocab_list(vocab_file)
@@ -152,6 +171,7 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len,
+        sequence_parallel=args.sequence_parallel,
         layer_drop=args.layer_drop, freeze_fx=args.freeze_fx)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 
@@ -175,8 +195,25 @@ def train(argv=None):
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 
-    grad_fn, update_fn, eval_fn = make_ctc_steps(
-        model, tx, clip=args.clip, loss_reduction=args.loss_reduction_type)
+    if args.pipeline_parallel > 1:
+        from types import SimpleNamespace
+
+        from audio8_tpu.parallel.pipeline import make_pp_ctc_steps
+
+        pp_train, eval_fn = make_pp_ctc_steps(
+            model, tx, mesh, args.pp_microbatches, clip=args.clip,
+            loss_reduction=args.loss_reduction_type)
+        # the pipelined step always trains the stack (freeze would make
+        # the pipeline pointless); grad_accum==1 is enforced above so the
+        # loop only uses the fused path
+        grad_fn = SimpleNamespace(
+            train_step=lambda state, batch, rng, freeze=False:
+                pp_train(state, batch, rng))
+        update_fn = None
+    else:
+        grad_fn, update_fn, eval_fn = make_ctc_steps(
+            model, tx, clip=args.clip, loss_reduction=args.loss_reduction_type,
+            mesh=mesh)
 
     from audio8_tpu.train.profiler import StepProfiler
     profiler = StepProfiler(args.profile_dir)

@@ -192,6 +192,15 @@ class EncoderConfig:
     # saves only layer inputs, recomputes in-layer activations. Needed
     # for large models on long clips; costs ~1 extra forward.
     remat: bool = False
+    # Sequence parallelism (Megatron-SP layout): constrain the (B, T', C)
+    # residual stream between transformer layers to P('data', 'model') so
+    # the frame axis shards over the TP mesh axis — norms/dropout/
+    # elementwise work and activation HBM split T'/tp ways, XLA inserting
+    # the all-gather/reduce-scatter pairs around the head-sharded
+    # attention and FFN matmuls. No reference equivalent (it is pure DDP,
+    # SURVEY.md §2.6); requires the step to be traced under the mesh
+    # context (train/steps.py factories take mesh=).
+    sequence_parallel: bool = False
     # Topology variants beyond the reference (which is post-norm +
     # group-norm extractor only): pre_norm=True is fairseq/HF 'stable
     # layer norm' (LV-60/XLSR large); extractor_mode='layer' puts a

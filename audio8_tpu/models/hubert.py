@@ -71,7 +71,8 @@ class HubertPretrainModel(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
+            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            sequence_parallel=cfg.sequence_parallel, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)

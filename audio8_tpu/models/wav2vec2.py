@@ -262,6 +262,7 @@ class AudioTransformerEncoder(nn.Module):
     flash_attention: bool = False
     bf16_softmax: bool = True
     remat: bool = False
+    sequence_parallel: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -308,23 +309,34 @@ class AudioTransformerEncoder(nn.Module):
             activation="gelu", pre_norm=self.pre_norm,
             layer_drop=self.layer_drop, flash=self.flash_attention,
             bf16_softmax=self.bf16_softmax, remat=self.remat,
+            seq_shard=self.sequence_parallel,
             gated_rel_pos=self.gated_rel_pos,
             rel_pos_buckets=self.rel_pos_buckets,
             rel_pos_max_distance=self.rel_pos_max_distance, **dd,
         )
 
-    def __call__(self, x, pad_mask=None, train: bool = False,
-                 return_hiddens: bool = False):
+    def pre_stack(self, x, pad_mask=None, train: bool = False):
+        """Everything before the transformer stack: zero padded frames,
+        add positional conv, (post-norm) LayerNorm, dropout. Returns
+        (x, attn_mask) — the exact stack input, so pipeline-parallel
+        execution (parallel/pipeline.py) can run the layers itself."""
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0)
         attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
         if self.encoder_type == "conformer":
-            assert not return_hiddens, "hiddens: transformer stack only"
-            return self.transformer(x, attn_mask, deterministic=not train)
+            return x, attn_mask
         x = x + self.pos_conv(x)
         if not self.pre_norm:
             x = self.ln(x)
         x = self.drop(x, deterministic=not train)
+        return x, attn_mask
+
+    def __call__(self, x, pad_mask=None, train: bool = False,
+                 return_hiddens: bool = False):
+        x, attn_mask = self.pre_stack(x, pad_mask, train)
+        if self.encoder_type == "conformer":
+            assert not return_hiddens, "hiddens: transformer stack only"
+            return self.transformer(x, attn_mask, deterministic=not train)
         return self.transformer(x, attn_mask, deterministic=not train,
                                 return_hiddens=return_hiddens)
 
@@ -369,14 +381,17 @@ class Wav2Vec2Encoder(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
+            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            sequence_parallel=cfg.sequence_parallel, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
         self.dropout_input = Dropout(cfg.dropout_input)
         self.dropout_features = Dropout(cfg.dropout_features)
 
-    def __call__(self, x, input_lengths=None, train: bool = False):
+    def _features(self, x, input_lengths=None, train: bool = False):
+        """Conv features -> LN -> proj -> train-time masking: the encoder
+        up to (not including) the transformer. Returns (features, pad_mask)."""
         cfg = self.config
         fx = self.feature_extractor(x, train, input_lengths=input_lengths)
         if cfg.freeze_fx:
@@ -399,6 +414,18 @@ class Wav2Vec2Encoder(nn.Module):
             cm = span_mask(self.make_rng("mask"), b, c, cfg.channel_masking,
                            cfg.channel_mask_len)
             features = jnp.where(cm[:, None, :], 0.0, features)
+        return features, pad_mask
+
+    def pre_transformer(self, x, input_lengths=None, train: bool = False):
+        """Everything before the transformer stack's layer loop — the
+        pipeline-parallel split point (parallel/pipeline.py). Returns
+        (stack_input, attn_mask, pad_mask)."""
+        features, pad_mask = self._features(x, input_lengths, train)
+        h, attn_mask = self.encoder.pre_stack(features, pad_mask, train)
+        return h, attn_mask, pad_mask
+
+    def __call__(self, x, input_lengths=None, train: bool = False):
+        features, pad_mask = self._features(x, input_lengths, train)
         x = self.encoder(features, pad_mask, train)
         return x, pad_mask
 
@@ -426,6 +453,17 @@ class Wav2Vec2AcousticModel(nn.Module):
         logits = self.proj(encoded).astype(jnp.float32)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         return log_probs, pad_mask
+
+    # -- pipeline-parallel split points (parallel/pipeline.py): the model
+    # up to the transformer layer loop, and the head after it. The layer
+    # loop itself runs outside the module, GPipe-scheduled over the
+    # 'pipe' mesh axis.
+    def pipeline_pre(self, x, input_lengths=None, train: bool = False):
+        return self.encoder.pre_transformer(x, input_lengths, train)
+
+    def pipeline_head(self, encoded):
+        logits = self.proj(encoded).astype(jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1)
 
 
 class Wav2Vec2PooledEncoder(nn.Module):
@@ -508,7 +546,8 @@ class Wav2Vec2Model(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat, **dd)
+            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            sequence_parallel=cfg.sequence_parallel, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(

@@ -517,6 +517,12 @@ class TransformerEncoderStack(nn.Module):
     # O(layers) less activation HBM — required for large models on long
     # clips, off by default for speed.
     remat: bool = False
+    # Sequence parallelism: constrain the residual stream between layers
+    # to P('data', 'model') — the frame axis T shards over the tensor-
+    # parallel mesh axis (Megatron-SP). Bare PartitionSpecs resolve only
+    # under a mesh context, so the jitted step must be TRACED inside
+    # `with mesh:` (train/steps.py factories handle this via mesh=).
+    seq_shard: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -560,6 +566,19 @@ class TransformerEncoderStack(nn.Module):
         if self.pre_norm:
             self.ln_out = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
 
+    def _seq_constrain(self, x):
+        if not self.seq_shard:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            return jax.lax.with_sharding_constraint(x, P("data", "model"))
+        except RuntimeError:
+            # no mesh in context: this trace is init/eval outside the
+            # mesh-wrapped step (train/steps._mesh_wrap). The constraint
+            # is a layout hint, not semantics — unconstrained is correct.
+            return x
+
     def __call__(self, x, mask=None, deterministic: bool = True,
                  return_hiddens: bool = False):
         """``return_hiddens=True`` (static) additionally returns the
@@ -570,6 +589,7 @@ class TransformerEncoderStack(nn.Module):
             keys = jax.random.split(self.make_rng("dropout"), len(self.encoders))
         position_bias = (self.rel_pos_bias(x.shape[1], x.shape[1])
                          if self.gated_rel_pos else None)
+        x = self._seq_constrain(x)
         hiddens = []
         for i, layer in enumerate(self.encoders):
             y = layer(x, mask, deterministic, position_bias)
@@ -580,6 +600,7 @@ class TransformerEncoderStack(nn.Module):
                 x = jnp.where(keep, y, x)
             else:
                 x = y
+            x = self._seq_constrain(x)
             if return_hiddens:
                 hiddens.append(x)
         if self.pre_norm:

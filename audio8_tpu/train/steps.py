@@ -26,6 +26,22 @@ from audio8_tpu.ops.ctc import ctc_loss
 from audio8_tpu.utils import Offsets
 
 
+def _mesh_wrap(fn, mesh):
+    """Run ``fn`` under the mesh context so bare-PartitionSpec sharding
+    constraints (``sequence_parallel``) resolve at trace time. Identity
+    when mesh is None; entering the context on post-compile dispatches is
+    a few microseconds."""
+    if mesh is None:
+        return fn
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with mesh:
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def clean_targets(targets: jnp.ndarray, token_lengths: jnp.ndarray):
     """Drop PAD/EOS from CTC targets (reference CTCLoss masks them,
     /root/reference/audio8/ctc.py:193-194). PAD/EOS only occur as suffix in
@@ -54,8 +70,11 @@ def current_temperature(step: jnp.ndarray, start=START_TEMP, end=END_TEMP,
 
 
 def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
-                   loss_reduction: str = "sum"):
+                   loss_reduction: str = "sum", mesh=None):
     """Returns (grad_fn, update_fn, eval_fn) for CTC fine-tuning.
+
+    ``mesh``: required when the model has ``sequence_parallel=True`` so
+    the trace sees the mesh context (otherwise optional).
 
     The returned tuple also exposes ``grad_fn.train_step``: a single fused
     grad+update program for the no-accumulation case — one dispatch per
@@ -125,7 +144,8 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
         frames = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         return loss, frames, frame_lengths
 
-    grad_fn.train_step = train_step
+    grad_fn, eval_fn = _mesh_wrap(grad_fn, mesh), _mesh_wrap(eval_fn, mesh)
+    grad_fn.train_step = _mesh_wrap(train_step, mesh)
     return grad_fn, update_fn, eval_fn
 
 
@@ -133,7 +153,7 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
 
 
 def make_pretrain_steps(model, tx: optax.GradientTransformation,
-                        clip: float = 1.0, n_negatives: int = 100):
+                        clip: float = 1.0, n_negatives: int = 100, mesh=None):
     cfg = model.config
     n_vars = cfg.num_vq_vars * cfg.num_vq_groups
 
@@ -168,7 +188,7 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
             c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars, n_negatives)
         return loss, metrics
 
-    return train_step, eval_step
+    return _mesh_wrap(train_step, mesh), _mesh_wrap(eval_step, mesh)
 
 
 # ---------------------------------------------------------------- data2vec

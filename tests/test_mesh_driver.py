@@ -123,6 +123,32 @@ def test_driver_tensor_parallel_matches_single_device(tmp_path):
         np.testing.assert_allclose(l1, ltp, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_driver_pipeline_parallel_matches_single_device(tmp_path):
+    """`--pipeline_parallel 4 --pp_microbatches 2` through the REAL
+    cli.train loop on a ('pipe' 4 x 'data' 2) mesh must reproduce
+    single-device numerics (GPipe staging changes the schedule, not the
+    math). Both runs never freeze (the PP step always trains the stack)."""
+    corpus = make_corpus(tmp_path)
+    # 4 layers so they split over 4 stages; identical model in both runs
+    base = ["--unfreeze_enc_after_step", "-1", "--num_layers", "4"]
+    _run_train(tmp_path / "run1", corpus, 1, extra=base)
+    _run_train(tmp_path / "run8pp", corpus, 8,
+               extra=base + ["--pipeline_parallel", "4",
+                             "--pp_microbatches", "2"])
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    s1 = ckptr.restore(str(tmp_path / "run1" / "checkpoint-step-4"))
+    spp = ckptr.restore(str(tmp_path / "run8pp" / "checkpoint-step-4"))
+    leaves1, tree1 = __import__("jax").tree_util.tree_flatten(s1["params"])
+    leavespp, treepp = __import__("jax").tree_util.tree_flatten(spp["params"])
+    assert tree1 == treepp
+    for l1, lpp in zip(leaves1, leavespp):
+        np.testing.assert_allclose(l1, lpp, rtol=1e-4, atol=1e-6)
+
+
 # ------------------------------------------------------- dataset contracts
 
 
