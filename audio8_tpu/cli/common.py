@@ -361,6 +361,18 @@ def add_common_model_args(parser):
                              "between transformer layers (needs "
                              "--tensor_parallel > 1 to have effect); cuts "
                              "activation HBM for long clips")
+    parser.add_argument("--moe_experts", type=int, default=0,
+                        help="Mixture-of-Experts FFN: number of experts "
+                             "(0 = dense). Expert weights shard over the "
+                             "'model' mesh axis (expert parallelism when "
+                             "--tensor_parallel > 1)")
+    parser.add_argument("--moe_top_k", type=int, default=1,
+                        help="experts per token: 1 (Switch) or 2 (GShard)")
+    parser.add_argument("--moe_capacity_factor", type=float, default=1.25)
+    parser.add_argument("--moe_every", type=int, default=2,
+                        help="MoE in every Nth layer (GShard convention)")
+    parser.add_argument("--moe_aux_weight", type=float, default=0.01,
+                        help="Switch load-balance loss weight")
     parser.add_argument("--d_model", type=int, default=None)
     parser.add_argument("--d_ff", type=int, default=None)
     parser.add_argument("--num_heads", type=int, default=None)

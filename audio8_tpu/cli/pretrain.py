@@ -122,6 +122,9 @@ def train(argv=None):
         attention_dropout=args.attention_dropout,
         remat=args.remat, **topology_kwargs(args),
         sequence_parallel=args.sequence_parallel,
+        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        moe_capacity_factor=args.moe_capacity_factor,
+        moe_every=args.moe_every, moe_aux_weight=args.moe_aux_weight,
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 

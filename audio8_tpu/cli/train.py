@@ -172,6 +172,9 @@ def train(argv=None):
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len,
         sequence_parallel=args.sequence_parallel,
+        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+        moe_capacity_factor=args.moe_capacity_factor,
+        moe_every=args.moe_every, moe_aux_weight=args.moe_aux_weight,
         layer_drop=args.layer_drop, freeze_fx=args.freeze_fx)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 

@@ -192,6 +192,18 @@ class EncoderConfig:
     # saves only layer inputs, recomputes in-layer activations. Needed
     # for large models on long clips; costs ~1 extra forward.
     remat: bool = False
+    # Mixture-of-Experts FFN (beyond the reference; nn/moe.py): replace
+    # the dense FFN with num_experts Switch/GShard experts in every
+    # moe_every-th layer. Expert weights carry a leading (E, ...) axis
+    # that shards over the 'model' mesh axis (expert parallelism; EP
+    # rules in parallel/sharding.py TP_RULES). The router's Switch
+    # load-balance loss is sowed into the 'losses' collection and added
+    # by the step factories with weight moe_aux_weight.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 2
+    moe_aux_weight: float = 0.01
     # Sequence parallelism (Megatron-SP layout): constrain the (B, T', C)
     # residual stream between transformer layers to P('data', 'model') so
     # the frame axis shards over the TP mesh axis — norms/dropout/

@@ -263,6 +263,10 @@ class AudioTransformerEncoder(nn.Module):
     bf16_softmax: bool = True
     remat: bool = False
     sequence_parallel: bool = False
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -310,6 +314,9 @@ class AudioTransformerEncoder(nn.Module):
             layer_drop=self.layer_drop, flash=self.flash_attention,
             bf16_softmax=self.bf16_softmax, remat=self.remat,
             seq_shard=self.sequence_parallel,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_every=self.moe_every,
             gated_rel_pos=self.gated_rel_pos,
             rel_pos_buckets=self.rel_pos_buckets,
             rel_pos_max_distance=self.rel_pos_max_distance, **dd,
@@ -382,7 +389,10 @@ class Wav2Vec2Encoder(nn.Module):
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
-            sequence_parallel=cfg.sequence_parallel, **dd)
+            sequence_parallel=cfg.sequence_parallel,
+            moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_every=cfg.moe_every, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
@@ -547,7 +557,10 @@ class Wav2Vec2Model(nn.Module):
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
-            sequence_parallel=cfg.sequence_parallel, **dd)
+            sequence_parallel=cfg.sequence_parallel,
+            moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_every=cfg.moe_every, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(

@@ -437,6 +437,11 @@ class TransformerEncoderLayer(nn.Module):
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
     gated_rel_pos: bool = False
+    # Mixture-of-Experts FFN (nn/moe.py): >0 swaps the dense FFN for
+    # moe_experts Switch/GShard experts
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -458,13 +463,27 @@ class TransformerEncoderLayer(nn.Module):
             gated_rel_pos=self.gated_rel_pos,
             **dd,
         )
-        self.ffn = FFN(
-            d_ff=self.d_ff,
-            d_model=self.d_model,
-            activation=self.activation,
-            ffn_dropout_rate=self.ffn_dropout_rate,
-            **dd,
-        )
+        if self.moe_experts > 0:
+            from audio8_tpu.nn.moe import MoEFFN  # avoid import cycle
+
+            self.ffn = MoEFFN(
+                d_ff=self.d_ff,
+                d_model=self.d_model,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                activation=self.activation,
+                ffn_dropout_rate=self.ffn_dropout_rate,
+                **dd,
+            )
+        else:
+            self.ffn = FFN(
+                d_ff=self.d_ff,
+                d_model=self.d_model,
+                activation=self.activation,
+                ffn_dropout_rate=self.ffn_dropout_rate,
+                **dd,
+            )
         # ln_attn == fairseq self_attn_layer_norm, ln_ffn == final_layer_norm
         self.ln_attn = LayerNorm(**dd)
         self.ln_ffn = LayerNorm(**dd)
@@ -523,6 +542,12 @@ class TransformerEncoderStack(nn.Module):
     # under a mesh context, so the jitted step must be TRACED inside
     # `with mesh:` (train/steps.py factories handle this via mesh=).
     seq_shard: bool = False
+    # MoE (nn/moe.py): every moe_every-th layer (GShard convention:
+    # layers moe_every-1, 2*moe_every-1, ...) uses a num_experts MoE FFN
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -534,6 +559,7 @@ class TransformerEncoderStack(nn.Module):
             # static python bool under nn.remat
             layer_cls = nn.remat(TransformerEncoderLayer,
                                  static_argnums=(3,))
+        every = max(self.moe_every, 1)
         self.encoders = [
             layer_cls(
                 num_heads=self.num_heads,
@@ -552,6 +578,10 @@ class TransformerEncoderStack(nn.Module):
                 bf16_softmax=self.bf16_softmax,
                 fused_attention=self.fused_attention,
                 gated_rel_pos=self.gated_rel_pos,
+                moe_experts=(self.moe_experts
+                             if i % every == every - 1 else 0),
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",

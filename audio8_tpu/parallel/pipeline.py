@@ -154,6 +154,8 @@ def make_pp_ctc_steps(model, tx, mesh: Mesh, n_micro: int,
     assert not cfg.gated_rel_pos, "PP: WavLM shared bias unsupported"
     assert cfg.layer_drop == 0.0, "PP: layer drop unsupported"
     assert not cfg.sequence_parallel, "PP: combine with SP not supported"
+    assert getattr(cfg, "moe_experts", 0) == 0, \
+        "PP: MoE layers unsupported (aux loss + heterogeneous stages)"
 
     layer_module = TransformerEncoderLayer(
         num_heads=cfg.num_heads, d_model=cfg.d_model,

@@ -59,6 +59,12 @@ TP_RULES: List[Tuple[str, P]] = [
     (r".*ffn/expand/kernel$", P(None, "model")),
     (r".*ffn/expand/bias$", P("model")),
     (r".*ffn/contract/kernel$", P("model", None)),
+    # expert parallelism: MoE expert weights (nn/moe.py; leading (E, ...)
+    # expert axis) shard over 'model' — XLA inserts the token all-to-alls
+    # around the dispatch/combine einsums. The router stays replicated
+    # (catch-all).
+    (r".*ffn/w[io]$", P("model")),
+    (r".*ffn/b[io]$", P("model")),
     (r".*", P()),
 ]
 

@@ -42,6 +42,22 @@ def _mesh_wrap(fn, mesh):
     return wrapped
 
 
+def moe_aux_weight(model) -> float:
+    """The MoE load-balance loss weight, 0.0 for dense models. MoE layers
+    sow their Switch aux loss into the 'losses' collection (nn/moe.py);
+    factories add ``weight * sum(sowed)`` to the objective."""
+    cfg = getattr(model, "config", None)
+    if cfg is not None and getattr(cfg, "moe_experts", 0) > 0:
+        return float(getattr(cfg, "moe_aux_weight", 0.0))
+    return 0.0
+
+
+def sum_sowed_losses(mutated) -> jnp.ndarray:
+    return sum((jnp.sum(v) for v in
+                jax.tree_util.tree_leaves(mutated.get("losses", {}))),
+               jnp.zeros((), jnp.float32))
+
+
 def clean_targets(targets: jnp.ndarray, token_lengths: jnp.ndarray):
     """Drop PAD/EOS from CTC targets (reference CTCLoss masks them,
     /root/reference/audio8/ctc.py:193-194). PAD/EOS only occur as suffix in
@@ -99,12 +115,23 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
-            log_probs, pad_mask = model.apply(
-                {"params": p}, signal, signal_lengths, train=True, freeze=freeze,
-                rngs=rngs)
+            aux_w = moe_aux_weight(model)
+            if aux_w > 0.0:
+                (log_probs, pad_mask), mut = model.apply(
+                    {"params": p}, signal, signal_lengths, train=True,
+                    freeze=freeze, rngs=rngs, mutable=["losses"])
+                aux = sum_sowed_losses(mut)
+            else:
+                log_probs, pad_mask = model.apply(
+                    {"params": p}, signal, signal_lengths, train=True,
+                    freeze=freeze, rngs=rngs)
+                aux = 0.0
             frame_lengths = jnp.sum(pad_mask, axis=-1)
             loss = _masked_ctc(log_probs, frame_lengths, targets,
                                target_lengths, rows)
+            # scale by the example count so the per-example aux weight
+            # survives update_fn's 1/total_examples gradient scaling
+            loss = loss + aux_w * aux * jnp.maximum(jnp.sum(rows), 1.0)
             return loss, {}
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -166,10 +193,24 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1),
                     "gumbel": jax.random.fold_in(rng, 2)}
-            c, t, ppl, valid = model.apply(
-                {"params": p}, signal, train=True, temperature=temp, rngs=rngs)
-            return wav2vec2_pretrain_loss(
-                c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars, n_negatives)
+            aux_w = moe_aux_weight(model)
+            if aux_w > 0.0:
+                (c, t, ppl, valid), mut = model.apply(
+                    {"params": p}, signal, train=True, temperature=temp,
+                    rngs=rngs, mutable=["losses"])
+                aux = sum_sowed_losses(mut)
+            else:
+                c, t, ppl, valid = model.apply(
+                    {"params": p}, signal, train=True, temperature=temp,
+                    rngs=rngs)
+                aux = 0.0
+            loss, metrics = wav2vec2_pretrain_loss(
+                c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars,
+                n_negatives)
+            if aux_w > 0.0:
+                loss = loss + aux_w * aux
+                metrics = dict(metrics, moe_aux=aux)
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
