@@ -46,7 +46,8 @@ def moe_aux_weight(model) -> float:
     """The MoE load-balance loss weight, 0.0 for dense models. MoE layers
     sow their Switch aux loss into the 'losses' collection (nn/moe.py);
     factories add ``weight * sum(sowed)`` to the objective."""
-    cfg = getattr(model, "config", None)
+    cfg = getattr(model, "config", None) or getattr(model, "encoder_config",
+                                                    None)
     if cfg is not None and getattr(cfg, "moe_experts", 0) > 0:
         return float(getattr(cfg, "moe_aux_weight", 0.0))
     return 0.0
@@ -246,6 +247,11 @@ def make_data2vec_steps(model, tx: optax.GradientTransformation,
         data2vec_loss, data2vec_targets, ema_decay_schedule, ema_update)
 
     cfg = model.config
+    if moe_aux_weight(model) > 0.0:
+        raise NotImplementedError(
+            "MoE FFN layers are supported by the CTC and contrastive-"
+            "pretrain factories only (their objectives add the sowed "
+            "load-balance loss); set moe_experts=0 here")
 
     def _loss(params, teacher, signal, lengths, rng, train):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
@@ -294,6 +300,11 @@ def make_hubert_steps(model, tx: optax.GradientTransformation,
     from audio8_tpu.models.hubert import hubert_pretrain_loss
 
     cfg = model.config
+    if moe_aux_weight(model) > 0.0:
+        raise NotImplementedError(
+            "MoE FFN layers are supported by the CTC and contrastive-"
+            "pretrain factories only (their objectives add the sowed "
+            "load-balance loss); set moe_experts=0 here")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
@@ -345,6 +356,12 @@ def sequence_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
 
 def make_seq2seq_steps(model, tx: optax.GradientTransformation,
                        clip: float = 25.0, loss_reduction: str = "sum"):
+    if moe_aux_weight(model) > 0.0:
+        raise NotImplementedError(
+            "MoE FFN layers are supported by the CTC and contrastive-"
+            "pretrain factories only (their objectives add the sowed "
+            "load-balance loss); set moe_experts=0 here")
+
     @functools.partial(jax.jit, static_argnames=("freeze",))
     def grad_fn(params, batch, rng, freeze: bool = True):
         signal = batch["signal"]
@@ -408,6 +425,11 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
     """Dual-encoder CLIP training; params = {'model': ..., 'loss': ...} so
     the temperature trains with everything else (the reference wraps the
     loss module in the optimizer for this, pretrain_paired.py:250-254)."""
+    if moe_aux_weight(model) > 0.0:
+        raise NotImplementedError(
+            "MoE FFN layers are supported by the CTC and contrastive-"
+            "pretrain factories only (their objectives add the sowed "
+            "load-balance loss); set moe_experts=0 here")
 
     @functools.partial(jax.jit, static_argnames=("freeze_audio", "freeze_text"))
     def grad_fn(params, batch, rng, freeze_audio: bool = True, freeze_text: bool = True):

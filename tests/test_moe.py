@@ -159,6 +159,46 @@ def test_moe_acoustic_model_ep_sharding_matches_replicated():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_moe_pretrain_step_trains_and_reports_aux():
+    """The contrastive-pretrain factory handles MoE: one fused train step
+    runs with a MoE encoder, metrics report the aux loss, and it is >= 1
+    (its analytic minimum at perfect balance)."""
+    from audio8_tpu.config import PretrainConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_pretrain_steps
+
+    cfg = PretrainConfig(d_model=64, num_heads=4, num_layers=2, d_ff=128,
+                         final_dim=32, num_vq_vars=16, num_vq_groups=2,
+                         dropout=0.0, moe_experts=4, moe_capacity_factor=2.0)
+    model = Wav2Vec2Model(config=cfg)
+    rng = np.random.default_rng(5)
+    signal = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+    params = model.init(rngs, signal, train=True)["params"]
+    tx = create_optimizer(create_lrs(5e-4, 100, warmup_steps=10))
+    train_step, _ = make_pretrain_steps(model, tx, clip=1.0, n_negatives=4)
+    state, metrics = train_step(TrainState.create(params, tx), signal,
+                                jax.random.PRNGKey(7))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
+
+
+def test_moe_unsupported_factories_raise():
+    from audio8_tpu.models.seq2seq import create_seq2seq_model
+    from audio8_tpu.train.optim import create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_seq2seq_steps
+    import pytest
+
+    model = create_seq2seq_model(vocab_size=12, d_model=64, num_heads=4,
+                                 num_layers=2, d_ff=128, moe_experts=4)
+    tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
+    with pytest.raises(NotImplementedError):
+        make_seq2seq_steps(model, tx)
+
+
 def test_moe_aux_loss_reaches_ctc_objective():
     """make_ctc_steps adds moe_aux_weight * aux * examples: the same batch
     with aux weight 0 vs >0 yields different losses, both finite, and one
