@@ -171,7 +171,11 @@ class PrefixBeamSearch:
 
     def __init__(self, vocab_list: Sequence[str], alpha: float = 0.2,
                  beta: float = 5.0, beam: int = 100,
-                 lm_file: Optional[str] = None):
+                 lm_file: Optional[str] = None, device: bool = False):
+        """``device=True`` (no-LM only): decode the whole batch with the
+        on-device jittable search (ops/beam_jax.py) instead of per-row
+        host decoding — one XLA program, no host round-trip per
+        utterance. LM fusion always uses the host paths."""
         self.vocab_list = list(vocab_list)
         self.use_bar = "|" in self.vocab_list
         self.bar_off = self.vocab_list.index("|") if self.use_bar else -1
@@ -183,6 +187,7 @@ class PrefixBeamSearch:
         self.blank = Offsets.GO
         self._lm_file = lm_file
         self.lm = _load_lm(lm_file) if lm_file else None
+        self.device = device and self.lm is None
         self._native = None
         try:
             from audio8_tpu.csrc import native  # type: ignore
@@ -222,6 +227,22 @@ class PrefixBeamSearch:
         def transform(t):
             return t if return_ids else (
                 self.vocab_list[t] if t != self.bar_off else "|")
+
+        if self.device:
+            from audio8_tpu.ops.beam_jax import ctc_beam_search_jax
+
+            nbest_rows, _ = ctc_beam_search_jax(
+                log_probs, frame_lengths, beam=self.beam,
+                blank=self.blank, space=self.bar_off, beta=self.beta)
+            out = []
+            for row in nbest_rows:
+                nbest = row[:n_best]
+                if n_best == 1:
+                    seq = nbest[0] if nbest else []
+                    out.append([transform(t) for t in seq])
+                else:
+                    out.append([[transform(t) for t in seq] for seq in nbest])
+            return out
 
         out = []
         for b in range(B):
