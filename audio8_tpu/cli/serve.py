@@ -268,6 +268,10 @@ def parse_args(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--device_beam", type=str2bool, default=False,
+                   help="no-LM batch beam decode on device "
+                        "(ops/beam_jax.py); wins for wide beams, see "
+                        "docs/PERF.md")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)

@@ -70,6 +70,10 @@ def evaluate(argv=None):
     parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
     parser.add_argument("--lm")
     parser.add_argument("--beam", type=int, default=1)
+    parser.add_argument("--device_beam", type=str2bool, default=False,
+                        help="no-LM batch beam decode on device "
+                             "(ops/beam_jax.py); wins for wide beams/"
+                             "large batches, see docs/PERF.md")
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
@@ -100,7 +104,7 @@ def evaluate(argv=None):
 
         ctc_decoder = PrefixBeamSearch(
             vocab_list, alpha=args.alpha, beta=args.beta, beam=args.beam,
-            lm_file=args.lm)
+            lm_file=args.lm, device=args.device_beam)
         beam_lm_key = f"werr_lm_{args.beam}" if args.lm else f"werr_{args.beam}"
 
     valid_set = AudioTextLetterDataset(

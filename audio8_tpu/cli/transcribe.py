@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--dict_file", required=True,
                    help="fairseq dict.ltr.txt or HF vocab.json")
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--device_beam", type=str2bool, default=False,
+                   help="no-LM batch beam decode on device (ops/beam_jax.py)")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)
@@ -82,7 +84,8 @@ def load_acoustic(args):
 
         decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
                                    beta=args.beta, beam=args.beam,
-                                   lm_file=args.lm)
+                                   lm_file=args.lm,
+                                   device=args.device_beam)
 
     @jax.jit
     def forward(signal, lengths):
