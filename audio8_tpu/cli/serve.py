@@ -272,6 +272,9 @@ def parse_args(argv=None):
                    help="no-LM batch beam decode on device "
                         "(ops/beam_jax.py); wins for wide beams, see "
                         "docs/PERF.md")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8: post-training weight quantization of the "
+                        "Dense kernels onto the int8 MXU path (ops/quant.py)")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)

@@ -74,6 +74,11 @@ def evaluate(argv=None):
                         help="no-LM batch beam decode on device "
                              "(ops/beam_jax.py); wins for wide beams/"
                              "large batches, see docs/PERF.md")
+    parser.add_argument("--quantize", choices=["none", "int8"], default="none",
+                        help="int8: post-training weight quantization of the "
+                             "Dense kernels onto the int8 MXU path "
+                             "(ops/quant.py); measure the WER delta here "
+                             "before serving quantized")
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
@@ -135,6 +140,10 @@ def evaluate(argv=None):
                                    num_layers=args.num_layers,
                                    sr=args.target_sample_rate // 1000,
                                    **topology_kwargs(args))
+    if args.quantize == "int8":
+        from audio8_tpu.ops.quant import quantize_model_params
+
+        params = quantize_model_params(params)
 
     eval_fn = build_eval_fn(model)
     postproc = M.postproc_letters if args.target_type != "bpe" else M.postproc_bpe

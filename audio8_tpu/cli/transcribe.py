@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--device_beam", type=str2bool, default=False,
                    help="no-LM batch beam decode on device (ops/beam_jax.py)")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8: post-training weight quantization of the "
+                        "Dense kernels onto the int8 MXU path (ops/quant.py)")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)
@@ -77,6 +80,10 @@ def load_acoustic(args):
     params, _, _ = resolve_restart(args.checkpoint, init, ctc=True,
                                    num_layers=args.num_layers,
                                    **topology_kwargs(args))
+    if getattr(args, "quantize", "none") == "int8":
+        from audio8_tpu.ops.quant import quantize_model_params
+
+        params = quantize_model_params(params)
 
     decoder = None
     if args.beam > 1 or args.lm:

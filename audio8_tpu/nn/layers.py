@@ -127,8 +127,36 @@ class PassThru(nn.Module):
         return x
 
 
+def int8_dot(x: jnp.ndarray, kernel_q: jnp.ndarray,
+             kernel_scale: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """``x @ dequant(kernel)`` on the int8 MXU path.
+
+    Dynamic per-token activation quantization (symmetric absmax over the
+    contraction dim) against a per-output-channel weight scale: the MXU
+    runs the int8 x int8 -> int32 matmul at twice bf16 throughput on v5e,
+    and the int8 weights halve the HBM weight traffic vs bf16. Inference
+    only (no custom VJP — the quantized path is never differentiated).
+    """
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * x_scale.astype(jnp.float32)
+            * kernel_scale.astype(jnp.float32)).astype(out_dtype)
+
+
 class Dense(nn.Module):
-    """Linear layer; replaces eight_mile ``Dense``/``pytorch_linear``."""
+    """Linear layer; replaces eight_mile ``Dense``/``pytorch_linear``.
+
+    Quant-aware at apply time: when the bound ``kernel`` variable is int8
+    (produced by ``ops.quant.quantize_dense_tree``), the matmul runs on
+    the int8 MXU path with the stored per-channel ``kernel_scale``; the
+    module code and the param tree *structure* stay identical, so the
+    same model definition serves both the f32/bf16 training path and the
+    quantized serving path.
+    """
 
     features: int
     use_bias: bool = True
@@ -141,7 +169,13 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if kernel.dtype == jnp.int8:
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones_init(),
+                (self.features,), jnp.float32)
+            y = int8_dot(x.astype(self.dtype), kernel, scale, self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
