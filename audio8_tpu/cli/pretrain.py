@@ -27,6 +27,7 @@ from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
 from audio8_tpu.parallel.sharding import put_batch, shard_state
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.steps import make_pretrain_steps
 from audio8_tpu.utils import Average, str2bool
 
@@ -89,6 +90,7 @@ def train(argv=None):
         args.basedir = f"wav2vec2-{args.dataset_key}-{os.getpid()}"
     os.makedirs(args.basedir, exist_ok=True)
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     train_manifest = os.path.join(args.manifest_dir, args.train_manifest_file)
@@ -187,6 +189,11 @@ def train(argv=None):
         if (steps + 1) % update_on == 0:
             # collective: orbax synchronizes processes inside save
             save_checkpoint(state, model_base, steps, tick_type="step")
+        if preempt.should_save(steps):
+            save_checkpoint(state, model_base, steps, tick_type="step")
+            if rank == 0:
+                logger.warning("preempted: saved step %d, exiting", steps)
+            break
         if (steps + 1) % validate_on == 0:
             # all processes participate (mesh computation); rank 0 logs
             m = {"train_elapsed_min": (time.time() - start_of_run) / 60,

@@ -31,6 +31,7 @@ from audio8_tpu.config import Data2VecPretrainConfig
 from audio8_tpu.data.datasets import AudioFileDataset, PrefetchLoader
 from audio8_tpu.models.data2vec import Data2VecAudioModel
 from audio8_tpu.parallel.sharding import put_batch, shard_params, shard_state
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.checkpoint import (find_latest_checkpoint,
                                          load_checkpoint, save_checkpoint)
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -81,6 +82,7 @@ def train(argv=None):
         args.basedir = f"data2vec-{args.dataset_key}-{os.getpid()}"
     os.makedirs(args.basedir, exist_ok=True)
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     common = dict(shard_index=rank, num_shards=world,
@@ -191,6 +193,14 @@ def train(argv=None):
                 save_checkpoint(state, model_base, gstep, tick_type="step")
                 save_checkpoint(teacher, teacher_base, gstep,
                                 tick_type="step")
+
+            if preempt.should_save(gstep):
+                save_checkpoint(state, model_base, gstep, tick_type="step")
+                save_checkpoint(teacher, teacher_base, gstep,
+                                tick_type="step")
+                if rank == 0:
+                    logger.warning("preempted: saved step %d, exiting", gstep)
+                break
         except StopIteration:
             raise
         except Exception as e:

@@ -27,6 +27,7 @@ from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
 from audio8_tpu.models.hubert import HubertPretrainModel
 from audio8_tpu.parallel.sharding import put_batch, shard_state
 from audio8_tpu.train.checkpoint import save_checkpoint
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import make_hubert_steps
 from audio8_tpu.utils import Average, str2bool
@@ -100,6 +101,7 @@ def train(argv=None):
     os.makedirs(args.basedir, exist_ok=True)
 
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     train_set = make_dataset(args, args.train_dataset, rank, world,
@@ -185,6 +187,12 @@ def train(argv=None):
                 if rank == 0:
                     logger.info(vm)
                 save_checkpoint(state, model_base, gstep, tick_type="step")
+
+            if preempt.should_save(gstep):
+                save_checkpoint(state, model_base, gstep, tick_type="step")
+                if rank == 0:
+                    logger.warning("preempted: saved step %d, exiting", gstep)
+                break
         except StopIteration:
             raise
         except Exception as e:

@@ -24,6 +24,7 @@ from audio8_tpu.models.dual_encoder import DualEncoderModel, SymmetricCLIPLoss
 from audio8_tpu.parallel.sharding import put_batch, shard_state
 from audio8_tpu.models.text import BPEVectorizer, TextVectorizer, read_vocab_file
 from audio8_tpu.train.checkpoint import save_checkpoint
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import accumulate_grads, make_paired_steps
 from audio8_tpu.utils import Average, str2bool
@@ -102,6 +103,7 @@ def train(argv=None):
         args.basedir = f"paired-{args.dataset_key}-{os.getpid()}"
     os.makedirs(args.basedir, exist_ok=True)
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     if args.target_type == "bpe" and args.subword_model_file:
@@ -243,6 +245,12 @@ def train(argv=None):
                                      "valid_accuracy": accs.avg})
                     # collective: orbax synchronizes processes inside save
                     save_checkpoint(state, model_base, gstep, tick_type="step")
+
+                if preempt.should_save(gstep):
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                    if rank == 0:
+                        logger.warning("preempted: saved step %d, exiting", gstep)
+                    break
         except StopIteration:
             raise
         except Exception as e:

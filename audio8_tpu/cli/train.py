@@ -28,6 +28,7 @@ from audio8_tpu.ops import metrics as M
 from audio8_tpu.parallel.sharding import put_batch, shard_state, to_host
 from audio8_tpu.train.checkpoint import save_checkpoint
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.steps import accumulate_grads, make_ctc_steps
 from audio8_tpu.utils import Average, Offsets, revlut, str2bool
 
@@ -109,6 +110,7 @@ def train(argv=None):
 
     Offsets.remap_fairseq_ctc()
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     if args.pipeline_parallel > 1:
         if args.grad_accum != 1 or args.unfreeze_enc_after_step >= 0:
             raise ValueError("--pipeline_parallel requires --grad_accum 1 "
@@ -313,6 +315,14 @@ def train(argv=None):
                         if rank == 0:
                             logger.info("New best metric %.4f", best_metric)
                         save_checkpoint(state, model_base, 0, tick_type="best")
+
+                if preempt.should_save(gstep):
+                    # preemption notice: checkpoint at this (globally
+                    # agreed) step boundary and stop cleanly
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                    if rank == 0:
+                        logger.warning("preempted: saved step %d, exiting", gstep)
+                    break
         except StopIteration:
             raise
         except Exception as e:

@@ -26,6 +26,7 @@ from audio8_tpu.models.text import TextVectorizer, read_vocab_file
 from audio8_tpu.ops import metrics as M
 from audio8_tpu.parallel.sharding import put_batch, shard_state, to_host
 from audio8_tpu.train.checkpoint import save_checkpoint
+from audio8_tpu.train.preempt import PreemptionGuard
 from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
 from audio8_tpu.train.steps import accumulate_grads, make_seq2seq_steps
 from audio8_tpu.utils import Average, Offsets, revlut, str2bool
@@ -99,6 +100,7 @@ def train(argv=None):
 
     Offsets.remap_fairseq_ctc()
     rank, world = setup(args.distributed)
+    preempt = PreemptionGuard()  # catch SIGTERM from here on
     mesh, rules, batch_multiple, row_shard = setup_parallelism(args.tensor_parallel)
 
     vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
@@ -221,6 +223,12 @@ def train(argv=None):
                     if esm and vm.get(esm, 1e9) < best_metric:
                         best_metric = vm[esm]
                         save_checkpoint(state, model_base, 0, tick_type="best")
+
+                if preempt.should_save(gstep):
+                    save_checkpoint(state, model_base, gstep, tick_type="step")
+                    if rank == 0:
+                        logger.warning("preempted: saved step %d, exiting", gstep)
+                    break
         except StopIteration:
             raise
         except Exception as e:
