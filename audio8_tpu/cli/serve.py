@@ -42,7 +42,7 @@ import numpy as np
 from audio8_tpu.cli.common import add_common_model_args, apply_preset
 from audio8_tpu.config import lane_aligned_chunk
 from audio8_tpu.data.audio import SoundfileAudioReader
-from audio8_tpu.utils import str2bool
+from audio8_tpu.utils import Offsets, str2bool
 from audio8_tpu.serve import (ChunkedTranscriber, MicroBatcher,
                               StreamingTranscriber, decode_stitched)
 
@@ -58,12 +58,14 @@ class TranscribeService:
     """
 
     def __init__(self, transcriber: ChunkedTranscriber, index2vocab: dict,
-                 decoder=None, sample_rate: int = 16_000, info: dict = None):
+                 decoder=None, sample_rate: int = 16_000, info: dict = None,
+                 timestamps: bool = False):
         self.transcriber = transcriber
         self.index2vocab = index2vocab
         self.decoder = decoder
         self.sample_rate = sample_rate
         self.info = dict(info or {})
+        self.timestamps = timestamps
         self._lock = threading.Lock()
         self._reader = SoundfileAudioReader()
 
@@ -92,9 +94,16 @@ class TranscribeService:
             with self._lock:
                 lp = self.transcriber.log_probs(wav)
         text = decode_stitched(lp, self.index2vocab, self.decoder)
-        return {"text": text,
-                "audio_seconds": round(len(wav) / self.sample_rate, 3),
-                "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
+        out = {"text": text,
+               "audio_seconds": round(len(wav) / self.sample_rate, 3),
+               "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
+        if self.timestamps:
+            from audio8_tpu.ops.align import timestamped_words
+
+            frame_sec = self.transcriber.stride / self.sample_rate
+            out["words"] = timestamped_words(lp, self.index2vocab,
+                                             Offsets.GO, frame_sec)
+        return out
 
     def health(self) -> dict:
         out = {"ok": True, **self.info}
@@ -275,6 +284,9 @@ def parse_args(argv=None):
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: post-training weight quantization of the "
                         "Dense kernels onto the int8 MXU path (ops/quant.py)")
+    p.add_argument("--timestamps", type=str2bool, default=False,
+                   help="include word-level {start, end, confidence} from "
+                        "the greedy CTC alignment in /transcribe responses")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)
@@ -313,6 +325,7 @@ def main(argv=None):
                             batch_size=args.batch, batcher=batcher)
     service = TranscribeService(
         ct, index2vocab, decoder, sample_rate=sr,
+        timestamps=args.timestamps,
         info={"model": "wav2vec2-ctc", "d_model": args.d_model,
               "num_layers": args.num_layers, "beam": args.beam,
               # the lane-aligned (snapped) window actually served, not

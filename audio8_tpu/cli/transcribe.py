@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--device_beam", type=str2bool, default=False,
                    help="no-LM batch beam decode on device (ops/beam_jax.py)")
+    p.add_argument("--timestamps", type=str2bool, default=False,
+                   help="emit ndjson with word-level {start, end, "
+                        "confidence} from the greedy CTC alignment "
+                        "(ops/align.py) instead of plain text lines")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: post-training weight quantization of the "
                         "Dense kernels onto the int8 MXU path (ops/quant.py)")
@@ -102,15 +106,34 @@ def load_acoustic(args):
     return cfg, forward, vocab_list, index2vocab, decoder
 
 
+def _emit(path, text, lp, args, index2vocab, frame_sec, results):
+    """Append + print one result (plain line, or ndjson w/ timestamps)."""
+    if args.timestamps:
+        import json
+
+        from audio8_tpu.ops.align import timestamped_words
+
+        words = timestamped_words(lp, index2vocab, Offsets.GO, frame_sec)
+        row = {"file": path, "text": text, "words": words}
+        results.append(row)
+        print(json.dumps(row))
+    else:
+        results.append((path, text))
+        print(f"{path}\t{text}")
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
+    from audio8_tpu.ops.align import total_stride
+
+    frame_sec = total_stride(cfg.conv_features) / sr
     results = []
     if args.chunk_seconds > 0:
-        from audio8_tpu.serve import ChunkedTranscriber
+        from audio8_tpu.serve import ChunkedTranscriber, decode_stitched
 
         chunk = int(args.chunk_seconds * sr)
         if args.lane_align:
@@ -121,10 +144,9 @@ def main(argv=None):
             chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr))
         for path in args.audio:
-            text = ct.transcribe(np.asarray(reader.read(path)), index2vocab,
-                                 decoder)
-            results.append((path, text))
-            print(f"{path}\t{text}")
+            lp = ct.log_probs(np.asarray(reader.read(path)))
+            text = decode_stitched(lp, index2vocab, decoder)
+            _emit(path, text, lp, args, index2vocab, frame_sec, results)
         return results
 
     for path in args.audio:
@@ -135,16 +157,15 @@ def main(argv=None):
         lp, frames = forward(jnp.asarray(signal),
                              jnp.asarray([len(wav)], jnp.int32))
         n = int(frames[0])
+        lp = np.asarray(lp[0, :n], np.float32)
         if decoder is not None:
-            chars = decoder.run(np.asarray(lp, np.float32), [n], n_best=1)[0]
+            chars = decoder.run(lp[None, ...], [n], n_best=1)[0]
         else:
-            ids = greedy_collapse(
-                np.argmax(np.asarray(lp[0, :n]), -1).astype(np.int32),
-                Offsets.GO)
+            ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32),
+                                  Offsets.GO)
             chars = [index2vocab[i] for i in ids]
         text = postproc_letters(chars)
-        results.append((path, text))
-        print(f"{path}\t{text}")
+        _emit(path, text, lp, args, index2vocab, frame_sec, results)
     return results
 
 

@@ -197,3 +197,18 @@ def test_concurrent_requests(server):
         status, body = results[i]
         seen = (wav * 32767).astype(np.int16).astype(np.float32) / 32768.0
         assert status == 200 and body["text"] == ct.transcribe(seen, i2v)
+
+
+def test_transcribe_timestamps(server):
+    srv, service, ct, i2v = server
+    wav = np.random.default_rng(1).normal(size=40_000).astype(np.float32) * .1
+    service.timestamps = True
+    try:
+        status, body = request(srv, "/transcribe", data=wav_bytes(wav))
+    finally:
+        service.timestamps = False
+    assert status == 200 and "words" in body
+    for w in body["words"]:
+        assert set(w) == {"word", "start", "end", "confidence"}
+        assert 0 <= w["start"] < w["end"]
+        assert 0 < w["confidence"] <= 1
