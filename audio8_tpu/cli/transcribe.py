@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--device_beam", type=str2bool, default=False,
                    help="no-LM batch beam decode on device (ops/beam_jax.py)")
+    p.add_argument("--vad", type=str2bool, default=False,
+                   help="energy-based voice activity detection "
+                        "(ops/vad.py): transcribe only speech spans — "
+                        "skips silence compute and silence "
+                        "hallucinations; timestamps stay global")
     p.add_argument("--timestamps", type=str2bool, default=False,
                    help="emit ndjson with word-level {start, end, "
                         "confidence} from the greedy CTC alignment "
@@ -106,20 +111,28 @@ def load_acoustic(args):
     return cfg, forward, vocab_list, index2vocab, decoder
 
 
-def _emit(path, text, lp, args, index2vocab, frame_sec, results):
-    """Append + print one result (plain line, or ndjson w/ timestamps)."""
-    if args.timestamps:
-        import json
+def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
+    """One waveform -> ``(text, (T', V) np log-probs)`` via the chunked
+    (any length, one compiled program) or one-shot (pad to whole
+    seconds) path."""
+    if ct is not None:
+        from audio8_tpu.serve import decode_stitched
 
-        from audio8_tpu.ops.align import timestamped_words
-
-        words = timestamped_words(lp, index2vocab, Offsets.GO, frame_sec)
-        row = {"file": path, "text": text, "words": words}
-        results.append(row)
-        print(json.dumps(row))
+        lp = ct.log_probs(wav)
+        return decode_stitched(lp, index2vocab, decoder), lp
+    t_pad = (len(wav) + sr - 1) // sr * sr
+    signal = np.zeros((1, t_pad), np.float32)
+    signal[0, :len(wav)] = wav
+    lp, frames = forward(jnp.asarray(signal),
+                         jnp.asarray([len(wav)], jnp.int32))
+    n = int(frames[0])
+    lp = np.asarray(lp[0, :n], np.float32)
+    if decoder is not None:
+        chars = decoder.run(lp[None, ...], [n], n_best=1)[0]
     else:
-        results.append((path, text))
-        print(f"{path}\t{text}")
+        ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32), Offsets.GO)
+        chars = [index2vocab[i] for i in ids]
+    return postproc_letters(chars), lp
 
 
 def main(argv=None):
@@ -128,12 +141,12 @@ def main(argv=None):
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
-    from audio8_tpu.ops.align import total_stride
+    from audio8_tpu.ops.align import timestamped_words, total_stride
 
     frame_sec = total_stride(cfg.conv_features) / sr
-    results = []
+    ct = None
     if args.chunk_seconds > 0:
-        from audio8_tpu.serve import ChunkedTranscriber, decode_stitched
+        from audio8_tpu.serve import ChunkedTranscriber
 
         chunk = int(args.chunk_seconds * sr)
         if args.lane_align:
@@ -143,29 +156,42 @@ def main(argv=None):
             forward, cfg.conv_features,
             chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr))
-        for path in args.audio:
-            lp = ct.log_probs(np.asarray(reader.read(path)))
-            text = decode_stitched(lp, index2vocab, decoder)
-            _emit(path, text, lp, args, index2vocab, frame_sec, results)
-        return results
 
+    results = []
     for path in args.audio:
         wav = np.asarray(reader.read(path), np.float32)
-        t_pad = (len(wav) + sr - 1) // sr * sr
-        signal = np.zeros((1, t_pad), np.float32)
-        signal[0, :len(wav)] = wav
-        lp, frames = forward(jnp.asarray(signal),
-                             jnp.asarray([len(wav)], jnp.int32))
-        n = int(frames[0])
-        lp = np.asarray(lp[0, :n], np.float32)
-        if decoder is not None:
-            chars = decoder.run(lp[None, ...], [n], n_best=1)[0]
+        if args.vad:
+            from audio8_tpu.ops.vad import speech_segments
+
+            segs = speech_segments(wav, sr)
         else:
-            ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32),
-                                  Offsets.GO)
-            chars = [index2vocab[i] for i in ids]
-        text = postproc_letters(chars)
-        _emit(path, text, lp, args, index2vocab, frame_sec, results)
+            segs = [(0, len(wav))]
+        texts, words = [], []
+        for a, b in segs:
+            text, lp = _transcribe_wav(wav[a:b], forward, ct, decoder,
+                                       index2vocab, sr)
+            if text:
+                texts.append(text)
+            if args.timestamps:
+                off = a / sr
+                for w in timestamped_words(lp, index2vocab, Offsets.GO,
+                                           frame_sec):
+                    w["start"] = round(w["start"] + off, 3)
+                    w["end"] = round(w["end"] + off, 3)
+                    words.append(w)
+        text = " ".join(texts)
+        if args.timestamps:
+            import json
+
+            row = {"file": path, "text": text, "words": words}
+            if args.vad:
+                row["segments"] = [[round(a / sr, 3), round(b / sr, 3)]
+                                   for a, b in segs]
+            results.append(row)
+            print(json.dumps(row))
+        else:
+            results.append((path, text))
+            print(f"{path}\t{text}")
     return results
 
 
