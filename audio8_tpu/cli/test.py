@@ -37,12 +37,35 @@ def build_eval_fn(model):
 
 
 def run_step(index2vocab, log_probs, frame_lengths, batch, verbose=False,
-             ctc_decoder=None, postproc_fn=M.postproc_letters):
+             ctc_decoder=None, postproc_fn=M.postproc_letters,
+             rescorer=None, bar_off=None):
     step_metrics = M.ctc_metrics(
         log_probs, batch["token_ids"], frame_lengths, index2vocab,
         postproc_fn=postproc_fn)
     step_metrics["wbeam_errors"] = 0
-    if ctc_decoder is not None:
+    if ctc_decoder is not None and rescorer is not None:
+        # neural-LM n-best rescoring (ops/rescore.py): the beam proposes,
+        # exact-CTC + LM + length picks
+        from audio8_tpu.ops.rescore import rescore_nbest
+
+        nbest = ctc_decoder.run(log_probs, frame_lengths,
+                                n_best=ctc_decoder.beam, return_ids=True)
+        for b, hyps in enumerate(nbest):
+            if not hyps:
+                step_metrics["wbeam_errors"] += M.decode_text_wer(
+                    "", batch["token_ids"][b], index2vocab,
+                    postproc_fn=postproc_fn)[0]
+                continue
+            best = rescore_nbest(log_probs[b], int(frame_lengths[b]), hyps,
+                                 rescorer)
+            text = "".join(index2vocab[t] if t != bar_off else "|"
+                           for t in hyps[best])
+            if verbose:
+                print(text)
+            werr, _ = M.decode_text_wer(text, batch["token_ids"][b],
+                                        index2vocab, postproc_fn=postproc_fn)
+            step_metrics["wbeam_errors"] += werr
+    elif ctc_decoder is not None:
         transcriptions = ctc_decoder.run(log_probs, frame_lengths, n_best=1)
         for b, transcription in enumerate(transcriptions):
             text = "".join(transcription)
@@ -81,6 +104,12 @@ def evaluate(argv=None):
                              "before serving quantized")
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
+    parser.add_argument("--lm_rescore",
+                        help="a8t-train-lm basedir: neural-LM n-best "
+                             "rescoring of the beam output (ops/rescore.py)")
+    parser.add_argument("--rescore_alpha", type=float, default=0.5,
+                        help="LM weight in ctc + alpha*lm + bonus*len")
+    parser.add_argument("--rescore_word_bonus", type=float, default=0.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
     parser.add_argument("--lane_align", type=str2bool, default=True,
                         help="clamp pad targets that would push the conv "
@@ -104,13 +133,27 @@ def evaluate(argv=None):
 
     ctc_decoder = None
     beam_lm_key = None
+    rescorer = None
+    if args.lm_rescore and args.beam <= 1:
+        raise ValueError("--lm_rescore needs --beam > 1 (it reranks the "
+                         "beam's n-best list)")
     if args.beam > 1 or args.lm:
         from audio8_tpu.ops.beam import PrefixBeamSearch
 
         ctc_decoder = PrefixBeamSearch(
             vocab_list, alpha=args.alpha, beta=args.beta, beam=args.beam,
             lm_file=args.lm, device=args.device_beam)
-        beam_lm_key = f"werr_lm_{args.beam}" if args.lm else f"werr_{args.beam}"
+        if args.lm_rescore:
+            from audio8_tpu.ops.rescore import NeuralLMRescorer
+
+            rescorer = NeuralLMRescorer(args.lm_rescore,
+                                        alpha=args.rescore_alpha,
+                                        word_bonus=args.rescore_word_bonus)
+        if args.lm_rescore:
+            beam_lm_key = f"werr_rescore_{args.beam}"
+        else:
+            beam_lm_key = (f"werr_lm_{args.beam}" if args.lm
+                           else f"werr_{args.beam}")
 
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
@@ -159,7 +202,9 @@ def evaluate(argv=None):
         sm = run_step(index2vocab, np.asarray(log_probs)[:n_real],
                       np.asarray(frame_lengths)[:n_real],
                       dict(batch, token_ids=batch["token_ids"][:n_real]),
-                      args.verbose, ctc_decoder, postproc)
+                      args.verbose, ctc_decoder, postproc,
+                      rescorer=rescorer,
+                      bar_off=(ctc_decoder.bar_off if ctc_decoder else None))
         c_errors += sm["c_errors"]
         w_errors += sm["w_errors"]
         wlm_errors += sm.get("wbeam_errors", 0)

@@ -314,6 +314,22 @@ class TextEncoderConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TextLMConfig:
+    """Causal (decoder-only) text LM for n-best rescoring — a workload
+    beyond the reference, whose only LM story is the KenLM-style ARPA
+    fusion inside ctcdecode (/root/reference/audio8/ctc.py:22-30)."""
+
+    vocab_size: int = 0
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 6
+    dropout: float = 0.1
+    d_ff: int = 2048
+    rpr_k: Optional[int] = 8  # Shaw relative attention: any length at eval
+    block_len: int = 512      # packed training block (tokens)
+
+
+@dataclasses.dataclass(frozen=True)
 class DecoderConfig:
     """Seq2seq text decoder (/root/reference/audio8/train_seq2seq.py:38-92)."""
 

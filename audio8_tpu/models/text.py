@@ -279,3 +279,53 @@ class TextTransformerDecoder(nn.Module):
         out, cache = self.transformer.step(embed, memory, src_mask, cache,
                                            cross_kv=cross_kv)
         return self._output(out)[:, 0], cache
+
+
+class CausalTextLM(nn.Module):
+    """Decoder-only text LM: embeddings + causal rpr-attention encoder
+    stack + weight-tied log-softmax output.
+
+    Beyond the reference (its only LM is the ARPA fusion inside the
+    beam decoder, ctc.py:22-30): trained with ``a8t-train-lm`` on the
+    transcript files the CTC recipes already use, then applied as an
+    n-best rescorer (ops/rescore.py). Shaw relative attention (no
+    absolute positions) scores any hypothesis length at eval regardless
+    of the packed training block length.
+    """
+
+    config: Any  # TextLMConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.embeddings = LookupTableEmbeddings(
+            vocab_size=cfg.vocab_size, features=cfg.d_model, **dd)
+        self.transformer = TransformerEncoderStack(
+            num_heads=cfg.num_heads, d_model=cfg.d_model,
+            num_layers=cfg.num_layers, d_ff=cfg.d_ff,
+            dropout_rate=cfg.dropout, activation="gelu", pre_norm=True,
+            rpr_k=cfg.rpr_k, rpr_value_on=False, **dd)
+
+    def __call__(self, ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, L) token ids -> (B, L, V) next-token log-probs (position t
+        predicts ids[:, t + 1])."""
+        h = self.transformer(self.embeddings(ids),
+                             subsequent_mask(ids.shape[1]),
+                             deterministic=not train)
+        logits = self.embeddings.attend(h.astype(jnp.float32))
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def sequence_logp(self, ids: jnp.ndarray,
+                      lengths: jnp.ndarray) -> jnp.ndarray:
+        """Total log-prob of each row: sum over t of
+        ``log p(ids[t] | ids[:t])`` for 1 <= t < lengths (row 0 is the
+        BOS/GO context; PAD tail masked out). Returns (B,)."""
+        lp = self(ids, train=False)
+        tgt = ids[:, 1:]
+        tok_lp = jnp.take_along_axis(lp[:, :-1], tgt[..., None],
+                                     axis=-1)[..., 0]
+        pos = jnp.arange(tgt.shape[1])[None, :]
+        valid = pos < (lengths[:, None] - 1)
+        return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=-1)

@@ -472,3 +472,41 @@ def accumulate_grads(acc, grads):
     if acc is None:
         return grads
     return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+
+# ---------------------------------------------------------------- text LM
+
+
+def make_lm_steps(model, tx: optax.GradientTransformation, clip: float = 1.0):
+    """(train_step, eval_fn) for causal text-LM training (a8t-train-lm;
+    models/text.CausalTextLM). Batches: ``{"ids": (B, L+1) int32}``
+    packed token blocks — position t predicts t+1; PAD targets (the tail
+    of the final partial block) are masked out of the token-mean NLL."""
+    from audio8_tpu.utils import Offsets
+
+    pad = Offsets.PAD
+
+    def _nll(params, ids, train, rng=None):
+        rngs = {"dropout": rng} if rng is not None else None
+        lp = model.apply({"params": params}, ids[:, :-1], train=train,
+                         rngs=rngs)
+        tgt = ids[:, 1:]
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        valid = (tgt != pad).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        return -jnp.sum(tok_lp * valid) / n, n
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        def loss_fn(p):
+            return _nll(p, batch["ids"], True, rng)
+
+        (loss, ntok), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
+        return new_state, {"loss": loss, "tokens": ntok, "grad_norm": gnorm}
+
+    @jax.jit
+    def eval_fn(params, batch):
+        return _nll(params, batch["ids"], False)
+
+    return train_step, eval_fn
