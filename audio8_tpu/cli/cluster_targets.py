@@ -78,13 +78,20 @@ def make_model_featurizer(args):
     is_tap = lambda mdl, method: (method == "__call__"
                                   and getattr(mdl, "name", None) == layer)
 
+    # params as a jit argument (closure constants overflow the axon
+    # remote-compile relay at real model sizes — see cli/transcribe.py)
+    params = jax.device_put(params)
+
     @jax.jit
-    def run(signal, lengths):
-        _, inter = model.apply({"params": params}, signal, lengths,
+    def _run(p, signal, lengths):
+        _, inter = model.apply({"params": p}, signal, lengths,
                                capture_intermediates=is_tap,
                                mutable=["intermediates"])
         return inter["intermediates"]["encoder"]["transformer"][layer][
             "__call__"][0]
+
+    def run(signal, lengths):
+        return _run(params, signal, lengths)
 
     conv = CONV_FEATURES[args.target_sample_rate // 1000]
 

@@ -79,12 +79,19 @@ def build_embedder(args):
                                    num_layers=args.num_layers,
                                    **topology_kwargs(args))
 
+    # params as a jit argument (closure constants overflow the axon
+    # remote-compile relay at real model sizes — see cli/transcribe.py)
+    params = jax.device_put(params)
+
     @jax.jit
-    def run(signal, lengths):
-        emb = model.apply({"params": params}, signal, lengths, freeze=False)
+    def _run(p, signal, lengths):
+        emb = model.apply({"params": p}, signal, lengths, freeze=False)
         emb = emb.astype(jnp.float32)
         return emb * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(emb * emb, -1, keepdims=True), 1e-12))
+
+    def run(signal, lengths):
+        return _run(params, signal, lengths)
 
     reader = SoundfileAudioReader()
 

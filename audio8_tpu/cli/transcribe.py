@@ -103,10 +103,18 @@ def load_acoustic(args):
                                    lm_file=args.lm,
                                    device=args.device_beam)
 
+    # params as a jit ARGUMENT, not a closure: closed-over arrays embed in
+    # the HLO as constants, which overflows the axon remote-compile relay
+    # (HTTP 413) at real model sizes and bloats compiles everywhere else
+    params = jax.device_put(params)
+
     @jax.jit
-    def forward(signal, lengths):
-        lp, mask = model.apply({"params": params}, signal, lengths)
+    def _forward(p, signal, lengths):
+        lp, mask = model.apply({"params": p}, signal, lengths)
         return lp, jnp.sum(mask, axis=-1)
+
+    def forward(signal, lengths):
+        return _forward(params, signal, lengths)
 
     return cfg, forward, vocab_list, index2vocab, decoder
 
