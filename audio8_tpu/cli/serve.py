@@ -37,6 +37,7 @@ import time
 from argparse import ArgumentParser
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax
 import numpy as np
 
 from audio8_tpu.cli.common import add_common_model_args, apply_preset
@@ -307,7 +308,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
+    # force=True: importing jax installs absl's root handler at WARNING,
+    # which would make a plain basicConfig a silent no-op
+    logging.basicConfig(level=logging.INFO, force=True)
     from audio8_tpu.cli.transcribe import load_acoustic
 
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
@@ -315,6 +318,26 @@ def main(argv=None):
     chunk = int(args.chunk_seconds * sr)
     if args.lane_align:
         chunk = lane_aligned_chunk(chunk, cfg.conv_features)
+    mesh = getattr(forward, "mesh", None)
+    if mesh is not None:
+        # multi-chip host: shard the request batch over the 'data' mesh
+        # axis (params are already replicated by load_acoustic). Batch
+        # rows snap up to the device count; padding rows carry length 0.
+        from audio8_tpu.parallel.sharding import batch_sharding
+
+        ndev = jax.device_count()
+        if args.batch % ndev:
+            args.batch = -(-args.batch // ndev) * ndev
+            logger.info("snapped --batch to %d (multiple of %d devices)",
+                        args.batch, ndev)
+        bsh = batch_sharding(mesh)
+        inner_forward = forward
+
+        def forward(signal, lengths):  # noqa: F811 - deliberate rewrap
+            return inner_forward(
+                jax.device_put(np.asarray(signal), bsh),
+                jax.device_put(np.asarray(lengths), bsh))
+
     batcher = None
     if args.batch_wait_ms > 0:
         batcher = MicroBatcher(forward, chunk, batch_size=args.batch,

@@ -105,8 +105,19 @@ def load_acoustic(args):
 
     # params as a jit ARGUMENT, not a closure: closed-over arrays embed in
     # the HLO as constants, which overflows the axon remote-compile relay
-    # (HTTP 413) at real model sizes and bloats compiles everywhere else
-    params = jax.device_put(params)
+    # (HTTP 413) at real model sizes and bloats compiles everywhere else.
+    # On a multi-chip host the params replicate over a ('data',) mesh so
+    # the server can shard request batches across chips (mesh DP serving;
+    # cli/serve.py snaps its batch to the device count).
+    mesh = None
+    if jax.device_count() > 1:
+        from audio8_tpu.parallel.sharding import (DP_ONLY_RULES, make_mesh,
+                                                  shard_params)
+
+        mesh = make_mesh(data=-1, model=1)
+        params = shard_params(params, mesh, DP_ONLY_RULES)
+    else:
+        params = jax.device_put(params)
 
     @jax.jit
     def _forward(p, signal, lengths):
@@ -116,6 +127,7 @@ def load_acoustic(args):
     def forward(signal, lengths):
         return _forward(params, signal, lengths)
 
+    forward.mesh = mesh
     return cfg, forward, vocab_list, index2vocab, decoder
 
 

@@ -50,16 +50,22 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     saves a step checkpoint and exits 0 (not killed)."""
     _corpus(str(tmp_path))
     out = str(tmp_path / "run")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # force the CPU backend in the child (env alone is overridden by the
+    # session sitecustomize — tests/conftest.py recipe)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    argv = ["--root_dir", str(tmp_path), "--train_dataset", "train.tsv",
+            "--valid_dataset", "valid.tsv", "--d_model", "64",
+            "--num_layers", "2", "--num_heads", "4", "--d_ff", "128",
+            "--train_steps", "500", "--steps_per_checkpoint", "40",
+            "--warmup_steps", "1", "--target_tokens_per_batch", "32000",
+            "--pad_to_multiple", "4000", "--grad_accum", "1",
+            "--basedir", out]
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"from audio8_tpu.cli.train import train; train({argv!r})")
     proc = subprocess.Popen(
-        [sys.executable, "-m", "audio8_tpu.cli.train",
-         "--root_dir", str(tmp_path), "--train_dataset", "train.tsv",
-         "--valid_dataset", "valid.tsv", "--d_model", "64",
-         "--num_layers", "2", "--num_heads", "4", "--d_ff", "128",
-         "--train_steps", "500", "--steps_per_checkpoint", "40",
-         "--warmup_steps", "1", "--target_tokens_per_batch", "32000",
-         "--pad_to_multiple", "4000", "--grad_accum", "1",
-         "--basedir", out],
+        [sys.executable, "-c", code],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd="/root/repo")
     # wait for the first throughput report (training loop is live)
