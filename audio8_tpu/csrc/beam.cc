@@ -49,8 +49,12 @@ extern "C" int64_t a8t_prefix_beam_search(
     auto it = children.find(key);
     if (it != children.end()) return it->second;
     const int32_t idx = static_cast<int32_t>(trie.size());
-    const int32_t words =
-        trie[node].n_words + (sym == space_idx ? 1 : 0);
+    // a space completes a word only when it terminates a non-empty one:
+    // leading/repeated spaces earn no insertion bonus (ctcdecode
+    // semantics; parity with arpa_lm.cc's n_words and ops/beam.py)
+    const bool ends_word = sym == space_idx && node != 0 &&
+                           trie[node].sym != space_idx;
+    const int32_t words = trie[node].n_words + (ends_word ? 1 : 0);
     trie.push_back({node, sym, words});
     children.emplace(key, idx);
     return idx;

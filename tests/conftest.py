@@ -23,3 +23,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _restore_offsets():
+    """Offsets is mutable class-level state (drivers call
+    ``remap_fairseq_ctc``); restore it after every test so a CLI-driving
+    test cannot leak the fairseq id layout into later tests."""
+    from audio8_tpu.utils import Offsets
+
+    saved = (Offsets.PAD, Offsets.GO, Offsets.EOS, Offsets.UNK,
+             list(Offsets.VALUES))
+    yield
+    Offsets.PAD, Offsets.GO, Offsets.EOS, Offsets.UNK = saved[:4]
+    Offsets.VALUES[:] = saved[4]

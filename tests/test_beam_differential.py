@@ -56,8 +56,14 @@ def lm_file(tmp_path):
     return str(f)
 
 
+@pytest.mark.parametrize("remap", [False, True])
 @pytest.mark.parametrize("with_lm", [False, True])
-def test_python_and_cpp_agree(rng, lm_file, with_lm):
+def test_python_and_cpp_agree(rng, lm_file, with_lm, remap):
+    if remap:
+        # the production CTC id layout (blank = <s> = 0): caught the C++
+        # no-LM path counting leading/repeated spaces as words
+        # (beam.cc's old `sym == space_idx` bonus)
+        Offsets.remap_fairseq_ctc()
     vocab = _vocab()
     kw = dict(alpha=0.7, beta=1.5, beam=8)
     if with_lm:
