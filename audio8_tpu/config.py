@@ -341,3 +341,17 @@ class DecoderConfig:
     d_ff: Optional[int] = None
     layer_drop: float = 0.0
     max_len: int = 1200
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerConfig(EncoderConfig):
+    """RNN-T (transducer) ASR: wav2vec2 encoder + LSTM prediction network
+    + additive joint — a streaming-ASR workload beyond the reference
+    (models/transducer.py, ops/transducer.py)."""
+
+    vocab_size: int = 0
+    pred_layers: int = 2
+    pred_dim: int = 512
+    pred_embed_dim: int = 256
+    pred_dropout: float = 0.1
+    d_joint: int = 512

@@ -474,6 +474,100 @@ def accumulate_grads(acc, grads):
     return jax.tree_util.tree_map(jnp.add, acc, grads)
 
 
+# -------------------------------------------------------------- transducer
+
+
+def make_transducer_steps(model, tx: optax.GradientTransformation,
+                          clip: float = 25.0, loss_reduction: str = "sum",
+                          mesh=None):
+    """(grad_fn, update_fn, decode_fn, eval_loss_fn) for RNN-T training
+    (models/transducer.Transducer + ops/transducer.transducer_loss).
+
+    Same conventions as make_ctc_steps: blank = Offsets.GO, 'sum' loss
+    scaled by 1/total_examples at update, freeze as a static arg, fused
+    ``grad_fn.train_step`` for grad_accum == 1, padding rows weighted out
+    by row_validity.
+    """
+    from audio8_tpu.ops.transducer import transducer_loss
+
+    if moe_aux_weight(model) > 0.0:
+        raise NotImplementedError(
+            "MoE FFN layers are supported by the CTC and contrastive-"
+            "pretrain factories only; set moe_experts=0 here")
+
+    def _masked_loss(log_probs, frame_lengths, targets, target_lengths, rows):
+        per_row = transducer_loss(log_probs, frame_lengths, targets,
+                                  target_lengths, blank=Offsets.GO,
+                                  reduction="none")
+        if loss_reduction == "sum":
+            return jnp.sum(per_row * rows)
+        per = per_row / jnp.maximum(target_lengths.astype(jnp.float32), 1.0)
+        return jnp.sum(per * rows) / jnp.maximum(jnp.sum(rows), 1.0)
+
+    def _grad_impl(params, batch, rng, freeze: bool = True):
+        signal = batch["signal"]
+        signal_lengths = batch["signal_lengths"]
+        targets, target_lengths = clean_targets(batch["token_ids"],
+                                                batch["token_lengths"])
+        rows = row_validity(batch)
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1)}
+            log_probs, pad_mask = model.apply(
+                {"params": p}, signal, signal_lengths, targets, train=True,
+                freeze=freeze, rngs=rngs)
+            frame_lengths = jnp.sum(pad_mask, axis=-1)
+            return _masked_loss(log_probs, frame_lengths, targets,
+                                target_lengths, rows), {}
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        batch_size = jnp.sum(rows)
+        num_tokens = jnp.sum(target_lengths * rows).astype(jnp.float32)
+        return loss, grads, batch_size, num_tokens
+
+    grad_fn = jax.jit(_grad_impl, static_argnames=("freeze",))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def update_fn(state, grads, total_examples):
+        return state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(total_examples, 1.0),
+            clip_norm=clip)
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("freeze",))
+    def train_step(state, batch, rng, freeze: bool = True):
+        loss, grads, bsz, toks = _grad_impl(state.params, batch, rng, freeze)
+        new_state, _ = state.apply_gradients(
+            grads, tx, grad_scale=1.0 / jnp.maximum(bsz, 1.0),
+            clip_norm=clip)
+        return new_state, loss, bsz, toks
+
+    @functools.partial(jax.jit,
+                       static_argnames=("max_output_len", "max_symbols"))
+    def decode_fn(params, batch, max_output_len: int = 200,
+                  max_symbols: int = 4):
+        return model.apply(
+            {"params": params}, batch["signal"], batch["signal_lengths"],
+            max_output_len, max_symbols, method=type(model).decode)
+
+    @jax.jit
+    def eval_loss_fn(params, batch):
+        targets, target_lengths = clean_targets(batch["token_ids"],
+                                                batch["token_lengths"])
+        log_probs, pad_mask = model.apply(
+            {"params": params}, batch["signal"], batch["signal_lengths"],
+            targets, train=False, freeze=True)
+        frame_lengths = jnp.sum(pad_mask, axis=-1)
+        return _masked_loss(log_probs, frame_lengths, targets,
+                            target_lengths, row_validity(batch))
+
+    grad_fn, decode_fn = _mesh_wrap(grad_fn, mesh), _mesh_wrap(decode_fn, mesh)
+    eval_loss_fn = _mesh_wrap(eval_loss_fn, mesh)
+    grad_fn.train_step = _mesh_wrap(train_step, mesh)
+    return grad_fn, update_fn, decode_fn, eval_loss_fn
+
+
 # ---------------------------------------------------------------- text LM
 
 
