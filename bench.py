@@ -149,6 +149,54 @@ def bench_ctc(freeze: bool, n_steps: int = 30, *, b: int = 16,
     return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
 
 
+def bench_transducer(n_steps: int = 20, *, b: int = 16,
+                     t: int = 41_359) -> float:
+    """RNN-T fine-tune step (train_transducer.py workload, beyond the
+    reference): wav2vec2-base encoder + 2-layer LSTM predictor +
+    additive joint on the same lane-aligned 16 x 41,359-sample batch as
+    the CTC bench; the lattice loss is the associative-scan recursion
+    of ops/transducer.py."""
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_transducer_steps
+    from audio8_tpu.utils import Offsets
+
+    Offsets.remap_fairseq_ctc()
+    cfg = TransducerConfig(vocab_size=32, d_ff=3072, dropout=0.1,
+                           timestep_masking=0.5, channel_masking=0.1)
+    model = Transducer(config=cfg, dtype=jnp.bfloat16)
+    u = 64
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(rng.integers(4, 32, size=(b, u)), jnp.int32),
+        "token_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["signal"][:1],
+                        batch["signal_lengths"][:1],
+                        batch["token_ids"][:1])["params"]
+    tx = create_optimizer(create_lrs(1e-4, 1000, warmup_steps=10))
+    state = TrainState.create(params, tx)
+    grad_fn, _, _, _ = make_transducer_steps(model, tx, clip=25.0)
+    step = grad_fn.train_step
+
+    keys = list(jax.random.split(jax.random.PRNGKey(3), n_steps + 1))
+    _note("transducer: build + compile")
+    state, loss, _, _ = step(state, batch, keys[-1], freeze=False)
+    np.asarray(loss)
+    _note("transducer: compiled, timing")
+
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, loss, _, _ = step(state, batch, keys[i], freeze=False)
+    np.asarray(loss)
+    elapsed = time.perf_counter() - start
+    return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
+
+
 def bench_hubert(n_steps: int = 20, *, b: int = 8, t: int = 163_920,
                  num_clusters: int = 100) -> float:
     """HuBERT masked-prediction pretraining step (pretrain_hubert.py
@@ -290,7 +338,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["pretrain", "large", "ctc", "seq2seq", "decode",
-                             "hubert", "all"],
+                             "hubert", "transducer", "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("A8T_BENCH_BUDGET", 1500)),
@@ -315,6 +363,10 @@ def main():
         _single("hubert_base_pretrain_throughput",
                 round(bench_hubert(), 2), {})
         return
+    if args.workload == "transducer":
+        _single("wav2vec2_base_transducer_finetune_throughput",
+                round(bench_transducer(), 2), {})
+        return
     if args.workload == "ctc":
         v = round(bench_ctc(False), 2)
         _single("wav2vec2_base_ctc_finetune_throughput", v,
@@ -337,6 +389,7 @@ def main():
             ("seq2seq_finetune_throughput", bench_seq2seq),
             ("large_pretrain_throughput", bench_pretrain_large),
             ("hubert_pretrain_throughput", bench_hubert),
+            ("transducer_finetune_throughput", bench_transducer),
         ]:
             if time.perf_counter() - start > args.budget:
                 extra[key] = "skipped:budget"

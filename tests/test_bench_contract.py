@@ -17,6 +17,7 @@ def bench(monkeypatch):
     monkeypatch.setattr(bench_mod, "bench_decode", lambda *a, **k: 4000.0)
     monkeypatch.setattr(bench_mod, "bench_seq2seq", lambda *a, **k: 1600.0)
     monkeypatch.setattr(bench_mod, "bench_hubert", lambda *a, **k: 1450.0)
+    monkeypatch.setattr(bench_mod, "bench_transducer", lambda *a, **k: 1550.0)
     return bench_mod
 
 
@@ -43,6 +44,7 @@ def test_all_mode_headline_and_extras(bench, capsys):
     assert e["greedy_decode_rtfx"] == 4000.0
     assert e["seq2seq_finetune_throughput"] == 1600.0
     assert e["hubert_pretrain_throughput"] == 1450.0
+    assert e["transducer_finetune_throughput"] == 1550.0
 
 
 def test_budget_skips_extras_but_keeps_headline(bench, capsys):
@@ -74,3 +76,6 @@ def test_single_workload_modes(bench, capsys):
     rec = _run(bench, capsys, ["--workload", "hubert"])
     assert rec["metric"] == "hubert_base_pretrain_throughput"
     assert rec["value"] == 1450.0
+    rec = _run(bench, capsys, ["--workload", "transducer"])
+    assert rec["metric"] == "wav2vec2_base_transducer_finetune_throughput"
+    assert rec["value"] == 1550.0
