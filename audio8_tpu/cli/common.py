@@ -93,6 +93,8 @@ def resolve_restart(
     conv_depthwise_kernel_size: int = 31,
     rotary_base: float = 10000.0,
     conformer_activation: str = "swish",
+    causal_chunk_frames: int = 0,
+    causal_left_chunks: int = -1,
 ) -> Tuple[Dict, Optional[Any], int]:
     """Resolve --restart_from like the reference (train.py:215-252):
 
@@ -327,7 +329,9 @@ def topology_kwargs(args):
                 position_embeddings_type=args.position_embeddings_type,
                 conv_depthwise_kernel_size=args.conv_depthwise_kernel_size,
                 rotary_base=args.rotary_base,
-                conformer_activation=args.conformer_activation)
+                conformer_activation=args.conformer_activation,
+                causal_chunk_frames=args.causal_chunk_frames,
+                causal_left_chunks=args.causal_left_chunks)
 
 
 def apply_preset(args):
@@ -417,6 +421,15 @@ def add_common_model_args(parser):
     parser.add_argument("--rotary_base", type=float, default=None)
     parser.add_argument("--conformer_activation", default=None,
                         help="conformer block activation (swish)")
+    parser.add_argument("--causal_chunk_frames", type=int, default=0,
+                        help=">0: block-causal streaming attention — each "
+                             "conv frame attends to its own chunk (this "
+                             "many frames) and earlier chunks only; pair "
+                             "with --extractor_mode layer for a streamable "
+                             "stack")
+    parser.add_argument("--causal_left_chunks", type=int, default=-1,
+                        help="cap on how many past chunks attention sees "
+                             "under --causal_chunk_frames (-1 = unlimited)")
     parser.add_argument("--remat", type=str2bool, default=False,
                         help="rematerialize transformer layers in backprop "
                              "(jax.checkpoint); ~1 extra fwd of FLOPs for "

@@ -166,6 +166,12 @@ class EncoderConfig:
     # affine-less LN + GELU each, typically depth 5 / kernel 19) instead
     # of the single weight-normed wav2vec2 pos-conv
     pos_conv_depth: int = 1
+    # >0: block-causal streaming attention (chunk of this many conv
+    # frames; each frame attends to its own + earlier chunks, optionally
+    # capped at causal_left_chunks). Use extractor_mode='layer' for a
+    # truly streamable stack (group-mode instance norm is full-sequence).
+    causal_chunk_frames: int = 0
+    causal_left_chunks: int = -1
     # WavLM gated relative position bias: a bucketed T5-style bias table
     # shared across the stack, scaled per layer by a gate computed from
     # the attention inputs (arXiv 2110.13900)

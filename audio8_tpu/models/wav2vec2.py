@@ -267,6 +267,14 @@ class AudioTransformerEncoder(nn.Module):
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
     moe_every: int = 2
+    # >0: block-causal streaming attention — frame i attends only to
+    # frames in its own chunk (of this many frames) and earlier chunks
+    # (optionally capped at causal_left_chunks). Streamable encoders
+    # need extractor_mode='layer' (the group-mode instance norm
+    # normalizes over the whole time axis) and tolerate the pos-conv's
+    # one-sided lookahead of ~conv_pos_kernel/2 frames.
+    causal_chunk_frames: int = 0
+    causal_left_chunks: int = -1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -330,6 +338,15 @@ class AudioTransformerEncoder(nn.Module):
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0)
         attn_mask = None if pad_mask is None else pad_mask[:, None, None, :]
+        if self.causal_chunk_frames > 0:
+            t = x.shape[1]
+            cid = jnp.arange(t) // self.causal_chunk_frames
+            ok = cid[None, :] <= cid[:, None]  # no future chunks
+            if self.causal_left_chunks >= 0:
+                ok &= cid[None, :] >= cid[:, None] - self.causal_left_chunks
+            chunk_mask = ok[None, None, :, :]
+            attn_mask = (chunk_mask if attn_mask is None
+                         else attn_mask & chunk_mask)
         if self.encoder_type == "conformer":
             return x, attn_mask
         x = x + self.pos_conv(x)
@@ -392,7 +409,9 @@ class Wav2Vec2Encoder(nn.Module):
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,
-            moe_every=cfg.moe_every, **dd)
+            moe_every=cfg.moe_every,
+            causal_chunk_frames=cfg.causal_chunk_frames,
+            causal_left_chunks=cfg.causal_left_chunks, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)
@@ -560,7 +579,9 @@ class Wav2Vec2Model(nn.Module):
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,
-            moe_every=cfg.moe_every, **dd)
+            moe_every=cfg.moe_every,
+            causal_chunk_frames=cfg.causal_chunk_frames,
+            causal_left_chunks=cfg.causal_left_chunks, **dd)
         self.project_q = Dense(cfg.final_dim, **dd)
         self.final_proj = Dense(cfg.final_dim, **dd)
         self.mask_emb = self.param(

@@ -310,6 +310,11 @@ class MultiHeadAttention(nn.Module):
             and cache is None
             and self.rpr_k is None
             and position_bias is None
+            # the flash kernel expresses masking as pad-segment ids, which
+            # only encodes key-validity (B|1, 1, 1, T) masks; arbitrary
+            # (T, T) masks (causal_chunk_frames) take the XLA path
+            and (mask is None
+                 or (getattr(mask, "ndim", 0) == 4 and mask.shape[2] == 1))
             and jax.default_backend() == "tpu"
         ):
             # Pallas flash-attention path (jax.experimental.pallas.ops.tpu).
