@@ -41,6 +41,16 @@ def parse_args(argv=None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--device_beam", type=str2bool, default=False,
                    help="no-LM batch beam decode on device (ops/beam_jax.py)")
+    p.add_argument("--transducer", type=str2bool, default=False,
+                   help="the checkpoint is an a8t-train-transducer model: "
+                        "decode with the jitted batched greedy transducer "
+                        "search (Transducer.decode) instead of CTC")
+    p.add_argument("--pred_layers", type=int, default=2)
+    p.add_argument("--pred_dim", type=int, default=512)
+    p.add_argument("--pred_embed_dim", type=int, default=256)
+    p.add_argument("--d_joint", type=int, default=512)
+    p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--max_symbols_per_frame", type=int, default=4)
     p.add_argument("--vad", type=str2bool, default=False,
                    help="energy-based voice activity detection "
                         "(ops/vad.py): transcribe only speech spans — "
@@ -131,6 +141,86 @@ def load_acoustic(args):
     return cfg, forward, vocab_list, index2vocab, decoder
 
 
+def load_transducer(args):
+    """Jitted greedy-decode stack for an a8t-train-transducer checkpoint.
+
+    Returns ``(cfg, decode, index2vocab)`` where ``decode(signal (B, T),
+    lengths (B,)) -> (tokens, lengths)`` runs the batched transducer
+    search (models/transducer.Transducer.decode) on device.
+    """
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+
+    Offsets.remap_fairseq_ctc()
+    vocab_list = read_vocab_list(args.dict_file)
+    index2vocab = revlut({v: i for i, v in enumerate(vocab_list)})
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = TransducerConfig(
+        vocab_size=len(vocab_list), d_model=args.d_model,
+        num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
+        timestep_masking=0.0, channel_masking=0.0,
+        pred_layers=args.pred_layers, pred_dim=args.pred_dim,
+        pred_embed_dim=args.pred_embed_dim, d_joint=args.d_joint,
+        **topology_kwargs(args))
+    model = Transducer(config=cfg, dtype=dtype)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)),
+                      jnp.asarray([16000], jnp.int32),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    params, _, _ = resolve_restart(args.checkpoint, init, ctc=True,
+                                   num_layers=args.num_layers,
+                                   **topology_kwargs(args))
+    params = jax.device_put(params)
+
+    import functools
+
+    @functools.partial(jax.jit,
+                       static_argnames=("max_output_len", "max_symbols"))
+    def _decode(p, signal, lengths, max_output_len, max_symbols):
+        return model.apply({"params": p}, signal, lengths, max_output_len,
+                           max_symbols, method=Transducer.decode)
+
+    def decode(signal, lengths):
+        return _decode(params, signal, lengths, args.max_decode_len,
+                       args.max_symbols_per_frame)
+
+    return cfg, decode, index2vocab
+
+
+def _transducer_main(args):
+    if args.timestamps or args.chunk_seconds > 0 or args.beam > 1 or args.lm:
+        raise SystemExit(
+            "--transducer supports greedy whole-utterance decoding: "
+            "--timestamps/--chunk_seconds/--beam/--lm are CTC-path flags")
+    cfg, decode, index2vocab = load_transducer(args)
+    reader = SoundfileAudioReader()
+    sr = args.target_sample_rate
+    results = []
+    for path in args.audio:
+        wav = np.asarray(reader.read(path), np.float32)
+        if args.vad:
+            from audio8_tpu.ops.vad import speech_segments
+
+            segs = speech_segments(wav, sr)
+        else:
+            segs = [(0, len(wav))]
+        texts = []
+        for a, b in segs:
+            seg = wav[a:b]
+            t_pad = (len(seg) + sr - 1) // sr * sr
+            signal = np.zeros((1, t_pad), np.float32)
+            signal[0, :len(seg)] = seg
+            toks, lens = decode(jnp.asarray(signal),
+                                jnp.asarray([len(seg)], jnp.int32))
+            ids = np.asarray(toks)[0, :int(np.asarray(lens)[0])]
+            text = postproc_letters([index2vocab[int(i)] for i in ids])
+            if text:
+                texts.append(text)
+        text = " ".join(texts)
+        results.append((path, text))
+        print(f"{path}\t{text}")
+    return results
+
+
 def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
     """One waveform -> ``(text, (T', V) np log-probs)`` via the chunked
     (any length, one compiled program) or one-shot (pad to whole
@@ -158,6 +248,8 @@ def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.transducer:
+        return _transducer_main(args)
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate

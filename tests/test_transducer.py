@@ -185,6 +185,43 @@ def test_step_sharded_dp(rng):
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_transcribe_cli_transducer(tmp_path, rng):
+    """a8t-transcribe --transducer: load a transducer checkpoint, decode
+    a WAV with the jitted greedy search, print path<TAB>text."""
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    letters = ["A", "B", "C", "|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in letters:
+            f.write(f"{ch} 1\n")
+    cfg = _tiny_cfg(4 + len(letters))
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    save_checkpoint({"params": params}, str(tmp_path / "ckpt"), 0)
+    wav = (rng.normal(size=16000) * 4000).astype(np.int16)
+    wavfile.write(str(tmp_path / "u.wav"), 16000, wav)
+
+    from audio8_tpu.cli.transcribe import main
+
+    out = main([str(tmp_path / "u.wav"),
+                "--checkpoint", str(tmp_path / "ckpt-step-0"),
+                "--dict_file", str(tmp_path / "dict.ltr.txt"),
+                "--transducer", "true", "--max_decode_len", "16",
+                "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+                "--d_ff", "64", "--pred_layers", "1", "--pred_dim", "32",
+                "--pred_embed_dim", "16", "--d_joint", "32"])
+    assert len(out) == 1 and out[0][0].endswith("u.wav")
+    assert isinstance(out[0][1], str)  # random weights -> any text
+
+    with pytest.raises(SystemExit):
+        main([str(tmp_path / "u.wav"),
+              "--checkpoint", str(tmp_path / "ckpt-step-0"),
+              "--dict_file", str(tmp_path / "dict.ltr.txt"),
+              "--transducer", "true", "--timestamps", "true"])
+
+
 @pytest.mark.slow
 def test_driver_e2e(tmp_path):
     """The real a8t-train-transducer loop on a synthetic corpus: runs,
