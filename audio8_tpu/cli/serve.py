@@ -60,13 +60,14 @@ class TranscribeService:
 
     def __init__(self, transcriber: ChunkedTranscriber, index2vocab: dict,
                  decoder=None, sample_rate: int = 16_000, info: dict = None,
-                 timestamps: bool = False):
+                 timestamps: bool = False, postproc=None):
         self.transcriber = transcriber
         self.index2vocab = index2vocab
         self.decoder = decoder
         self.sample_rate = sample_rate
         self.info = dict(info or {})
         self.timestamps = timestamps
+        self.postproc = postproc
         self._lock = threading.Lock()
         self._reader = SoundfileAudioReader()
 
@@ -94,7 +95,8 @@ class TranscribeService:
         else:
             with self._lock:
                 lp = self.transcriber.log_probs(wav)
-        text = decode_stitched(lp, self.index2vocab, self.decoder)
+        text = decode_stitched(lp, self.index2vocab, self.decoder,
+                               postproc=self.postproc)
         out = {"text": text,
                "audio_seconds": round(len(wav) / self.sample_rate, 3),
                "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
@@ -243,14 +245,16 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                         st.feed(pcm_to_float(data[:usable], fmt))
                     # greedy partials (cheap host decode); beam/LM waits
                     # for the final
-                    text = st.text_so_far(service.index2vocab)
+                    text = st.text_so_far(service.index2vocab,
+                                          postproc=service.postproc)
                     if text != partial:
                         partial = text
                         self._emit({"partial": text})
                 with lock:
                     lp = st.finish()
                 text = decode_stitched(lp, service.index2vocab,
-                                       service.decoder)
+                                       service.decoder,
+                                       postproc=service.postproc)
                 self._emit({"text": text, "final": True,
                             "audio_seconds": round(
                                 st.samples_fed / service.sample_rate, 3)})
@@ -288,6 +292,10 @@ def parse_args(argv=None):
     p.add_argument("--timestamps", type=str2bool, default=False,
                    help="include word-level {start, end, confidence} from "
                         "the greedy CTC alignment in /transcribe responses")
+    p.add_argument("--target_type", choices=["ltr", "bpe"], default="ltr",
+                   help="unit type the checkpoint was trained on: 'ltr' "
+                        "joins letters on '|' word boundaries, 'bpe' "
+                        "strips '@@ ' continuations (ops/metrics.py)")
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)
@@ -313,7 +321,14 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
     from audio8_tpu.cli.transcribe import load_acoustic
 
+    if args.timestamps and args.target_type != "ltr":
+        raise SystemExit("--timestamps requires --target_type ltr: word "
+                         "boundaries come from the '|' letter unit "
+                         "(ops/align.py)")
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+    from audio8_tpu.ops.metrics import postproc_bpe, postproc_letters
+
+    postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
     sr = args.target_sample_rate
     chunk = int(args.chunk_seconds * sr)
     if args.lane_align:
@@ -348,7 +363,7 @@ def main(argv=None):
                             batch_size=args.batch, batcher=batcher)
     service = TranscribeService(
         ct, index2vocab, decoder, sample_rate=sr,
-        timestamps=args.timestamps,
+        timestamps=args.timestamps, postproc=postproc,
         info={"model": "wav2vec2-ctc", "d_model": args.d_model,
               "num_layers": args.num_layers, "beam": args.beam,
               # the lane-aligned (snapped) window actually served, not

@@ -27,7 +27,7 @@ from audio8_tpu.data.audio import SoundfileAudioReader
 from audio8_tpu.models.text import read_vocab_list
 from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
 from audio8_tpu.ops.ctc import greedy_collapse
-from audio8_tpu.ops.metrics import postproc_letters
+from audio8_tpu.ops.metrics import postproc_bpe, postproc_letters
 from audio8_tpu.utils import Offsets, revlut, str2bool
 
 
@@ -51,6 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--d_joint", type=int, default=512)
     p.add_argument("--max_decode_len", type=int, default=200)
     p.add_argument("--max_symbols_per_frame", type=int, default=4)
+    p.add_argument("--target_type", choices=["ltr", "bpe"], default="ltr",
+                   help="unit type the checkpoint was trained on: 'ltr' "
+                        "joins letters on '|' word boundaries, 'bpe' "
+                        "strips '@@ ' continuations (ops/metrics.py, "
+                        "matching a8t-test's --target_type)")
     p.add_argument("--vad", type=str2bool, default=False,
                    help="energy-based voice activity detection "
                         "(ops/vad.py): transcribe only speech spans — "
@@ -192,6 +197,7 @@ def _transducer_main(args):
             "--transducer supports greedy whole-utterance decoding: "
             "--timestamps/--chunk_seconds/--beam/--lm are CTC-path flags")
     cfg, decode, index2vocab = load_transducer(args)
+    postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
     results = []
@@ -212,7 +218,7 @@ def _transducer_main(args):
             toks, lens = decode(jnp.asarray(signal),
                                 jnp.asarray([len(seg)], jnp.int32))
             ids = np.asarray(toks)[0, :int(np.asarray(lens)[0])]
-            text = postproc_letters([index2vocab[int(i)] for i in ids])
+            text = postproc([index2vocab[int(i)] for i in ids])
             if text:
                 texts.append(text)
         text = " ".join(texts)
@@ -221,7 +227,8 @@ def _transducer_main(args):
     return results
 
 
-def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
+def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr,
+                    postproc=postproc_letters):
     """One waveform -> ``(text, (T', V) np log-probs)`` via the chunked
     (any length, one compiled program) or one-shot (pad to whole
     seconds) path."""
@@ -229,7 +236,8 @@ def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
         from audio8_tpu.serve import decode_stitched
 
         lp = ct.log_probs(wav)
-        return decode_stitched(lp, index2vocab, decoder), lp
+        return decode_stitched(lp, index2vocab, decoder,
+                               postproc=postproc), lp
     t_pad = (len(wav) + sr - 1) // sr * sr
     signal = np.zeros((1, t_pad), np.float32)
     signal[0, :len(wav)] = wav
@@ -242,7 +250,7 @@ def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr):
     else:
         ids = greedy_collapse(np.argmax(lp, -1).astype(np.int32), Offsets.GO)
         chars = [index2vocab[i] for i in ids]
-    return postproc_letters(chars), lp
+    return postproc(chars), lp
 
 
 def main(argv=None):
@@ -250,6 +258,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     if args.transducer:
         return _transducer_main(args)
+    if args.timestamps and args.target_type != "ltr":
+        raise SystemExit("--timestamps requires --target_type ltr: word "
+                         "boundaries come from the '|' letter unit "
+                         "(ops/align.py)")
+    postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
     cfg, forward, _, index2vocab, decoder = load_acoustic(args)
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
@@ -281,7 +294,7 @@ def main(argv=None):
         texts, words = [], []
         for a, b in segs:
             text, lp = _transcribe_wav(wav[a:b], forward, ct, decoder,
-                                       index2vocab, sr)
+                                       index2vocab, sr, postproc)
             if text:
                 texts.append(text)
             if args.timestamps:
