@@ -212,3 +212,23 @@ def test_transcribe_timestamps(server):
         assert set(w) == {"word", "start", "end", "confidence"}
         assert 0 <= w["start"] < w["end"]
         assert 0 < w["confidence"] <= 1
+
+
+def test_transcribe_bpe_postproc(server):
+    """service.postproc threads into /transcribe: with postproc_bpe the
+    '@@ ' continuations are joined instead of letter-convention
+    '|' boundaries (cli/serve.py --target_type bpe)."""
+    from audio8_tpu.ops.metrics import postproc_bpe
+
+    srv, service, ct, i2v = server
+    bpe_i2v = {i: u for i, u in
+               enumerate(["_", "HE@@", "LLO", "WOR@@", "LD", "X@@", "Y", "Z"])}
+    wav = np.random.default_rng(2).normal(size=40_000).astype(np.float32) * .1
+    old_i2v, old_pp = service.index2vocab, service.postproc
+    service.index2vocab, service.postproc = bpe_i2v, postproc_bpe
+    try:
+        status, body = request(srv, "/transcribe", data=wav_bytes(wav))
+    finally:
+        service.index2vocab, service.postproc = old_i2v, old_pp
+    assert status == 200
+    assert "@@ " not in body["text"]
