@@ -188,18 +188,85 @@ def load_transducer(args):
         return _decode(params, signal, lengths, args.max_decode_len,
                        args.max_symbols_per_frame)
 
+    decode.model = model
+    decode.params = params
     return cfg, decode, index2vocab
 
 
-def _transducer_main(args):
-    if args.timestamps or args.chunk_seconds > 0 or args.beam > 1 or args.lm:
-        raise SystemExit(
-            "--transducer supports greedy whole-utterance decoding: "
-            "--timestamps/--chunk_seconds/--beam/--lm are CTC-path flags")
+def load_transducer_stream(args):
+    """Jitted (encode, decode_init, decode_frames) for a
+    ``serve.TransducerStreamer`` — the chunked/streaming transducer path.
+
+    Built from the same checkpoint stack as :func:`load_transducer`;
+    the three fns close over nothing but the module (params ride as jit
+    arguments, see the HTTP-413 note in :func:`load_acoustic`).
+    """
+    import functools
+
+    from audio8_tpu.models.transducer import Transducer
+
     cfg, decode, index2vocab = load_transducer(args)
+    model, params = decode.model, decode.params
+
+    @jax.jit
+    def _encode(p, signal, lengths):
+        enc, frames = model.apply({"params": p}, signal, lengths,
+                                  method=Transducer.encode)
+        return enc.astype(jnp.float32), frames
+
+    @jax.jit
+    def _decode_init(p):
+        return model.apply({"params": p}, 1, method=Transducer.decode_init)
+
+    @functools.partial(jax.jit, static_argnames=("max_symbols",))
+    def _decode_frames(p, enc, n_frames, tokens, n, pred_out, carry,
+                       max_symbols):
+        return model.apply({"params": p}, enc, n_frames, tokens, n,
+                           pred_out, carry, max_symbols,
+                           method=Transducer.decode_frames)
+
+    def encode(signal, lengths):
+        return _encode(params, signal, lengths)
+
+    def decode_init():
+        return _decode_init(params)
+
+    def decode_frames(enc, n_frames, tokens, n, pred_out, carry):
+        return _decode_frames(params, enc, n_frames, tokens, n, pred_out,
+                              carry, args.max_symbols_per_frame)
+
+    return cfg, encode, decode_init, decode_frames, index2vocab
+
+
+def _transducer_main(args):
+    if args.timestamps or args.beam > 1 or args.lm:
+        raise SystemExit(
+            "--transducer decodes greedily: --timestamps/--beam/--lm are "
+            "CTC-path flags")
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
+
+    streamer = None
+    if args.chunk_seconds > 0:
+        from audio8_tpu.serve import TransducerStreamer
+
+        cfg, encode, decode_init, decode_frames, index2vocab = (
+            load_transducer_stream(args))
+        chunk = int(args.chunk_seconds * sr)
+        if args.lane_align:
+            from audio8_tpu.config import lane_aligned_chunk
+            chunk = lane_aligned_chunk(chunk, cfg.conv_features)
+        # the whole-utterance --max_decode_len default (200) is sized for
+        # single clips; a long-audio stream needs room for every label
+        streamer = TransducerStreamer(
+            encode, decode_init, decode_frames, cfg.conv_features,
+            chunk_samples=chunk,
+            context_samples=int(args.context_seconds * sr),
+            max_output_len=max(args.max_decode_len, 8_000))
+    else:
+        cfg, decode, index2vocab = load_transducer(args)
+
     results = []
     for path in args.audio:
         wav = np.asarray(reader.read(path), np.float32)
@@ -212,13 +279,18 @@ def _transducer_main(args):
         texts = []
         for a, b in segs:
             seg = wav[a:b]
-            t_pad = (len(seg) + sr - 1) // sr * sr
-            signal = np.zeros((1, t_pad), np.float32)
-            signal[0, :len(seg)] = seg
-            toks, lens = decode(jnp.asarray(signal),
-                                jnp.asarray([len(seg)], jnp.int32))
-            ids = np.asarray(toks)[0, :int(np.asarray(lens)[0])]
-            text = postproc([index2vocab[int(i)] for i in ids])
+            if streamer is not None:
+                streamer.reset()
+                streamer.feed(seg)
+                text = streamer.finish_text(index2vocab, postproc=postproc)
+            else:
+                t_pad = (len(seg) + sr - 1) // sr * sr
+                signal = np.zeros((1, t_pad), np.float32)
+                signal[0, :len(seg)] = seg
+                toks, lens = decode(jnp.asarray(signal),
+                                    jnp.asarray([len(seg)], jnp.int32))
+                ids = np.asarray(toks)[0, :int(np.asarray(lens)[0])]
+                text = postproc([index2vocab[int(i)] for i in ids])
             if text:
                 texts.append(text)
         text = " ".join(texts)

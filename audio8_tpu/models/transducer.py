@@ -149,26 +149,43 @@ class Transducer(nn.Module):
         logits = self.joint(enc, pred)
         return jax.nn.log_softmax(logits, axis=-1), pad_mask
 
-    def decode(self, x, input_lengths, max_output_len: int = 200,
-               max_symbols_per_frame: int = 4):
-        """Batched greedy transducer decode, one XLA program.
-
-        Per frame, emit argmax labels (advancing the predictor state)
-        until blank, a per-frame emission cap, or the output budget.
-        Returns (tokens (B, max_output_len) PAD-padded, lengths (B,)).
-        """
+    def encode(self, x, input_lengths):
+        """Encoder features for decode: (B, T) waveform -> (enc (B, T', D),
+        frame_lengths (B,)). The chunked/streaming transducer path
+        (serve.TransducerChunkedDecoder) stitches these across fixed-shape
+        windows before running ``decode_frames``."""
         enc, pad_mask = self.encoder(x, input_lengths, train=False)
         b, t_max, _ = enc.shape
-        frame_lengths = (jnp.sum(pad_mask, axis=-1) if pad_mask is not None
+        frame_lengths = (jnp.sum(pad_mask, axis=-1).astype(jnp.int32)
+                         if pad_mask is not None
                          else jnp.full((b,), t_max, jnp.int32))
+        return enc, frame_lengths
+
+    def decode_init(self, batch: int):
+        """Fresh decode state: the predictor advanced once on blank.
+
+        Returns ``(pred_out (B, d_p), carry)`` — combine with an all-PAD
+        token buffer and ``n = 0`` for the full resumable state."""
+        carry = self.predictor.init_carry(batch)
+        return self.predictor.step(
+            carry, jnp.full((batch,), Offsets.GO, jnp.int32))
+
+    def decode_frames(self, enc, frame_lengths, tokens, n, pred_out, carry,
+                      max_symbols_per_frame: int = 4):
+        """Resumable greedy lattice search over one window of encoder
+        frames.
+
+        Threads ``(tokens, n, pred_out, carry)`` in and out so arbitrarily
+        long audio decodes through fixed-shape windows in ONE compiled
+        program: the caller stitches encoder features chunk by chunk and
+        keeps feeding windows, exactly like the reference-free streaming
+        CTC path but with label-history state. Frames at ``t >=
+        frame_lengths[row]`` are inert for that row.
+        """
+        b, t_max, _ = enc.shape
+        max_output_len = tokens.shape[1]
         blank = Offsets.GO
         rows = jnp.arange(b)
-
-        carry = self.predictor.init_carry(b)
-        pred_out, carry = self.predictor.step(
-            carry, jnp.full((b,), blank, jnp.int32))
-        tokens = jnp.full((b, max_output_len), Offsets.PAD, jnp.int32)
-        n = jnp.zeros((b,), jnp.int32)
 
         def frame_body(t, state):
             tokens, n, pred_out, carry = state
@@ -199,8 +216,25 @@ class Transducer(nn.Module):
                 (tokens, n, pred_out, carry, live))
             return tokens, n, pred_out, carry
 
-        tokens, n, _, _ = jax.lax.fori_loop(
+        return jax.lax.fori_loop(
             0, t_max, frame_body, (tokens, n, pred_out, carry))
+
+    def decode(self, x, input_lengths, max_output_len: int = 200,
+               max_symbols_per_frame: int = 4):
+        """Batched greedy transducer decode, one XLA program.
+
+        Per frame, emit argmax labels (advancing the predictor state)
+        until blank, a per-frame emission cap, or the output budget.
+        Returns (tokens (B, max_output_len) PAD-padded, lengths (B,)).
+        """
+        enc, frame_lengths = self.encode(x, input_lengths)
+        b = enc.shape[0]
+        pred_out, carry = self.decode_init(b)
+        tokens = jnp.full((b, max_output_len), Offsets.PAD, jnp.int32)
+        n = jnp.zeros((b,), jnp.int32)
+        tokens, n, _, _ = self.decode_frames(
+            enc, frame_lengths, tokens, n, pred_out, carry,
+            max_symbols_per_frame)
         return tokens, n
 
 

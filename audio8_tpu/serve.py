@@ -368,3 +368,127 @@ class StreamingTranscriber(ChunkedTranscriber):
                     postproc: Optional[Callable] = None) -> str:
         return decode_stitched(self.finish(), index2vocab, decoder,
                                blank, postproc)
+
+
+class TransducerStreamer(StreamingTranscriber):
+    """Streaming RNN-T recognition: feed audio, read partial text.
+
+    The transducer is the streaming-native topology (label-history
+    conditioning, frame-synchronous emissions), and this completes its
+    serving story the same way ``StreamingTranscriber`` completes CTC's:
+    the encoder runs as fixed-shape overlapped chunks whose *feature*
+    rows (not log-probs) are stitched exactly as the CTC path stitches
+    frames, and the greedy lattice search consumes the stable stitched
+    frames through one fixed-width ``decode_frames`` window program,
+    carrying (tokens, n, predictor state) across windows
+    (models/transducer.Transducer.decode_frames). Three compiled
+    programs total — encoder chunk, decode window, decode init — serve
+    any stream length in O(chunk) memory.
+
+    ``encode(signal (1, chunk) f32, lengths (1,)) -> (enc (1, F, D),
+    frames (1,))``, ``decode_init() -> (pred_out, carry)`` and
+    ``decode_frames(enc (1, W, D), n_frames (1,), tokens, n, pred_out,
+    carry) -> (tokens, n, pred_out, carry)`` are the jitted model fns
+    (see cli/transcribe.load_transducer_stream). Decoded ids are exact
+    vs running ``decode_frames`` once over the offline-stitched
+    features (guard-tested); vs the unchunked whole-utterance decode
+    the only divergence is the stitch-boundary feature perturbation the
+    CTC chunked path already documents and bounds with the context
+    margin.
+    """
+
+    def __init__(self, encode: Callable, decode_init: Callable,
+                 decode_frames: Callable, conv_features: Sequence,
+                 chunk_samples: int = 480_000,
+                 context_samples: int = 32_000,
+                 window_frames: Optional[int] = None,
+                 max_output_len: int = 8_000):
+        super().__init__(encode, conv_features, chunk_samples=chunk_samples,
+                         context_samples=context_samples)
+        self.decode_init = decode_init
+        self.decode_frames_fn = decode_frames
+        self.window = int(window_frames or self.frames_per_chunk)
+        self.max_output_len = int(max_output_len)
+        self.reset()
+
+    def reset(self) -> None:
+        super().reset()
+        # __init__ calls reset() through the parent ctor before the
+        # decode fns exist; the decode state initializes lazily
+        self._dec = None
+
+    def _decode_state(self):
+        if self._dec is None:
+            pred_out, carry = self.decode_init()
+            tokens = np.full((1, self.max_output_len), _pad_id(), np.int32)
+            n = np.zeros((1,), np.int32)
+            self._dec = [tokens, n, pred_out, carry]
+        return self._dec
+
+    def feed(self, samples: np.ndarray) -> None:
+        super().feed(samples)
+        self._drain(final=False)
+
+    def _drain(self, final: bool) -> None:
+        """Run full decode windows over un-consumed stable frames; on
+        ``final`` flush the remainder as one short (masked) window."""
+        import jax.numpy as jnp
+
+        self._decode_state()
+        while True:
+            avail = sum(len(p) for p in self._pieces)
+            if avail < self.window and not (final and avail > 0):
+                return
+            take = min(self.window, avail)
+            frames, rest, got = [], [], 0
+            for p in self._pieces:
+                if got >= take:
+                    rest.append(p)
+                    continue
+                use = min(len(p), take - got)
+                frames.append(p[:use])
+                got += use
+                if use < len(p):
+                    rest.append(p[use:])
+            self._pieces = rest
+            flat = np.concatenate(frames, axis=0)
+            win = np.zeros((1, self.window, flat.shape[-1]), np.float32)
+            win[0, :take] = flat
+            out = self.decode_frames_fn(
+                jnp.asarray(win), jnp.asarray([take], jnp.int32), *self._dec)
+            self._dec = list(out)
+
+    def tokens_so_far(self):
+        """(ids list, count) decoded from the stable consumed frames."""
+        state = self._decode_state()
+        tokens, n = np.asarray(state[0]), int(np.asarray(state[1])[0])
+        return tokens[0, :n].tolist(), n
+
+    def text_so_far(self, index2vocab: dict, decoder=None,
+                    blank: Optional[int] = None,
+                    postproc: Optional[Callable] = None) -> str:
+        from audio8_tpu.ops.metrics import postproc_letters
+
+        ids, _ = self.tokens_so_far()
+        return (postproc or postproc_letters)(
+            [index2vocab[int(i)] for i in ids])
+
+    def finish(self) -> np.ndarray:
+        """End of stream: flush encoder chunks, decode every remaining
+        stable frame, return the decoded ids as a 1-D int32 array."""
+        super().finish()
+        self._drain(final=True)
+        ids, _ = self.tokens_so_far()
+        return np.asarray(ids, np.int32)
+
+    def finish_text(self, index2vocab: dict, decoder=None,
+                    blank: Optional[int] = None,
+                    postproc: Optional[Callable] = None) -> str:
+        self.finish()
+        return self.text_so_far(index2vocab, postproc=postproc)
+
+
+def _pad_id() -> int:
+    from audio8_tpu.utils import Offsets
+
+    return int(Offsets.PAD)
