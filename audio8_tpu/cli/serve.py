@@ -50,6 +50,17 @@ from audio8_tpu.serve import (ChunkedTranscriber, MicroBatcher,
 logger = logging.getLogger("audio8_tpu.serve")
 
 
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+_NULL_LOCK = _NullLock()
+
+
 class TranscribeService:
     """Decode-bytes -> text around one ChunkedTranscriber.
 
@@ -124,6 +135,15 @@ class TranscribeService:
                                     context_samples=t.context,
                                     batcher=t.batcher)
 
+    def final_text(self, st, lock=_NULL_LOCK) -> str:
+        """Flush a finished stream to its final text (beam/LM decoder
+        applied here; partials stay greedy). ``lock`` guards only the
+        device flush — the host-side text decode runs outside it."""
+        with lock:
+            lp = st.finish()
+        return decode_stitched(lp, self.index2vocab, self.decoder,
+                               postproc=self.postproc)
+
     def stream_lock(self):
         """Device-dispatch guard for streams: a real lock only when no
         MicroBatcher serializes the device already."""
@@ -132,15 +152,40 @@ class TranscribeService:
         return self._lock
 
 
-class _NullLock:
-    def __enter__(self):
-        return self
+class TransducerService(TranscribeService):
+    """RNN-T serving: per-request ``TransducerStreamer`` state instead of
+    stateless stitched log-probs. ``/transcribe`` and ``/stream`` both
+    ride the resumable windowed lattice search; the encoder chunks share
+    cross-request MicroBatcher batches exactly like the CTC path."""
 
-    def __exit__(self, *exc):
-        return False
+    def __init__(self, streamer_factory, index2vocab: dict,
+                 sample_rate: int = 16_000, info: dict = None,
+                 postproc=None):
+        self._factory = streamer_factory
+        probe = streamer_factory()  # geometry/batcher probe for health()
+        super().__init__(probe, index2vocab, decoder=None,
+                         sample_rate=sample_rate, info=info,
+                         timestamps=False, postproc=postproc)
 
+    def new_stream(self):
+        return self._factory()
 
-_NULL_LOCK = _NullLock()
+    def final_text(self, st, lock=_NULL_LOCK) -> str:
+        with lock:
+            st.finish()
+        return st.text_so_far(self.index2vocab, postproc=self.postproc)
+
+    def transcribe(self, data: bytes, content_type: str = "") -> dict:
+        wav = self.decode_bytes(data, content_type)
+        t0 = time.perf_counter()
+        st = self.new_stream()
+        lock = self.stream_lock()
+        with lock:
+            st.feed(wav)
+        text = self.final_text(st, lock)
+        return {"text": text,
+                "audio_seconds": round(len(wav) / self.sample_rate, 3),
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 1)}
 
 
 def pcm_to_float(data: bytes, fmt: str) -> np.ndarray:
@@ -250,11 +295,7 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                     if text != partial:
                         partial = text
                         self._emit({"partial": text})
-                with lock:
-                    lp = st.finish()
-                text = decode_stitched(lp, service.index2vocab,
-                                       service.decoder,
-                                       postproc=service.postproc)
+                text = service.final_text(st, lock)
                 self._emit({"text": text, "final": True,
                             "audio_seconds": round(
                                 st.samples_fed / service.sample_rate, 3)})
@@ -299,6 +340,17 @@ def parse_args(argv=None):
     p.add_argument("--lm", help="ARPA LM for beam decoding")
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--beta", type=float, default=5.0)
+    p.add_argument("--transducer", type=str2bool, default=False,
+                   help="the checkpoint is an a8t-train-transducer model: "
+                        "serve the streaming RNN-T lattice search "
+                        "(serve.TransducerStreamer) instead of CTC")
+    p.add_argument("--pred_layers", type=int, default=2)
+    p.add_argument("--pred_dim", type=int, default=512)
+    p.add_argument("--pred_embed_dim", type=int, default=256)
+    p.add_argument("--d_joint", type=int, default=512)
+    p.add_argument("--max_decode_len", type=int, default=8_000,
+                   help="transducer label budget per request/stream")
+    p.add_argument("--max_symbols_per_frame", type=int, default=4)
     p.add_argument("--chunk_seconds", type=float, default=30.0)
     p.add_argument("--context_seconds", type=float, default=2.0)
     p.add_argument("--lane_align", type=str2bool, default=True,
@@ -314,6 +366,56 @@ def parse_args(argv=None):
     return apply_preset(p.parse_args(argv))
 
 
+def _serve_transducer(args):
+    """a8t-serve --transducer: the RNN-T serving branch of main()."""
+    if (args.timestamps or args.beam > 1 or args.lm or args.device_beam
+            or args.quantize != "none"):
+        raise SystemExit(
+            "--transducer serves the greedy streaming lattice search: "
+            "--timestamps/--beam/--lm/--device_beam/--quantize are "
+            "CTC-path flags")
+    from audio8_tpu.cli.transcribe import load_transducer_stream
+    from audio8_tpu.ops.metrics import postproc_bpe, postproc_letters
+    from audio8_tpu.serve import TransducerStreamer
+
+    postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
+    cfg, encode, decode_init, decode_frames, index2vocab = (
+        load_transducer_stream(args))
+    sr = args.target_sample_rate
+    chunk = int(args.chunk_seconds * sr)
+    if args.lane_align:
+        chunk = lane_aligned_chunk(chunk, cfg.conv_features)
+    batcher = None
+    if args.batch_wait_ms > 0:
+        batcher = MicroBatcher(encode, chunk, batch_size=args.batch,
+                               max_wait_ms=args.batch_wait_ms)
+
+    def factory():
+        return TransducerStreamer(
+            encode, decode_init, decode_frames, cfg.conv_features,
+            chunk_samples=chunk,
+            context_samples=int(args.context_seconds * sr),
+            max_output_len=args.max_decode_len, batcher=batcher)
+
+    service = TransducerService(
+        factory, index2vocab, sample_rate=sr, postproc=postproc,
+        info={"model": "wav2vec2-transducer", "d_model": args.d_model,
+              "num_layers": args.num_layers,
+              "chunk_seconds": round(chunk / sr, 3)})
+    logger.info("warming up (compiling %d-sample chunk encode + decode "
+                "window)", chunk)
+    st = factory()
+    st.feed(np.zeros(sr, np.float32))
+    st.finish()
+    srv = make_server(service, args.host, args.port)
+    logger.info("serving on %s:%d", *srv.server_address)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return srv
+
+
 def main(argv=None):
     args = parse_args(argv)
     # force=True: importing jax installs absl's root handler at WARNING,
@@ -321,6 +423,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
     from audio8_tpu.cli.transcribe import load_acoustic
 
+    if args.transducer:
+        return _serve_transducer(args)
     if args.timestamps and args.target_type != "ltr":
         raise SystemExit("--timestamps requires --target_type ltr: word "
                          "boundaries come from the '|' letter unit "

@@ -402,9 +402,10 @@ class TransducerStreamer(StreamingTranscriber):
                  chunk_samples: int = 480_000,
                  context_samples: int = 32_000,
                  window_frames: Optional[int] = None,
-                 max_output_len: int = 8_000):
+                 max_output_len: int = 8_000,
+                 batcher: Optional[MicroBatcher] = None):
         super().__init__(encode, conv_features, chunk_samples=chunk_samples,
-                         context_samples=context_samples)
+                         context_samples=context_samples, batcher=batcher)
         self.decode_init = decode_init
         self.decode_frames_fn = decode_frames
         self.window = int(window_frames or self.frames_per_chunk)

@@ -232,3 +232,97 @@ def test_transcribe_bpe_postproc(server):
         service.index2vocab, service.postproc = old_i2v, old_pp
     assert status == 200
     assert "@@ " not in body["text"]
+
+
+@pytest.fixture(scope="module")
+def rnnt_server():
+    """a8t-serve --transducer equivalent: TransducerService over a tiny
+    RNN-T stack."""
+    from audio8_tpu.cli.serve import TransducerService
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+    from audio8_tpu.serve import TransducerStreamer
+
+    cfg = TransducerConfig(
+        vocab_size=10, d_model=32, num_heads=2, num_layers=1, d_ff=64,
+        pred_layers=1, pred_dim=32, pred_embed_dim=16, d_joint=32,
+        timestep_masking=0.0, channel_masking=0.0, dropout=0.0,
+        pred_dropout=0.0, freeze_fx=False)
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+
+    @jax.jit
+    def encode(signal, lengths):
+        enc, frames = model.apply({"params": params}, signal, lengths,
+                                  method=Transducer.encode)
+        return enc.astype(jnp.float32), frames
+
+    @jax.jit
+    def decode_init():
+        return model.apply({"params": params}, 1,
+                           method=Transducer.decode_init)
+
+    @jax.jit
+    def decode_frames(enc, n_frames, tokens, n, pred_out, carry):
+        return model.apply({"params": params}, enc, n_frames, tokens, n,
+                           pred_out, carry, 4,
+                           method=Transducer.decode_frames)
+
+    def factory():
+        return TransducerStreamer(encode, decode_init, decode_frames,
+                                  cfg.conv_features, chunk_samples=32_000,
+                                  context_samples=4_000, window_frames=31,
+                                  max_output_len=512)
+
+    i2v = {i: c for i, c in enumerate("_^$#ABCDE|")}
+    service = TransducerService(factory, i2v,
+                                info={"model": "tiny-rnnt"})
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service, factory, i2v
+    srv.shutdown()
+
+
+def test_rnnt_healthz(rnnt_server):
+    srv, *_ = rnnt_server
+    status, body = request(srv, "/healthz")
+    assert status == 200 and body["ok"] and body["model"] == "tiny-rnnt"
+
+
+def test_rnnt_transcribe_matches_direct(rnnt_server):
+    srv, service, factory, i2v = rnnt_server
+    wav = np.random.default_rng(3).normal(size=50_000).astype(np.float32) * .1
+    status, body = request(srv, "/transcribe", data=wav_bytes(wav))
+    assert status == 200
+    seen = (wav * 32767).astype(np.int16).astype(np.float32) / 32768.0
+    st = factory()
+    st.feed(seen)
+    assert body["text"] == st.finish_text(i2v)
+    assert body["audio_seconds"] == pytest.approx(len(wav) / 16_000,
+                                                  abs=1e-3)
+
+
+def test_rnnt_stream_endpoint(rnnt_server):
+    srv, service, factory, i2v = rnnt_server
+    port = srv.server_address[1]
+    wav = np.random.default_rng(9).normal(size=70_000).astype(np.float32) * .1
+    pcm = (wav * 32767).astype("<i2").tobytes()
+
+    def gen():
+        for i in range(0, len(pcm), 9_999):
+            yield pcm[i:i + 9_999]
+
+    status, lines = stream_request(
+        port, gen(), {"Transfer-Encoding": "chunked"})
+    assert status == 200
+    final = lines[-1]
+    assert final["final"] is True
+    seen = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    st = factory()
+    st.feed(seen)
+    assert final["text"] == st.finish_text(i2v)
+    # 70k samples > one 32k chunk -> at least one interim partial line
+    assert any("partial" in ln for ln in lines[:-1])
