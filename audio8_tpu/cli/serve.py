@@ -146,7 +146,12 @@ class TranscribeService:
 
     def stream_lock(self):
         """Device-dispatch guard for streams: a real lock only when no
-        MicroBatcher serializes the device already."""
+        MicroBatcher carries the heavy encoder forwards. With a batcher,
+        feeds must NOT hold a shared lock (a blocked feed waiting for
+        its batched row would prevent other requests from co-filling the
+        batch). Small per-stream device calls outside the batcher (the
+        transducer's decode windows) stay unserialized — JAX dispatch is
+        thread-safe and they are minor next to the encoder chunks."""
         if self.transcriber.batcher is not None:
             return _NULL_LOCK
         return self._lock
@@ -391,10 +396,15 @@ def _serve_transducer(args):
                                max_wait_ms=args.batch_wait_ms)
 
     def factory():
+        # decode window well under frames_per_chunk: windowing is exact
+        # (tests/test_transducer_streaming.py), and a small window lets
+        # /stream emit partials as soon as the first chunk's stable
+        # frames land instead of waiting for a full chunk's worth more
         return TransducerStreamer(
             encode, decode_init, decode_frames, cfg.conv_features,
             chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr),
+            window_frames=256,
             max_output_len=args.max_decode_len, batcher=batcher)
 
     service = TransducerService(

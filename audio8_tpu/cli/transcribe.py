@@ -49,7 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--pred_dim", type=int, default=512)
     p.add_argument("--pred_embed_dim", type=int, default=256)
     p.add_argument("--d_joint", type=int, default=512)
-    p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--max_decode_len", type=int, default=None,
+                   help="transducer label budget (default 200 for "
+                        "whole-utterance decode, 8000 for --chunk_seconds "
+                        "streams)")
     p.add_argument("--max_symbols_per_frame", type=int, default=4)
     p.add_argument("--target_type", choices=["ltr", "bpe"], default="ltr",
                    help="unit type the checkpoint was trained on: 'ltr' "
@@ -188,9 +191,7 @@ def load_transducer(args):
         return _decode(params, signal, lengths, args.max_decode_len,
                        args.max_symbols_per_frame)
 
-    decode.model = model
-    decode.params = params
-    return cfg, decode, index2vocab
+    return cfg, decode, index2vocab, model, params
 
 
 def load_transducer_stream(args):
@@ -205,8 +206,7 @@ def load_transducer_stream(args):
 
     from audio8_tpu.models.transducer import Transducer
 
-    cfg, decode, index2vocab = load_transducer(args)
-    model, params = decode.model, decode.params
+    cfg, decode, index2vocab, model, params = load_transducer(args)
 
     @jax.jit
     def _encode(p, signal, lengths):
@@ -239,10 +239,13 @@ def load_transducer_stream(args):
 
 
 def _transducer_main(args):
-    if args.timestamps or args.beam > 1 or args.lm:
+    if (args.timestamps or args.beam > 1 or args.lm or args.device_beam
+            or args.quantize != "none"):
         raise SystemExit(
-            "--transducer decodes greedily: --timestamps/--beam/--lm are "
-            "CTC-path flags")
+            "--transducer decodes greedily: --timestamps/--beam/--lm/"
+            "--device_beam/--quantize are CTC-path flags")
+    stream_budget = args.max_decode_len or 8_000
+    args.max_decode_len = args.max_decode_len or 200
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
     reader = SoundfileAudioReader()
     sr = args.target_sample_rate
@@ -257,15 +260,13 @@ def _transducer_main(args):
         if args.lane_align:
             from audio8_tpu.config import lane_aligned_chunk
             chunk = lane_aligned_chunk(chunk, cfg.conv_features)
-        # the whole-utterance --max_decode_len default (200) is sized for
-        # single clips; a long-audio stream needs room for every label
         streamer = TransducerStreamer(
             encode, decode_init, decode_frames, cfg.conv_features,
             chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr),
-            max_output_len=max(args.max_decode_len, 8_000))
+            max_output_len=stream_budget)
     else:
-        cfg, decode, index2vocab = load_transducer(args)
+        cfg, decode, index2vocab, _, _ = load_transducer(args)
 
     results = []
     for path in args.audio:

@@ -152,8 +152,8 @@ class Transducer(nn.Module):
     def encode(self, x, input_lengths):
         """Encoder features for decode: (B, T) waveform -> (enc (B, T', D),
         frame_lengths (B,)). The chunked/streaming transducer path
-        (serve.TransducerChunkedDecoder) stitches these across fixed-shape
-        windows before running ``decode_frames``."""
+        (serve.TransducerStreamer) stitches these across fixed-shape
+        chunks before running ``decode_frames``."""
         enc, pad_mask = self.encoder(x, input_lengths, train=False)
         b, t_max, _ = enc.shape
         frame_lengths = (jnp.sum(pad_mask, axis=-1).astype(jnp.int32)
