@@ -150,11 +150,13 @@ def load_acoustic(args):
 
 
 def load_transducer(args):
-    """Jitted greedy-decode stack for an a8t-train-transducer checkpoint.
+    """Jitted decode stack for an a8t-train-transducer checkpoint.
 
-    Returns ``(cfg, decode, index2vocab)`` where ``decode(signal (B, T),
-    lengths (B,)) -> (tokens, lengths)`` runs the batched transducer
-    search (models/transducer.Transducer.decode) on device.
+    Returns ``(cfg, decode, index2vocab, model, params)`` where
+    ``decode(signal (B, T), lengths (B,)) -> (tokens, lengths)`` runs
+    the batched transducer search on device — greedy
+    (Transducer.decode) or, when ``args.beam > 1``, the 1-best of the
+    time-synchronous beam search (Transducer.decode_beam).
     """
     from audio8_tpu.config import TransducerConfig
     from audio8_tpu.models.transducer import Transducer
@@ -187,9 +189,24 @@ def load_transducer(args):
         return model.apply({"params": p}, signal, lengths, max_output_len,
                            max_symbols, method=Transducer.decode)
 
-    def decode(signal, lengths):
-        return _decode(params, signal, lengths, args.max_decode_len,
-                       args.max_symbols_per_frame)
+    @functools.partial(jax.jit,
+                       static_argnames=("beam", "max_output_len",
+                                        "max_symbols"))
+    def _decode_beam(p, signal, lengths, beam, max_output_len, max_symbols):
+        return model.apply({"params": p}, signal, lengths, beam,
+                           max_output_len, max_symbols,
+                           method=Transducer.decode_beam)
+
+    if args.beam > 1:
+        def decode(signal, lengths):
+            toks, n, _ = _decode_beam(params, signal, lengths, args.beam,
+                                      args.max_decode_len,
+                                      args.max_symbols_per_frame)
+            return toks[:, 0], n[:, 0]  # 1-best of the sorted beams
+    else:
+        def decode(signal, lengths):
+            return _decode(params, signal, lengths, args.max_decode_len,
+                           args.max_symbols_per_frame)
 
     return cfg, decode, index2vocab, model, params
 
@@ -239,11 +256,16 @@ def load_transducer_stream(args):
 
 
 def _transducer_main(args):
-    if (args.timestamps or args.beam > 1 or args.lm or args.device_beam
+    if (args.timestamps or args.lm or args.device_beam
             or args.quantize != "none"):
         raise SystemExit(
-            "--transducer decodes greedily: --timestamps/--beam/--lm/"
-            "--device_beam/--quantize are CTC-path flags")
+            "--transducer: --timestamps/--lm/--device_beam/--quantize "
+            "are CTC-path flags")
+    if args.beam > 1 and args.chunk_seconds > 0:
+        raise SystemExit(
+            "--transducer beam search decodes whole utterances; the "
+            "--chunk_seconds streaming path is greedy "
+            "(serve.TransducerStreamer)")
     stream_budget = args.max_decode_len or 8_000
     args.max_decode_len = args.max_decode_len or 200
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters

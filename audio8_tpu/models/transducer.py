@@ -238,6 +238,204 @@ class Transducer(nn.Module):
         return tokens, n
 
 
+    def decode_beam(self, x, input_lengths, beam: int = 8,
+                    max_output_len: int = 200,
+                    max_symbols_per_frame: int = 4):
+        """Batched time-synchronous RNN-T beam search, one XLA program.
+
+        Per frame each hypothesis either *closes* (consumes the frame's
+        blank) or extends with a label, for ``max_symbols_per_frame``
+        rounds plus one forced-close round — so every surviving
+        alignment carries exactly one blank per frame, and the final
+        score is the log-sum over all explored alignments of the label
+        sequence (merging below). Beyond the reference (the on-device
+        analog of torchaudio's RNNTBeamSearch; audio8 has no transducer
+        at all).
+
+        Hypotheses with EQUAL label sequences merge exactly, in the
+        style of ops/beam_jax.py: candidates sort lexicographically by
+        (closed, rolling-hash pair) with ``lax.sort``, equal runs
+        segment-logsumexp their scores, and the run head survives as
+        representative. Unlike CTC, the merge is exact for the state
+        too: the predictor is a deterministic function of the label
+        history, so equal sequences have equal (pred_out, carry) and any
+        representative carries the right state. Open and closed nodes
+        never merge (``closed`` is the leading sort key): an open node
+        can still emit at this frame, so they are distinct search
+        states.
+
+        Returns (tokens (B, K, max_output_len) PAD-padded, lengths
+        (B, K), scores (B, K)), beams sorted by descending score.
+        """
+        neg = -1.0e30
+        enc, frame_lengths = self.encode(x, input_lengths)
+        b, t_max, _ = enc.shape
+        k, u_max = beam, max_output_len
+        blank = Offsets.GO
+        v = self.config.vocab_size
+        ext_syms = jnp.asarray([s for s in range(v) if s != blank],
+                               jnp.int32)
+        mul1, mul2 = jnp.uint32(1000003), jnp.uint32(2654435761)
+        arange_k = jnp.arange(k, dtype=jnp.int32)
+        rows = jnp.arange(b)
+
+        def flat_step(carry, tok):
+            """predictor.step over the flattened (B*K,) hypothesis axis."""
+            flat = [(c.reshape(b * k, -1), h.reshape(b * k, -1))
+                    for c, h in carry]
+            out, new = self.predictor.step(flat, tok.reshape(b * k))
+            return (out.reshape(b, k, -1),
+                    [(c.reshape(b, k, -1), h.reshape(b, k, -1))
+                     for c, h in new])
+
+        # beam 0 = the empty sequence; the rest are -inf duds with
+        # distinct hashes so they can never merge with a live node
+        pred0, carry0 = self.decode_init(b)
+        d_p = pred0.shape[-1]
+        pred_out = jnp.broadcast_to(pred0[:, None], (b, k, d_p))
+        carry = [(jnp.broadcast_to(c[:, None], (b, k, c.shape[-1])),
+                  jnp.broadcast_to(h[:, None], (b, k, h.shape[-1])))
+                 for c, h in carry0]
+        state = dict(
+            tokens=jnp.full((b, k, u_max), Offsets.PAD, jnp.int32),
+            n=jnp.zeros((b, k), jnp.int32),
+            score=jnp.full((b, k), neg).at[:, 0].set(0.0),
+            h1=jnp.tile(jnp.arange(1, k + 1, dtype=jnp.uint32)[None],
+                        (b, 1)),
+            h2=jnp.tile((jnp.arange(1, k + 1, dtype=jnp.uint32)
+                         * 7919)[None], (b, 1)),
+            pred=pred_out, carry=carry)
+
+        def round_fn(state, closed, lp, force_close):
+            """One expansion round inside a frame. lp: (B, K, V)."""
+            # close candidates (M1 = K rows): already-closed nodes pass
+            # through without re-paying the blank
+            close_score = state["score"] + jnp.where(
+                closed, 0.0, lp[:, :, blank])
+            # label candidates (M2 = K*(V-1))
+            lbl_ok = (~closed) & (state["n"] < u_max)
+            if force_close:  # static: the frame's last expansion round
+                lbl_ok = jnp.zeros_like(lbl_ok)
+            lbl_ok = lbl_ok[:, :, None]
+            lbl_score = jnp.where(
+                lbl_ok, state["score"][:, :, None] + lp[:, :, ext_syms],
+                neg)
+            sym_u = (ext_syms + 1).astype(jnp.uint32)
+            lbl_h1 = state["h1"][:, :, None] * mul1 + sym_u[None, None, :]
+            lbl_h2 = state["h2"][:, :, None] * mul2 + sym_u[None, None, :]
+
+            m2 = k * (v - 1)
+
+            def kv(a):
+                return a.reshape(b, m2)
+
+            def bc(a):
+                return kv(jnp.broadcast_to(a, (b, k, v - 1)))
+
+            cat = lambda p, q: jnp.concatenate([p, q], axis=1)
+            c_closed = cat(jnp.ones((b, k), jnp.uint32),
+                           jnp.zeros((b, m2), jnp.uint32))
+            c_h1 = cat(state["h1"], kv(lbl_h1))
+            c_h2 = cat(state["h2"], kv(lbl_h2))
+            c_score = cat(close_score, kv(lbl_score))
+            c_parent = cat(arange_k[None].repeat(b, 0),
+                           bc(arange_k[None, :, None]))
+            c_token = cat(jnp.full((b, k), -1, jnp.int32),
+                          bc(ext_syms[None, None, :]))
+
+            cl_s, h1_s, h2_s, sc_s, par_s, tok_s = jax.lax.sort(
+                (c_closed, c_h1, c_h2, c_score, c_parent, c_token),
+                dimension=1, num_keys=3, is_stable=True)
+            first = jnp.concatenate(
+                [jnp.ones((b, 1), bool),
+                 (cl_s[:, 1:] != cl_s[:, :-1])
+                 | (h1_s[:, 1:] != h1_s[:, :-1])
+                 | (h2_s[:, 1:] != h2_s[:, :-1])], axis=1)
+            m = k * v
+            seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+            ids = (seg + jnp.arange(b, dtype=jnp.int32)[:, None] * m).ravel()
+            flat = sc_s.ravel()
+            mx = jnp.maximum(
+                jax.ops.segment_max(flat, ids, num_segments=b * m), neg)
+            ssum = jax.ops.segment_sum(jnp.exp(flat - mx[ids]), ids,
+                                       num_segments=b * m)
+            merged = (mx + jnp.log(jnp.maximum(ssum, 1e-38)))[ids].reshape(
+                b, m)
+            rank_score = jnp.where(first, merged, neg)
+            _, top = jax.lax.top_k(rank_score, k)
+
+            def pick(a):
+                return jnp.take_along_axis(a, top, axis=1)
+
+            parent = pick(par_s)
+            token = pick(tok_s)
+            new_closed = pick(cl_s).astype(bool)
+
+            def by_parent(a):
+                return jnp.take_along_axis(
+                    a, parent.reshape(b, k, *([1] * (a.ndim - 2))), axis=1)
+
+            emitted = token >= 0
+            n_par = jnp.take_along_axis(state["n"], parent, axis=1)
+            tokens = by_parent(state["tokens"])
+            pos = jnp.minimum(n_par, u_max - 1)
+            tokens = tokens.at[rows[:, None], arange_k[None], pos].set(
+                jnp.where(emitted, token,
+                          tokens[rows[:, None], arange_k[None], pos]))
+            pred_par = by_parent(state["pred"])
+            carry_par = [(by_parent(c), by_parent(h))
+                         for c, h in state["carry"]]
+            step_out, step_carry = flat_step(
+                carry_par, jnp.where(emitted, token, blank))
+            sel = emitted[:, :, None]
+            new_state = dict(
+                tokens=tokens,
+                n=n_par + emitted.astype(jnp.int32),
+                score=pick(merged),
+                h1=pick(h1_s), h2=pick(h2_s),
+                pred=jnp.where(sel, step_out, pred_par),
+                carry=[(jnp.where(sel, c2, c1), jnp.where(sel, h2_, h1_))
+                       for (c1, h1_), (c2, h2_) in zip(carry_par,
+                                                       step_carry)])
+            return new_state, new_closed
+
+        def frame_body(t, state):
+            active = (t < frame_lengths)[:, None]
+            closed = jnp.zeros((b, k), bool)
+            new = state
+            for r in range(max_symbols_per_frame + 1):
+                lp = jax.nn.log_softmax(self.joint.single(
+                    jnp.broadcast_to(enc[:, t][:, None],
+                                     (b, k, enc.shape[-1])
+                                     ).reshape(b * k, -1),
+                    new["pred"].reshape(b * k, -1)
+                ).reshape(b, k, v), axis=-1)
+                new, closed = round_fn(
+                    new, closed, lp,
+                    force_close=(r == max_symbols_per_frame))
+            # rows whose audio ended keep their state untouched
+            out = {}
+            for key, val in new.items():
+                if key == "carry":
+                    out[key] = [
+                        (jnp.where(active[:, :, None], c2, c1),
+                         jnp.where(active[:, :, None], h2, h1))
+                        for (c1, h1), (c2, h2) in zip(state[key], val)]
+                elif val.ndim == 3:
+                    out[key] = jnp.where(active[:, :, None], val,
+                                         state[key])
+                else:
+                    out[key] = jnp.where(active, val, state[key])
+            return out
+
+        state = jax.lax.fori_loop(0, t_max, frame_body, state)
+        order = jnp.argsort(-state["score"], axis=1)
+        return (jnp.take_along_axis(state["tokens"], order[:, :, None],
+                                    axis=1),
+                jnp.take_along_axis(state["n"], order, axis=1),
+                jnp.take_along_axis(state["score"], order, axis=1))
+
+
 def create_transducer_model(
     vocab_size: int,
     config: Optional[TransducerConfig] = None,

@@ -1,0 +1,145 @@
+"""RNN-T beam search (Transducer.decode_beam): beam-1 == greedy,
+unpruned beam score == exact lattice marginal, n-best ordering."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio8_tpu.config import TransducerConfig
+from audio8_tpu.models.transducer import Transducer
+from audio8_tpu.utils import Offsets
+from tests.test_transducer import np_rnnt_nll
+
+
+def _cfg(v=10):
+    return TransducerConfig(
+        vocab_size=v, d_model=32, num_heads=2, num_layers=1, d_ff=64,
+        pred_layers=1, pred_dim=32, pred_embed_dim=16, d_joint=32,
+        timestep_masking=0.0, channel_masking=0.0, dropout=0.0,
+        pred_dropout=0.0, freeze_fx=False)
+
+
+def _init(cfg, seed=0):
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    return model, params
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam1_equals_greedy(seed):
+    """A width-1 beam makes exactly greedy's argmax choice each round,
+    so the decoded tokens match token-for-token."""
+    cfg = _cfg()
+    model, params = _init(cfg, seed)
+    wav = np.random.default_rng(seed).normal(size=(2, 16_000)) * 0.1
+    sig = jnp.asarray(wav, jnp.float32)
+    lens = jnp.asarray([16_000, 12_000], jnp.int32)
+
+    toks_g, n_g = model.apply({"params": params}, sig, lens, 64, 4,
+                              method=Transducer.decode)
+    toks_b, n_b, score = model.apply({"params": params}, sig, lens, 1, 64,
+                                     4, method=Transducer.decode_beam)
+    for r in range(2):
+        g = np.asarray(toks_g)[r, :int(n_g[r])].tolist()
+        bb = np.asarray(toks_b)[r, 0, :int(n_b[r, 0])].tolist()
+        assert bb == g
+    assert np.all(np.isfinite(np.asarray(score)[:, 0]))
+
+
+def test_unpruned_beam_scores_are_exact_marginals():
+    """On a 2-frame input with a beam wide enough to never prune, each
+    returned sequence's beam score equals its true lattice marginal
+    log P(y | x) (brute-force numpy DP) — the merging machinery sums
+    alignments exactly."""
+    cfg = _cfg(v=4)  # blank=GO=1 + 3 real labels under default Offsets
+    model, params = _init(cfg, 3)
+    # 720 samples -> exactly 2 conv frames (stride 320, RF 400)
+    wav = np.random.default_rng(0).normal(size=(1, 720)).astype(np.float32)
+    sig = jnp.asarray(wav)
+    lens = jnp.asarray([720], jnp.int32)
+
+    # max 2 labels/frame, T=2 -> any sequence with len(y) <= 2 has ALL
+    # its alignments within the per-frame emission cap
+    toks, n, scores = model.apply({"params": params}, sig, lens, 128, 8, 2,
+                                  method=Transducer.decode_beam)
+    toks, n, scores = (np.asarray(toks), np.asarray(n), np.asarray(scores))
+
+    blank = int(Offsets.GO)
+    checked = 0
+    seen = set()
+    for kk in range(128):
+        if scores[0, kk] < -1e20:
+            continue
+        y = tuple(toks[0, kk, :n[0, kk]].tolist())
+        assert y not in seen, f"duplicate sequence {y} in the beam"
+        seen.add(y)
+        if len(y) > 2:
+            continue
+        y_arr = (jnp.asarray([list(y) + [0] * (4 - len(y))], jnp.int32)
+                 if len(y) else jnp.zeros((1, 4), jnp.int32))
+        lp, _ = model.apply({"params": params}, sig, lens, y_arr)
+        nll = np_rnnt_nll(np.asarray(lp)[0], 2, list(y) + [0] * 4, len(y),
+                          blank)
+        np.testing.assert_allclose(scores[0, kk], -nll, rtol=1e-4,
+                                   atol=1e-4)
+        checked += 1
+    assert checked >= 5  # empty seq + several length-1/2 sequences
+
+
+def test_nbest_sorted_and_improves_on_greedy():
+    """Beams come back score-sorted, and the best beam's score is at
+    least the width-1 beam's (a superset search can't do worse)."""
+    cfg = _cfg()
+    model, params = _init(cfg, 7)
+    wav = np.random.default_rng(4).normal(size=(1, 16_000)) * 0.1
+    sig = jnp.asarray(wav, jnp.float32)
+    lens = jnp.asarray([16_000], jnp.int32)
+
+    dec = functools.partial(model.apply, {"params": params}, sig, lens,
+                            method=Transducer.decode_beam)
+    _, _, s1 = dec(1, 64, 4)
+    toks, n, s8 = dec(8, 64, 4)
+    s8 = np.asarray(s8)[0]
+    assert np.all(np.diff(s8[np.isfinite(s8) & (s8 > -1e20)]) <= 1e-6)
+    assert s8[0] >= float(np.asarray(s1)[0, 0]) - 1e-5
+
+
+def test_transcribe_cli_transducer_beam(tmp_path):
+    """a8t-transcribe --transducer --beam 4 decodes through
+    Transducer.decode_beam (1-best)."""
+    from scipy.io import wavfile
+
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    letters = ["A", "B", "C", "|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in letters:
+            f.write(f"{ch} 1\n")
+    cfg = _cfg(4 + len(letters))
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    save_checkpoint({"params": params}, str(tmp_path / "ckpt"), 0)
+    rng = np.random.default_rng(2)
+    wavfile.write(str(tmp_path / "u.wav"), 16_000,
+                  (rng.normal(size=16_000) * 4000).astype(np.int16))
+
+    from audio8_tpu.cli.transcribe import main
+
+    args = [str(tmp_path / "u.wav"),
+            "--checkpoint", str(tmp_path / "ckpt-step-0"),
+            "--dict_file", str(tmp_path / "dict.ltr.txt"),
+            "--transducer", "true", "--max_decode_len", "16",
+            "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+            "--d_ff", "64", "--pred_layers", "1", "--pred_dim", "32",
+            "--pred_embed_dim", "16", "--d_joint", "32"]
+    out = main(args + ["--beam", "4"])
+    assert len(out) == 1 and isinstance(out[0][1], str)
+
+    with pytest.raises(SystemExit):  # streaming beam is not a thing
+        main(args + ["--beam", "4", "--chunk_seconds", "1.0"])
