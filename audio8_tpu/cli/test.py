@@ -93,6 +93,18 @@ def evaluate(argv=None):
     parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
     parser.add_argument("--lm")
     parser.add_argument("--beam", type=int, default=1)
+    parser.add_argument("--transducer", type=str2bool, default=False,
+                        help="the checkpoint is an a8t-train-transducer "
+                             "model: WER/CER from the jitted transducer "
+                             "search (greedy, or --beam K via "
+                             "Transducer.decode_beam); --lm/--device_beam/"
+                             "--lm_rescore stay CTC-only")
+    parser.add_argument("--pred_layers", type=int, default=2)
+    parser.add_argument("--pred_dim", type=int, default=512)
+    parser.add_argument("--pred_embed_dim", type=int, default=256)
+    parser.add_argument("--d_joint", type=int, default=512)
+    parser.add_argument("--max_decode_len", type=int, default=200)
+    parser.add_argument("--max_symbols_per_frame", type=int, default=4)
     parser.add_argument("--device_beam", type=str2bool, default=False,
                         help="no-LM batch beam decode on device "
                              "(ops/beam_jax.py); wins for wide beams/"
@@ -134,6 +146,12 @@ def evaluate(argv=None):
     ctc_decoder = None
     beam_lm_key = None
     rescorer = None
+    if args.transducer:
+        if args.lm or args.device_beam or args.lm_rescore or \
+                args.quantize != "none":
+            raise ValueError("--transducer eval: --lm/--device_beam/"
+                             "--lm_rescore/--quantize are CTC-path flags")
+        return _evaluate_transducer(args, vocab, index2vocab, vec)
     if args.lm_rescore and args.beam <= 1:
         raise ValueError("--lm_rescore needs --beam > 1 (it reranks the "
                          "beam's n-best list)")
@@ -214,6 +232,93 @@ def evaluate(argv=None):
         metrics["wer"] = (w_errors / max(w_total, 1)) * 100
         if beam_lm_key:
             metrics[beam_lm_key] = (wlm_errors / max(w_total, 1)) * 100
+        metrics["step"] = j + 1
+        if (j + 1) % args.steps_per_update == 0:
+            logger.info(metrics)
+    logger.info("Final results")
+    logger.info(metrics)
+    return metrics
+
+
+def _evaluate_transducer(args, vocab, index2vocab, vec):
+    """The eval loop for an RNN-T checkpoint: jitted transducer search
+    (greedy, or beam 1-best) + decode_metrics WER/CER — the transducer
+    analog of the CTC flow above, behind the same flag surface."""
+    import functools
+
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+
+    valid_set = AudioTextLetterDataset(
+        os.path.join(args.root_dir, args.valid_dataset), vec,
+        args.target_tokens_per_batch, args.max_sample_len,
+        input_sample_rate=args.input_sample_rate,
+        target_sample_rate=args.target_sample_rate,
+        shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        pad_to_multiple=args.pad_to_multiple,
+        length_grid=args.length_buckets,
+        lane_align=args.lane_align)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = TransducerConfig(
+        vocab_size=len(vocab), sample_rate=args.target_sample_rate // 1000,
+        d_model=args.d_model, num_heads=args.num_heads,
+        num_layers=args.num_layers, d_ff=args.d_ff,
+        timestep_masking=0.0, channel_masking=0.0,
+        pred_layers=args.pred_layers, pred_dim=args.pred_dim,
+        pred_embed_dim=args.pred_embed_dim, d_joint=args.d_joint,
+        **topology_kwargs(args))
+    model = Transducer(config=cfg, dtype=dtype)
+
+    checkpoint = args.checkpoint
+    if not checkpoint:
+        from audio8_tpu.train.checkpoint import find_latest_checkpoint
+        checkpoint, _ = find_latest_checkpoint(args.basedir)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, args.pad_to_multiple), jnp.float32),
+                      jnp.asarray([args.pad_to_multiple], jnp.int32),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    params, _, _ = resolve_restart(checkpoint, init, ctc=True,
+                                   num_layers=args.num_layers,
+                                   sr=args.target_sample_rate // 1000,
+                                   **topology_kwargs(args))
+    params = jax.device_put(params)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _decode(p, signal, lengths, k):
+        if k > 1:
+            toks, n, _ = model.apply(
+                {"params": p}, signal, lengths, k, args.max_decode_len,
+                args.max_symbols_per_frame, method=Transducer.decode_beam)
+            return toks[:, 0], n[:, 0]
+        return model.apply({"params": p}, signal, lengths,
+                           args.max_decode_len, args.max_symbols_per_frame,
+                           method=Transducer.decode)
+
+    postproc = (M.postproc_letters if args.target_type != "bpe"
+                else M.postproc_bpe)
+    metrics = {}
+    c_errors = c_total = w_errors = w_total = 0
+    for j, batch in enumerate(PrefetchLoader(valid_set, prefetch=4)):
+        if j > args.valid_steps:
+            break
+        toks, lens = _decode(params, jnp.asarray(batch["signal"]),
+                             jnp.asarray(batch["signal_lengths"]),
+                             args.beam)
+        n_real = batch.get("num_real", len(batch["signal_lengths"]))
+        toks, lens = np.asarray(toks)[:n_real], np.asarray(lens)[:n_real]
+        decoded = [toks[i, :lens[i]].tolist() for i in range(n_real)]
+        if args.verbose:
+            for ids in decoded:
+                print(postproc([index2vocab[t] for t in ids]))
+        sm = M.decode_metrics(decoded, batch["token_ids"][:n_real],
+                              index2vocab, postproc_fn=postproc)
+        c_errors += sm["c_errors"]
+        w_errors += sm["w_errors"]
+        c_total += sm["c_total"]
+        w_total += sm["w_total"]
+        metrics["cer"] = (c_errors / max(c_total, 1)) * 100
+        metrics["wer"] = (w_errors / max(w_total, 1)) * 100
         metrics["step"] = j + 1
         if (j + 1) % args.steps_per_update == 0:
             logger.info(metrics)

@@ -143,3 +143,54 @@ def test_transcribe_cli_transducer_beam(tmp_path):
 
     with pytest.raises(SystemExit):  # streaming beam is not a thing
         main(args + ["--beam", "4", "--chunk_seconds", "1.0"])
+
+
+def test_eval_driver_transducer(tmp_path):
+    """a8t-test --transducer: manifest eval with WER/CER from the
+    transducer search (greedy and beam agree on the metric keys)."""
+    from scipy.io import wavfile
+
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(0)
+    rows, ltr = [], []
+    for i in range(3):
+        name = f"v{i}.wav"
+        wavfile.write(str(tmp_path / name), 16_000,
+                      (rng.normal(size=8_000) * 4000).astype(np.int16))
+        rows.append(f"{name}\t8000")
+        ltr.append("A B |")
+    with open(tmp_path / "valid.tsv", "w") as f:
+        f.write(str(tmp_path) + "\n" + "\n".join(rows) + "\n")
+    with open(tmp_path / "valid.ltr", "w") as f:
+        f.write("\n".join(ltr) + "\n")
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in ["A", "B", "C", "|"]:
+            f.write(f"{ch} 1\n")
+
+    cfg = _cfg(4 + 4)
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    save_checkpoint({"params": params}, str(tmp_path / "ckpt"), 0)
+
+    from audio8_tpu.cli.test import evaluate
+
+    base = ["--root_dir", str(tmp_path), "--valid_dataset", "valid.tsv",
+            "--checkpoint", str(tmp_path / "ckpt-step-0"),
+            "--transducer", "true", "--max_decode_len", "16",
+            "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+            "--d_ff", "64", "--pred_layers", "1", "--pred_dim", "32",
+            "--pred_embed_dim", "16", "--d_joint", "32",
+            "--target_tokens_per_batch", "32000",
+            "--pad_to_multiple", "4000"]
+    m = evaluate(base)
+    assert {"wer", "cer", "step"} <= set(m)
+    assert m["wer"] >= 0 and m["cer"] >= 0
+
+    m_beam = evaluate(base + ["--beam", "4"])
+    assert m_beam["wer"] >= 0
+
+    with pytest.raises(ValueError):
+        evaluate(base + ["--lm_rescore", "x"])
