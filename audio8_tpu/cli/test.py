@@ -97,8 +97,9 @@ def evaluate(argv=None):
                         help="the checkpoint is an a8t-train-transducer "
                              "model: WER/CER from the jitted transducer "
                              "search (greedy, or --beam K via "
-                             "Transducer.decode_beam); --lm/--device_beam/"
-                             "--lm_rescore stay CTC-only")
+                             "Transducer.decode_beam; --lm_rescore reranks "
+                             "the beam's n-best); --lm/--device_beam stay "
+                             "CTC-only")
     parser.add_argument("--pred_layers", type=int, default=2)
     parser.add_argument("--pred_dim", type=int, default=512)
     parser.add_argument("--pred_embed_dim", type=int, default=256)
@@ -147,10 +148,12 @@ def evaluate(argv=None):
     beam_lm_key = None
     rescorer = None
     if args.transducer:
-        if args.lm or args.device_beam or args.lm_rescore or \
-                args.quantize != "none":
+        if args.lm or args.device_beam or args.quantize != "none":
             raise ValueError("--transducer eval: --lm/--device_beam/"
-                             "--lm_rescore/--quantize are CTC-path flags")
+                             "--quantize are CTC-path flags")
+        if args.lm_rescore and args.beam <= 1:
+            raise ValueError("--lm_rescore needs --beam > 1 (it reranks "
+                             "the transducer beam's n-best list)")
         return _evaluate_transducer(args, vocab, index2vocab, vec)
     if args.lm_rescore and args.beam <= 1:
         raise ValueError("--lm_rescore needs --beam > 1 (it reranks the "
@@ -284,16 +287,27 @@ def _evaluate_transducer(args, vocab, index2vocab, vec):
                                    **topology_kwargs(args))
     params = jax.device_put(params)
 
+    rescorer = None
+    if args.lm_rescore:
+        from audio8_tpu.ops.rescore import (NeuralLMRescorer,
+                                            rescore_transducer_nbest)
+
+        rescorer = NeuralLMRescorer(args.lm_rescore,
+                                    alpha=args.rescore_alpha,
+                                    word_bonus=args.rescore_word_bonus)
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def _decode(p, signal, lengths, k):
         if k > 1:
-            toks, n, _ = model.apply(
+            return model.apply(
                 {"params": p}, signal, lengths, k, args.max_decode_len,
                 args.max_symbols_per_frame, method=Transducer.decode_beam)
-            return toks[:, 0], n[:, 0]
-        return model.apply({"params": p}, signal, lengths,
-                           args.max_decode_len, args.max_symbols_per_frame,
-                           method=Transducer.decode)
+        toks, n = model.apply({"params": p}, signal, lengths,
+                              args.max_decode_len,
+                              args.max_symbols_per_frame,
+                              method=Transducer.decode)
+        return toks[:, None], n[:, None], jnp.zeros_like(n, jnp.float32
+                                                         )[:, None]
 
     postproc = (M.postproc_letters if args.target_type != "bpe"
                 else M.postproc_bpe)
@@ -302,12 +316,25 @@ def _evaluate_transducer(args, vocab, index2vocab, vec):
     for j, batch in enumerate(PrefetchLoader(valid_set, prefetch=4)):
         if j > args.valid_steps:
             break
-        toks, lens = _decode(params, jnp.asarray(batch["signal"]),
-                             jnp.asarray(batch["signal_lengths"]),
-                             args.beam)
+        toks, lens, scores = _decode(params, jnp.asarray(batch["signal"]),
+                                     jnp.asarray(batch["signal_lengths"]),
+                                     args.beam)
         n_real = batch.get("num_real", len(batch["signal_lengths"]))
-        toks, lens = np.asarray(toks)[:n_real], np.asarray(lens)[:n_real]
-        decoded = [toks[i, :lens[i]].tolist() for i in range(n_real)]
+        toks, lens, scores = (np.asarray(toks)[:n_real],
+                              np.asarray(lens)[:n_real],
+                              np.asarray(scores)[:n_real])
+        if rescorer is not None:
+            decoded = []
+            for i in range(n_real):
+                live = scores[i] > -1e20
+                hyps = [toks[i, kk, :lens[i, kk]].tolist()
+                        for kk in range(toks.shape[1]) if live[kk]]
+                best = rescore_transducer_nbest(scores[i][live], hyps,
+                                                rescorer)
+                decoded.append(hyps[best] if hyps else [])
+        else:
+            decoded = [toks[i, 0, :lens[i, 0]].tolist()
+                       for i in range(n_real)]
         if args.verbose:
             for ids in decoded:
                 print(postproc([index2vocab[t] for t in ids]))

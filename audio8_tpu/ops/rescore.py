@@ -105,6 +105,26 @@ def ctc_label_logp(log_probs: np.ndarray, frame_length: int,
     return -np.asarray(nll, np.float32)
 
 
+def rescore_transducer_nbest(acoustic_scores: Sequence[float],
+                             nbest_ids: Sequence[Sequence[int]],
+                             rescorer: NeuralLMRescorer) -> int:
+    """Index of the best transducer hypothesis under acoustic + LM +
+    length score. Unlike the CTC path there is no acoustic recompute:
+    ``Transducer.decode_beam``'s scores are already the exact
+    explored-alignment marginals log P(y | x)."""
+    if not nbest_ids:
+        return 0
+    lm = rescorer.lm_logp(nbest_ids)
+    total = (np.asarray(acoustic_scores, np.float32)
+             + rescorer.alpha * lm
+             + rescorer.word_bonus * np.asarray(
+                 [len(h) for h in nbest_ids], np.float32))
+    total = np.where([len(h) == 0 for h in nbest_ids], -np.inf, total)
+    if not np.isfinite(total).any():
+        return 0
+    return int(np.argmax(total))
+
+
 def rescore_nbest(log_probs: np.ndarray, frame_length: int,
                   nbest_ids: Sequence[Sequence[int]],
                   rescorer: NeuralLMRescorer,

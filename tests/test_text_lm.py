@@ -175,3 +175,32 @@ def test_eval_cli_lm_rescore_e2e(tmp_path):
                         "--lm_rescore", lm_out, "--rescore_alpha", "0.5"])
     assert "werr_rescore_4" in metrics, metrics
     assert np.isfinite(metrics["werr_rescore_4"])
+
+
+def test_rescore_transducer_nbest_combination():
+    """rescore_transducer_nbest: the beam's exact marginals combine with
+    LM and length scores without any acoustic recompute."""
+    from audio8_tpu.ops.rescore import rescore_transducer_nbest
+
+    class Stub:
+        alpha = 1.0
+        word_bonus = 0.0
+
+        def lm_logp(self, hyps):
+            # prefers the second hypothesis
+            return np.asarray([-10.0, -1.0][: len(hyps)], np.float32)
+
+    hyps = [[4, 5], [6, 7]]
+    # acoustic tie -> LM decides
+    assert rescore_transducer_nbest([-2.0, -2.0], hyps, Stub()) == 1
+    # acoustic dominance the other way
+    assert rescore_transducer_nbest([-1.0, -30.0], hyps, Stub()) == 0
+    # alpha=0 -> pure acoustic
+    s = Stub(); s.alpha = 0.0
+    assert rescore_transducer_nbest([-5.0, -4.0], hyps, s) == 1
+    # word_bonus prefers longer hyps on an otherwise tied score
+    s2 = Stub(); s2.alpha = 0.0; s2.word_bonus = 1.0
+    assert rescore_transducer_nbest([-2.0, -2.0], [[4], [5, 6, 7]], s2) == 1
+    # empty hypotheses never win unless everything is empty
+    assert rescore_transducer_nbest([0.0, -9.0], [[], [4]], Stub()) == 1
+    assert rescore_transducer_nbest([0.0], [[]], Stub()) == 0
