@@ -89,6 +89,10 @@ def parse_args(argv=None):
     parser.add_argument("--d_joint", type=int, default=512)
     parser.add_argument("--max_decode_len", type=int, default=200)
     parser.add_argument("--max_symbols_per_frame", type=int, default=4)
+    parser.add_argument("--valid_beam", type=int, default=1,
+                        help=">1: validation decodes with the 1-best of "
+                             "the time-synchronous beam search "
+                             "(Transducer.decode_beam) instead of greedy")
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
     parser.add_argument("--lane_align", type=str2bool, default=True)
     parser.add_argument("--length_buckets", type=int, nargs="*")
@@ -260,7 +264,7 @@ def train(argv=None):
                         decode_fn, eval_loss_fn, state.params, valid_set,
                         index2vocab, args.valid_steps, postproc,
                         args.max_decode_len, args.max_symbols_per_frame,
-                        mesh)
+                        mesh, beam=args.valid_beam)
                     if rank == 0:
                         logger.info(metrics)
                         logger.info(valid_metrics)
@@ -289,7 +293,8 @@ def train(argv=None):
 
 
 def validate(decode_fn, eval_loss_fn, params, valid_set, index2vocab,
-             valid_steps, postproc, max_decode_len, max_symbols, mesh=None):
+             valid_steps, postproc, max_decode_len, max_symbols, mesh=None,
+             beam: int = 1):
     """Greedy transducer decode + WER/CER over the validation stream
     (the transducer analog of cli/train.py's CTC validate)."""
     avg_valid_loss = Average("average_valid_loss")
@@ -305,7 +310,7 @@ def validate(decode_fn, eval_loss_fn, params, valid_set, index2vocab,
             loss = eval_loss_fn(params, jbatch)
             toks, lengths = decode_fn(params, jbatch,
                                       max_output_len=max_decode_len,
-                                      max_symbols=max_symbols)
+                                      max_symbols=max_symbols, beam=beam)
             lo = batch.get("row_offset", 0)
             n_here = batch["signal_lengths"].shape[0]
             n_real = min(max(batch.get("num_real", n_here) - lo, 0), n_here)

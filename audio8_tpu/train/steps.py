@@ -544,9 +544,16 @@ def make_transducer_steps(model, tx: optax.GradientTransformation,
         return new_state, loss, bsz, toks
 
     @functools.partial(jax.jit,
-                       static_argnames=("max_output_len", "max_symbols"))
+                       static_argnames=("max_output_len", "max_symbols",
+                                        "beam"))
     def decode_fn(params, batch, max_output_len: int = 200,
-                  max_symbols: int = 4):
+                  max_symbols: int = 4, beam: int = 1):
+        if beam > 1:  # validation beam: 1-best of the sorted beams
+            toks, n, _ = model.apply(
+                {"params": params}, batch["signal"],
+                batch["signal_lengths"], beam, max_output_len,
+                max_symbols, method=type(model).decode_beam)
+            return toks[:, 0], n[:, 0]
         return model.apply(
             {"params": params}, batch["signal"], batch["signal_lengths"],
             max_output_len, max_symbols, method=type(model).decode)

@@ -194,3 +194,41 @@ def test_eval_driver_transducer(tmp_path):
 
     with pytest.raises(ValueError):
         evaluate(base + ["--lm_rescore", "x"])
+
+
+@pytest.mark.slow
+def test_trainer_valid_beam(tmp_path):
+    """a8t-train-transducer --valid_beam 2: the driver validates through
+    the beam decode path end-to-end."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    for split, cnt in (("train", 4), ("valid", 2)):
+        rows, ltr = [], []
+        for i in range(cnt):
+            name = f"{split}{i}.wav"
+            wavfile.write(str(tmp_path / name), 16_000,
+                          (rng.normal(size=8_000) * 4000).astype(np.int16))
+            rows.append(f"{name}\t8000")
+            ltr.append("A B |")
+        with open(tmp_path / f"{split}.tsv", "w") as f:
+            f.write(str(tmp_path) + "\n" + "\n".join(rows) + "\n")
+        with open(tmp_path / f"{split}.ltr", "w") as f:
+            f.write("\n".join(ltr) + "\n")
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in ["A", "B", "C", "|"]:
+            f.write(f"{ch} 1\n")
+
+    from audio8_tpu.cli.train_transducer import train
+
+    state = train([
+        "--root_dir", str(tmp_path), "--train_dataset", "train.tsv",
+        "--valid_dataset", "valid.tsv", "--d_model", "32",
+        "--num_layers", "1", "--num_heads", "2", "--d_ff", "64",
+        "--pred_layers", "1", "--pred_dim", "32", "--pred_embed_dim", "16",
+        "--d_joint", "32", "--train_steps", "2", "--steps_per_checkpoint",
+        "2", "--warmup_steps", "1", "--unfreeze_enc_after_step", "1",
+        "--target_tokens_per_batch", "32000", "--pad_to_multiple", "4000",
+        "--max_decode_len", "8", "--valid_beam", "2",
+        "--basedir", str(tmp_path / "run")])
+    assert int(state.step) == 2
