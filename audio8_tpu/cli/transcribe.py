@@ -197,12 +197,23 @@ def load_transducer(args):
                            max_output_len, max_symbols,
                            method=Transducer.decode_beam)
 
+    @functools.partial(jax.jit,
+                       static_argnames=("max_output_len", "max_symbols"))
+    def _decode_timed(p, signal, lengths, max_output_len, max_symbols):
+        return model.apply({"params": p}, signal, lengths, max_output_len,
+                           max_symbols, True, method=Transducer.decode)
+
     if args.beam > 1:
         def decode(signal, lengths):
             toks, n, _ = _decode_beam(params, signal, lengths, args.beam,
                                       args.max_decode_len,
                                       args.max_symbols_per_frame)
             return toks[:, 0], n[:, 0]  # 1-best of the sorted beams
+    elif getattr(args, "timestamps", False):
+        def decode(signal, lengths):
+            return _decode_timed(params, signal, lengths,
+                                 args.max_decode_len,
+                                 args.max_symbols_per_frame)
     else:
         def decode(signal, lengths):
             return _decode(params, signal, lengths, args.max_decode_len,
@@ -256,16 +267,21 @@ def load_transducer_stream(args):
 
 
 def _transducer_main(args):
-    if (args.timestamps or args.lm or args.device_beam
-            or args.quantize != "none"):
+    if args.lm or args.device_beam or args.quantize != "none":
         raise SystemExit(
-            "--transducer: --timestamps/--lm/--device_beam/--quantize "
-            "are CTC-path flags")
+            "--transducer: --lm/--device_beam/--quantize are CTC-path "
+            "flags")
     if args.beam > 1 and args.chunk_seconds > 0:
         raise SystemExit(
             "--transducer beam search decodes whole utterances; the "
             "--chunk_seconds streaming path is greedy "
             "(serve.TransducerStreamer)")
+    if args.timestamps and (args.chunk_seconds > 0 or args.beam > 1
+                            or args.target_type != "ltr"):
+        raise SystemExit(
+            "--transducer --timestamps: whole-utterance greedy decode "
+            "with --target_type ltr only (word boundaries come from the "
+            "'|' letter unit)")
     stream_budget = args.max_decode_len or 8_000
     args.max_decode_len = args.max_decode_len or 200
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
@@ -290,6 +306,9 @@ def _transducer_main(args):
     else:
         cfg, decode, index2vocab, _, _ = load_transducer(args)
 
+    from audio8_tpu.ops.align import total_stride, word_timestamps
+
+    frame_sec = total_stride(cfg.conv_features) / sr
     results = []
     for path in args.audio:
         wav = np.asarray(reader.read(path), np.float32)
@@ -299,7 +318,7 @@ def _transducer_main(args):
             segs = speech_segments(wav, sr)
         else:
             segs = [(0, len(wav))]
-        texts = []
+        texts, words = [], []
         for a, b in segs:
             seg = wav[a:b]
             if streamer is not None:
@@ -310,15 +329,38 @@ def _transducer_main(args):
                 t_pad = (len(seg) + sr - 1) // sr * sr
                 signal = np.zeros((1, t_pad), np.float32)
                 signal[0, :len(seg)] = seg
-                toks, lens = decode(jnp.asarray(signal),
-                                    jnp.asarray([len(seg)], jnp.int32))
-                ids = np.asarray(toks)[0, :int(np.asarray(lens)[0])]
+                out = decode(jnp.asarray(signal),
+                             jnp.asarray([len(seg)], jnp.int32))
+                toks, lens = out[0], out[1]
+                k = int(np.asarray(lens)[0])
+                ids = np.asarray(toks)[0, :k]
                 text = postproc([index2vocab[int(i)] for i in ids])
+                if args.timestamps:
+                    times = np.asarray(out[2])[0, :k]
+                    lps = np.asarray(out[3])[0, :k]
+                    align = list(zip(ids.tolist(), times.tolist(),
+                                     lps.tolist()))
+                    off = a / sr
+                    for w in word_timestamps(align, index2vocab,
+                                             frame_sec):
+                        w["start"] = round(w["start"] + off, 3)
+                        w["end"] = round(w["end"] + off, 3)
+                        words.append(w)
             if text:
                 texts.append(text)
         text = " ".join(texts)
-        results.append((path, text))
-        print(f"{path}\t{text}")
+        if args.timestamps:
+            import json
+
+            row = {"file": path, "text": text, "words": words}
+            if args.vad:
+                row["segments"] = [[round(a / sr, 3), round(b / sr, 3)]
+                                   for a, b in segs]
+            results.append(row)
+            print(json.dumps(row))
+        else:
+            results.append((path, text))
+            print(f"{path}\t{text}")
     return results
 
 

@@ -171,7 +171,7 @@ class Transducer(nn.Module):
             carry, jnp.full((batch,), Offsets.GO, jnp.int32))
 
     def decode_frames(self, enc, frame_lengths, tokens, n, pred_out, carry,
-                      max_symbols_per_frame: int = 4):
+                      max_symbols_per_frame: int = 4, extra=(), t0=0):
         """Resumable greedy lattice search over one window of encoder
         frames.
 
@@ -181,19 +181,26 @@ class Transducer(nn.Module):
         keeps feeding windows, exactly like the reference-free streaming
         CTC path but with label-history state. Frames at ``t >=
         frame_lengths[row]`` are inert for that row.
+
+        ``extra`` optionally carries alignment buffers ``(times, lps)``
+        — per emitted token, the global frame index (``t0`` + local t)
+        and its log-posterior — threaded and returned alongside the
+        state when provided (static: () and 2-tuples trace separately).
         """
         b, t_max, _ = enc.shape
         max_output_len = tokens.shape[1]
         blank = Offsets.GO
         rows = jnp.arange(b)
 
+        track = len(extra) > 0
+
         def frame_body(t, state):
-            tokens, n, pred_out, carry = state
+            tokens, n, pred_out, carry, extra = state
             enc_t = enc[:, t]
             active_t = t < frame_lengths
 
             def emit_body(_, inner):
-                tokens, n, pred_out, carry, live = inner
+                tokens, n, pred_out, carry, extra, live = inner
                 logits = self.joint.single(enc_t, pred_out)
                 best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 emit = (live & active_t & (best != blank)
@@ -201,6 +208,15 @@ class Transducer(nn.Module):
                 pos = jnp.minimum(n, max_output_len - 1)
                 tokens = tokens.at[rows, pos].set(
                     jnp.where(emit, best, tokens[rows, pos]))
+                if track:
+                    times, lps = extra
+                    lp_best = (jnp.max(logits, axis=-1)
+                               - jax.nn.logsumexp(logits, axis=-1))
+                    times = times.at[rows, pos].set(
+                        jnp.where(emit, t0 + t, times[rows, pos]))
+                    lps = lps.at[rows, pos].set(
+                        jnp.where(emit, lp_best, lps[rows, pos]))
+                    extra = (times, lps)
                 new_out, new_carry = self.predictor.step(
                     carry, jnp.where(emit, best, blank))
                 sel = emit[:, None]
@@ -208,30 +224,43 @@ class Transducer(nn.Module):
                 carry = [(jnp.where(sel, c2, c1), jnp.where(sel, h2, h1))
                          for (c1, h1), (c2, h2) in zip(carry, new_carry)]
                 n = n + emit.astype(jnp.int32)
-                return tokens, n, pred_out, carry, emit
+                return tokens, n, pred_out, carry, extra, emit
 
             live = jnp.ones((b,), bool)
-            tokens, n, pred_out, carry, _ = jax.lax.fori_loop(
+            tokens, n, pred_out, carry, extra, _ = jax.lax.fori_loop(
                 0, max_symbols_per_frame, emit_body,
-                (tokens, n, pred_out, carry, live))
-            return tokens, n, pred_out, carry
+                (tokens, n, pred_out, carry, extra, live))
+            return tokens, n, pred_out, carry, extra
 
-        return jax.lax.fori_loop(
-            0, t_max, frame_body, (tokens, n, pred_out, carry))
+        tokens, n, pred_out, carry, extra = jax.lax.fori_loop(
+            0, t_max, frame_body, (tokens, n, pred_out, carry, extra))
+        if track:
+            return tokens, n, pred_out, carry, extra
+        return tokens, n, pred_out, carry
 
     def decode(self, x, input_lengths, max_output_len: int = 200,
-               max_symbols_per_frame: int = 4):
+               max_symbols_per_frame: int = 4, timed: bool = False):
         """Batched greedy transducer decode, one XLA program.
 
         Per frame, emit argmax labels (advancing the predictor state)
         until blank, a per-frame emission cap, or the output budget.
-        Returns (tokens (B, max_output_len) PAD-padded, lengths (B,)).
+        Returns (tokens (B, max_output_len) PAD-padded, lengths (B,)),
+        plus per-token (frames, log-posteriors) when ``timed`` — the
+        transducer emits frame-synchronously, so the alignment is free
+        (feed to ops/align.word_timestamps).
         """
         enc, frame_lengths = self.encode(x, input_lengths)
         b = enc.shape[0]
         pred_out, carry = self.decode_init(b)
         tokens = jnp.full((b, max_output_len), Offsets.PAD, jnp.int32)
         n = jnp.zeros((b,), jnp.int32)
+        if timed:
+            extra = (jnp.full((b, max_output_len), -1, jnp.int32),
+                     jnp.zeros((b, max_output_len), jnp.float32))
+            tokens, n, _, _, (times, lps) = self.decode_frames(
+                enc, frame_lengths, tokens, n, pred_out, carry,
+                max_symbols_per_frame, extra=extra)
+            return tokens, n, times, lps
         tokens, n, _, _ = self.decode_frames(
             enc, frame_lengths, tokens, n, pred_out, carry,
             max_symbols_per_frame)

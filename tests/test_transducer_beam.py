@@ -232,3 +232,60 @@ def test_trainer_valid_beam(tmp_path):
         "--max_decode_len", "8", "--valid_beam", "2",
         "--basedir", str(tmp_path / "run")])
     assert int(state.step) == 2
+
+
+def test_timed_decode_matches_untimed_and_cli_timestamps(tmp_path):
+    """decode(timed=True) returns identical tokens plus a sane
+    alignment; the CLI emits word rows from it."""
+    from scipy.io import wavfile
+
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    cfg = _cfg()
+    model, params = _init(cfg, 1)
+    wav = np.random.default_rng(5).normal(size=(1, 16_000)) * 0.1
+    sig = jnp.asarray(wav, jnp.float32)
+    lens = jnp.asarray([16_000], jnp.int32)
+    toks, n = model.apply({"params": params}, sig, lens, 64, 4,
+                          method=Transducer.decode)
+    toks_t, n_t, times, lps = model.apply({"params": params}, sig, lens,
+                                          64, 4, True,
+                                          method=Transducer.decode)
+    k = int(n[0])
+    assert int(n_t[0]) == k
+    assert np.asarray(toks)[0, :k].tolist() == \
+        np.asarray(toks_t)[0, :k].tolist()
+    tms = np.asarray(times)[0, :k]
+    assert np.all(np.diff(tms) >= 0) and np.all(tms >= 0)  # monotone
+    assert np.all(tms < 49)  # within the utterance's frame count
+    assert np.all(np.asarray(lps)[0, :k] <= 0)  # log-posteriors
+
+    # CLI: ndjson rows with word timing
+    letters = ["A", "B", "C", "|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in letters:
+            f.write(f"{ch} 1\n")
+    cfg2 = _cfg(4 + len(letters))
+    m2 = Transducer(config=cfg2)
+    p2 = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)),
+                 jnp.asarray([8000], jnp.int32),
+                 jnp.zeros((1, 4), jnp.int32))["params"]
+    save_checkpoint({"params": p2}, str(tmp_path / "ckpt"), 0)
+    wavfile.write(str(tmp_path / "u.wav"), 16_000,
+                  (np.random.default_rng(2).normal(size=16_000)
+                   * 4000).astype(np.int16))
+
+    from audio8_tpu.cli.transcribe import main
+
+    out = main([str(tmp_path / "u.wav"),
+                "--checkpoint", str(tmp_path / "ckpt-step-0"),
+                "--dict_file", str(tmp_path / "dict.ltr.txt"),
+                "--transducer", "true", "--timestamps", "true",
+                "--max_decode_len", "32",
+                "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+                "--d_ff", "64", "--pred_layers", "1", "--pred_dim", "32",
+                "--pred_embed_dim", "16", "--d_joint", "32"])
+    assert isinstance(out[0], dict) and "words" in out[0]
+    for w in out[0]["words"]:
+        assert {"word", "start", "end", "confidence"} <= set(w)
+        assert 0 <= w["start"] <= w["end"]
