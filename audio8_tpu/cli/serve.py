@@ -321,10 +321,14 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
 
 def parse_args(argv=None):
     p = ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint",
                    help="a8t checkpoint, fairseq .pt, or HF dir")
-    p.add_argument("--dict_file", required=True,
+    p.add_argument("--dict_file",
                    help="fairseq dict.ltr.txt or HF vocab.json")
+    p.add_argument("--exported",
+                   help="a8t-export artifact directory: serve the "
+                        "serialized StableHLO forward instead of "
+                        "building the model from a checkpoint")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--beam", type=int, default=1)
@@ -368,7 +372,18 @@ def parse_args(argv=None):
                    help="max wait for co-batching concurrent requests; "
                         "0 disables the cross-request MicroBatcher")
     add_common_model_args(p)
-    return apply_preset(p.parse_args(argv))
+    args = apply_preset(p.parse_args(argv))
+    if args.exported:
+        if args.transducer:
+            raise SystemExit("--exported artifacts are CTC forwards; "
+                             "the transducer path loads checkpoints")
+        if args.quantize != "none":
+            raise SystemExit("--quantize is baked at export time "
+                             "(a8t-export --quantize int8)")
+    elif not (args.checkpoint and args.dict_file):
+        raise SystemExit("--checkpoint and --dict_file are required "
+                         "(or pass an --exported artifact)")
+    return args
 
 
 def _serve_transducer(args):
@@ -439,13 +454,26 @@ def main(argv=None):
         raise SystemExit("--timestamps requires --target_type ltr: word "
                          "boundaries come from the '|' letter unit "
                          "(ops/align.py)")
-    cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+    art = None
+    if args.exported:
+        from audio8_tpu.cli.transcribe import load_exported_acoustic
+
+        cfg, forward, _, index2vocab, decoder, art = (
+            load_exported_acoustic(args))
+        sr = art.sample_rate
+        model_name = "wav2vec2-ctc (exported)"
+    else:
+        cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+        sr = args.target_sample_rate
+        model_name = "wav2vec2-ctc"
     from audio8_tpu.ops.metrics import postproc_bpe, postproc_letters
 
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
-    sr = args.target_sample_rate
     chunk = int(args.chunk_seconds * sr)
-    if args.lane_align:
+    if art is not None:
+        # the artifact's entry table IS the shape menu
+        chunk = art.entry_samples(chunk)
+    elif args.lane_align:
         chunk = lane_aligned_chunk(chunk, cfg.conv_features)
     mesh = getattr(forward, "mesh", None)
     if mesh is not None:
@@ -478,7 +506,7 @@ def main(argv=None):
     service = TranscribeService(
         ct, index2vocab, decoder, sample_rate=sr,
         timestamps=args.timestamps, postproc=postproc,
-        info={"model": "wav2vec2-ctc", "d_model": args.d_model,
+        info={"model": model_name, "d_model": args.d_model,
               "num_layers": args.num_layers, "beam": args.beam,
               # the lane-aligned (snapped) window actually served, not
               # the requested flag value

@@ -34,10 +34,15 @@ from audio8_tpu.utils import Offsets, revlut, str2bool
 def parse_args(argv=None):
     p = ArgumentParser(description=__doc__)
     p.add_argument("audio", nargs="+", help="WAV/FLAC files")
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint",
                    help="a8t checkpoint, fairseq .pt, or HF dir")
-    p.add_argument("--dict_file", required=True,
+    p.add_argument("--dict_file",
                    help="fairseq dict.ltr.txt or HF vocab.json")
+    p.add_argument("--exported",
+                   help="a8t-export artifact directory: run the "
+                        "serialized StableHLO forward instead of "
+                        "building the model from a checkpoint (vocab "
+                        "and conv geometry come from the artifact)")
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--device_beam", type=str2bool, default=False,
                    help="no-LM batch beam decode on device (ops/beam_jax.py)")
@@ -82,16 +87,49 @@ def parse_args(argv=None):
                    help="snap the chunk window UP so its frame count sits "
                         "on the 128-lane MXU tile boundary")
     add_common_model_args(p)
-    return apply_preset(p.parse_args(argv))
+    args = apply_preset(p.parse_args(argv))
+    if args.exported:
+        if args.transducer:
+            raise SystemExit("--exported artifacts are CTC forwards; "
+                             "the transducer path loads checkpoints")
+        if args.quantize != "none":
+            raise SystemExit("--quantize is baked at export time "
+                             "(a8t-export --quantize int8)")
+    elif not (args.checkpoint and args.dict_file):
+        raise SystemExit("--checkpoint and --dict_file are required "
+                         "(or pass an --exported artifact)")
+    return args
 
 
-def load_acoustic(args):
-    """Build the jitted eval stack a decoding surface needs from CLI args.
+def load_exported_acoustic(args):
+    """:func:`load_acoustic` equivalent backed by an ``a8t-export``
+    artifact: the serialized StableHLO forward runs in place of the
+    live model — no checkpoint restore, no model build."""
+    from types import SimpleNamespace
 
-    Returns ``(cfg, forward, vocab_list, index2vocab, decoder)`` where
-    ``forward(signal (B, T) f32, lengths (B,)) -> (log_probs, frames)``
-    is jitted with the restored parameters closed over. Shared by the
-    one-shot CLI below and the HTTP server (`cli/serve.py`).
+    from audio8_tpu.export import load_artifact
+
+    Offsets.remap_fairseq_ctc()
+    art = load_artifact(args.exported)
+    vocab_list = art.vocab
+    index2vocab = revlut({v: i for i, v in enumerate(vocab_list)})
+    decoder = None
+    if args.beam > 1 or args.lm:
+        from audio8_tpu.ops.beam import PrefixBeamSearch
+
+        decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
+                                   beta=args.beta, beam=args.beam,
+                                   lm_file=args.lm, device=args.device_beam)
+    cfg = SimpleNamespace(conv_features=art.conv_features)
+    forward = art.forward
+    return cfg, forward, vocab_list, index2vocab, decoder, art
+
+
+def build_acoustic(args):
+    """Model + restored params from CLI args (no jit, no device_put).
+
+    Returns ``(cfg, model, params, vocab_list, index2vocab)`` — the
+    common front half of :func:`load_acoustic` and ``a8t-export``.
     """
     Offsets.remap_fairseq_ctc()
     vocab_list = read_vocab_list(args.dict_file)
@@ -111,6 +149,18 @@ def load_acoustic(args):
         from audio8_tpu.ops.quant import quantize_model_params
 
         params = quantize_model_params(params)
+    return cfg, model, params, vocab_list, index2vocab
+
+
+def load_acoustic(args):
+    """Build the jitted eval stack a decoding surface needs from CLI args.
+
+    Returns ``(cfg, forward, vocab_list, index2vocab, decoder)`` where
+    ``forward(signal (B, T) f32, lengths (B,)) -> (log_probs, frames)``
+    is jitted with the restored parameters closed over. Shared by the
+    one-shot CLI below and the HTTP server (`cli/serve.py`).
+    """
+    cfg, model, params, vocab_list, index2vocab = build_acoustic(args)
 
     decoder = None
     if args.beam > 1 or args.lm:
@@ -400,9 +450,15 @@ def main(argv=None):
                          "boundaries come from the '|' letter unit "
                          "(ops/align.py)")
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
-    cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+    art = None
+    if args.exported:
+        cfg, forward, _, index2vocab, decoder, art = (
+            load_exported_acoustic(args))
+        sr = art.sample_rate
+    else:
+        cfg, forward, _, index2vocab, decoder = load_acoustic(args)
+        sr = args.target_sample_rate
     reader = SoundfileAudioReader()
-    sr = args.target_sample_rate
     from audio8_tpu.ops.align import timestamped_words, total_stride
 
     frame_sec = total_stride(cfg.conv_features) / sr
@@ -411,7 +467,11 @@ def main(argv=None):
         from audio8_tpu.serve import ChunkedTranscriber
 
         chunk = int(args.chunk_seconds * sr)
-        if args.lane_align:
+        if art is not None:
+            # the artifact's entry table IS the shape menu: window on
+            # the smallest exported size that covers the request
+            chunk = art.entry_samples(chunk)
+        elif args.lane_align:
             from audio8_tpu.config import lane_aligned_chunk
             chunk = lane_aligned_chunk(chunk, cfg.conv_features)
         ct = ChunkedTranscriber(

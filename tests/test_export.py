@@ -1,0 +1,193 @@
+"""a8t-export: serialized StableHLO artifacts, roundtrip + CLI e2e.
+
+No reference equivalent (audio8 ships no export path); the contract
+under test is audio8_tpu/export.py's: an exported artifact reproduces
+the live model's forward bit-for-bit on the export platform, runs
+batch-polymorphically, pads time up to its entry table, and drives the
+transcribe/serve surfaces without the checkpoint stack.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from audio8_tpu.config import AcousticConfig
+from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+from audio8_tpu.train.checkpoint import save_checkpoint
+
+SMALL = ["--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+         "--d_ff", "64"]
+
+
+@pytest.fixture
+def setup(tmp_path):
+    letters = list("ABC") + ["|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in letters:
+            f.write(f"{ch} 1\n")
+    cfg = AcousticConfig(num_labels=4 + len(letters), d_model=32,
+                         num_heads=2, num_layers=1, d_ff=64)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8000)))["params"]
+    save_checkpoint({"params": params}, str(tmp_path / "ckpt"), 0)
+    rng = np.random.default_rng(0)
+    wavfile.write(str(tmp_path / "a.wav"), 16000,
+                  (rng.normal(size=40_000) * 5000).astype(np.int16))
+    return tmp_path
+
+
+def _export(setup, extra=()):
+    from audio8_tpu.cli.export import main
+
+    out = str(setup / "model.a8x")
+    main(["--checkpoint", str(setup / "ckpt-step-0"),
+          "--dict_file", str(setup / "dict.ltr.txt"),
+          "--output", out, "--seconds", "3", "--platforms", "cpu",
+          *extra] + SMALL)
+    return out
+
+
+def test_export_roundtrip_matches_live_forward(setup):
+    """The artifact's forward == the live jitted forward on the same
+    weights, including at a batch size never seen at export time."""
+    from audio8_tpu.cli.transcribe import load_acoustic, parse_args
+    from audio8_tpu.export import load_artifact
+
+    out = _export(setup)
+    art = load_artifact(out)
+    args = parse_args([str(setup / "a.wav"),
+                       "--checkpoint", str(setup / "ckpt-step-0"),
+                       "--dict_file", str(setup / "dict.ltr.txt")] + SMALL)
+    _, live_forward, vocab, _, _ = load_acoustic(args)
+    assert art.vocab == vocab
+
+    rng = np.random.default_rng(1)
+    t = art.max_samples
+    for b in (1, 3):
+        sig = rng.normal(size=(b, t)).astype(np.float32)
+        lens = np.linspace(t // 2, t, b).astype(np.int32)
+        lp_a, fr_a = art.forward(sig, lens)
+        lp_l, fr_l = live_forward(jnp.asarray(sig), jnp.asarray(lens))
+        np.testing.assert_array_equal(np.asarray(fr_a), np.asarray(fr_l))
+        np.testing.assert_allclose(np.asarray(lp_a, np.float32),
+                                   np.asarray(lp_l, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_export_pads_time_up_and_rejects_oversize(setup):
+    from audio8_tpu.export import load_artifact
+
+    art = load_artifact(_export(setup))
+    t = art.max_samples
+    sig = np.random.default_rng(2).normal(size=(1, t // 2)).astype(np.float32)
+    lp, fr = art.forward(sig, np.asarray([t // 2], np.int32))
+    assert lp.shape[0] == 1
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        art.forward(np.zeros((1, t + 1), np.float32),
+                    np.asarray([t + 1], np.int32))
+
+
+def test_export_meta_and_layout(setup):
+    out = _export(setup)
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["kind"] == "ctc"
+    assert meta["version"] == 1
+    assert meta["conv_features"]
+    assert os.path.exists(os.path.join(out, "params.npz"))
+    for e in meta["entries"]:
+        assert os.path.exists(os.path.join(out, e["file"]))
+
+
+def test_transcribe_from_artifact(setup):
+    """a8t-transcribe --exported runs the artifact end-to-end (no
+    checkpoint, no model flags) and matches the checkpoint path's text."""
+    from audio8_tpu.cli.transcribe import main
+
+    out = _export(setup)
+    ref = main([str(setup / "a.wav"),
+                "--checkpoint", str(setup / "ckpt-step-0"),
+                "--dict_file", str(setup / "dict.ltr.txt")] + SMALL)
+    got = main([str(setup / "a.wav"), "--exported", out])
+    assert got[0][1] == ref[0][1]
+
+
+def test_transcribe_from_artifact_chunked(setup):
+    """--exported + --chunk_seconds windows long audio on an exported
+    entry size (the artifact's shape table bounds the chunk)."""
+    from audio8_tpu.cli.transcribe import main
+    from audio8_tpu.export import load_artifact
+
+    out = _export(setup)
+    art = load_artifact(out)
+    got = main([str(setup / "a.wav"), "--exported", out,
+                "--chunk_seconds", "1.0", "--context_seconds", "0.25"])
+    assert isinstance(got[0][1], str)
+    # requested 1.0s -> smallest entry >= request is the only entry
+    assert art.entry_samples(16_000) == art.max_samples
+
+
+def test_exported_flag_validation(setup):
+    from audio8_tpu.cli.transcribe import parse_args
+
+    with pytest.raises(SystemExit):  # no checkpoint and no artifact
+        parse_args([str(setup / "a.wav")])
+    with pytest.raises(SystemExit):  # quantize is baked at export time
+        parse_args([str(setup / "a.wav"), "--exported", "x",
+                    "--quantize", "int8"])
+    with pytest.raises(SystemExit):  # transducer path is checkpoint-only
+        parse_args([str(setup / "a.wav"), "--exported", "x",
+                    "--transducer", "true"])
+
+
+def test_serve_from_artifact(setup, monkeypatch):
+    """a8t-serve --exported: HTTP transcription over the serialized
+    forward — the full CLI wiring, no model code on the serving path."""
+    import threading
+    import urllib.request
+
+    import audio8_tpu.cli.serve as serve_mod
+
+    out = _export(setup)
+    captured = {}
+    ready = threading.Event()
+    orig = serve_mod.make_server
+
+    def capturing(service, host, port):
+        s = orig(service, host, port)
+        captured["srv"] = s
+        ready.set()
+        return s
+
+    monkeypatch.setattr(serve_mod, "make_server", capturing)
+    t = threading.Thread(
+        target=serve_mod.main,
+        args=(["--exported", out, "--host", "127.0.0.1", "--port", "0",
+               "--chunk_seconds", "1.0", "--context_seconds", "0.25",
+               "--batch_wait_ms", "0"],),
+        daemon=True)
+    t.start()
+    try:
+        assert ready.wait(timeout=180), "server never came up"
+        host, port = captured["srv"].server_address
+        with urllib.request.urlopen(
+                f"http://{host}:{port}/healthz", timeout=30) as r:
+            health = json.load(r)
+        assert health["ok"] and "exported" in health["model"]
+        with open(setup / "a.wav", "rb") as f:
+            wav_bytes = f.read()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/transcribe", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = json.load(r)
+        assert "text" in body and body["audio_seconds"] > 0
+    finally:
+        if "srv" in captured:
+            captured["srv"].shutdown()
+        t.join(timeout=30)
