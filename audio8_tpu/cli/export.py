@@ -49,13 +49,123 @@ def parse_args(argv=None):
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: post-training weight quantization before "
                         "export (ops/quant.py int8 MXU path)")
+    p.add_argument("--transducer", type=str2bool, default=False,
+                   help="export an a8t-train-transducer checkpoint: the "
+                        "three streaming-decode callables (encode / "
+                        "decode_init / decode_frames) for the resumable "
+                        "windowed lattice search (serve.TransducerStreamer)")
+    p.add_argument("--pred_layers", type=int, default=2)
+    p.add_argument("--pred_dim", type=int, default=512)
+    p.add_argument("--pred_embed_dim", type=int, default=256)
+    p.add_argument("--d_joint", type=int, default=512)
+    p.add_argument("--window_frames", type=int, default=256,
+                   help="transducer decode-window frames baked into the "
+                        "exported decode_frames entry")
+    p.add_argument("--max_decode_len", type=int, default=8_000,
+                   help="transducer label budget baked into the artifact")
+    p.add_argument("--max_symbols_per_frame", type=int, default=4)
     add_common_model_args(p)
-    return apply_preset(p.parse_args(argv))
+    args = apply_preset(p.parse_args(argv))
+    if args.transducer and args.quantize != "none":
+        raise SystemExit("--quantize int8 is a CTC-path export option")
+    return args
+
+
+def _export_transducer(args):
+    """RNN-T branch of main(): serialize the three streaming-decode
+    callables at the artifact's fixed shapes (symbolic-batch encoder
+    chunk; batch-1 decode window + label budget)."""
+    from jax import export as jax_export
+
+    from audio8_tpu.cli.transcribe import load_transducer
+    from audio8_tpu.export import (export_callable, param_specs,
+                                   save_artifact)
+    from audio8_tpu.models.text import read_vocab_list
+    from audio8_tpu.models.transducer import Transducer
+
+    # attrs load_transducer reads but that don't shape the export
+    args.beam, args.timestamps = 1, False
+    cfg, _, _, model, params = load_transducer(args)
+    vocab_list = read_vocab_list(args.dict_file)
+    flat, treedef = jax.tree.flatten(params)
+
+    def enc_fn(fp, signal, lengths):
+        p = jax.tree.unflatten(treedef, fp)
+        enc, frames = model.apply({"params": p}, signal, lengths,
+                                  method=Transducer.encode)
+        return enc.astype(jnp.float32), frames
+
+    def init_fn(fp):
+        p = jax.tree.unflatten(treedef, fp)
+        return model.apply({"params": p}, 1, method=Transducer.decode_init)
+
+    def frames_fn(fp, enc, n_frames, tokens, n, pred_out, carry):
+        p = jax.tree.unflatten(treedef, fp)
+        return model.apply({"params": p}, enc, n_frames, tokens, n,
+                           pred_out, carry, args.max_symbols_per_frame,
+                           method=Transducer.decode_frames)
+
+    sr = args.target_sample_rate
+    t = int(args.seconds[0] * sr)
+    if args.lane_align:
+        t = lane_aligned_chunk(t, cfg.conv_features)
+    plats = tuple(args.platforms)
+    pspecs = param_specs(flat)
+    (b,) = jax_export.symbolic_shape("b")
+    logger.info("exporting transducer entries: chunk t=%d, window=%d, "
+                "label budget=%d for %s", t, args.window_frames,
+                args.max_decode_len, args.platforms)
+    enc_data = export_callable(
+        enc_fn, (pspecs, jax.ShapeDtypeStruct((b, t), jnp.float32),
+                 jax.ShapeDtypeStruct((b,), jnp.int32)), plats)
+    init_data = export_callable(init_fn, (pspecs,), plats)
+
+    enc_shape, _ = jax.eval_shape(
+        enc_fn, pspecs, jax.ShapeDtypeStruct((1, t), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32))
+    pred_out_s, carry_s = jax.eval_shape(init_fn, pspecs)
+    w, budget = args.window_frames, args.max_decode_len
+    frames_data = export_callable(
+        frames_fn,
+        (pspecs,
+         jax.ShapeDtypeStruct((1, w, enc_shape.shape[-1]), jnp.float32),
+         jax.ShapeDtypeStruct((1,), jnp.int32),
+         jax.ShapeDtypeStruct((1, budget), jnp.int32),
+         jax.ShapeDtypeStruct((1,), jnp.int32),
+         pred_out_s, carry_s), plats)
+
+    entries = [
+        {"role": "encode", "t": t, "name": f"enc_t{t}.shlo",
+         "data": enc_data},
+        {"role": "decode_init", "name": "dec_init.shlo", "data": init_data},
+        {"role": "decode_frames", "name": "dec_frames.shlo",
+         "data": frames_data},
+    ]
+    meta = {
+        "kind": "transducer",
+        "vocab": vocab_list,
+        "conv_features": [list(f) for f in cfg.conv_features],
+        "sample_rate": sr,
+        "d_model": cfg.d_model,
+        "num_layers": cfg.num_layers,
+        "window_frames": w,
+        "max_output_len": budget,
+        "max_symbols_per_frame": args.max_symbols_per_frame,
+        "bf16": bool(args.bf16),
+        "platforms": list(args.platforms),
+        "checkpoint": args.checkpoint,
+    }
+    save_artifact(args.output, flat, meta, entries)
+    logger.info("wrote %s: transducer artifact, %d params", args.output,
+                len(flat))
+    return args.output
 
 
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.transducer:
+        return _export_transducer(args)
     from audio8_tpu.cli.transcribe import build_acoustic
 
     cfg, model, params, vocab_list, _ = build_acoustic(args)

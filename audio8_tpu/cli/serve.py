@@ -375,8 +375,9 @@ def parse_args(argv=None):
     args = apply_preset(p.parse_args(argv))
     if args.exported:
         if args.transducer:
-            raise SystemExit("--exported artifacts are CTC forwards; "
-                             "the transducer path loads checkpoints")
+            raise SystemExit("--transducer is not needed with "
+                             "--exported: the artifact records its own "
+                             "kind (meta.json) and routes itself")
         if args.quantize != "none":
             raise SystemExit("--quantize is baked at export time "
                              "(a8t-export --quantize int8)")
@@ -387,24 +388,45 @@ def parse_args(argv=None):
 
 
 def _serve_transducer(args):
-    """a8t-serve --transducer: the RNN-T serving branch of main()."""
+    """RNN-T serving branch of main(): a checkpoint (--transducer) or
+    an a8t-export transducer artifact (--exported)."""
     if (args.timestamps or args.beam > 1 or args.lm or args.device_beam
             or args.quantize != "none"):
         raise SystemExit(
-            "--transducer serves the greedy streaming lattice search: "
-            "--timestamps/--beam/--lm/--device_beam/--quantize are "
-            "CTC-path flags")
-    from audio8_tpu.cli.transcribe import load_transducer_stream
+            "the transducer path serves the greedy streaming lattice "
+            "search: --timestamps/--beam/--lm/--device_beam/--quantize "
+            "are CTC-path flags")
     from audio8_tpu.ops.metrics import postproc_bpe, postproc_letters
     from audio8_tpu.serve import TransducerStreamer
+    from audio8_tpu.utils import revlut
 
     postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
-    cfg, encode, decode_init, decode_frames, index2vocab = (
-        load_transducer_stream(args))
-    sr = args.target_sample_rate
-    chunk = int(args.chunk_seconds * sr)
-    if args.lane_align:
-        chunk = lane_aligned_chunk(chunk, cfg.conv_features)
+    if args.exported:
+        from audio8_tpu.export import load_artifact
+
+        art = load_artifact(args.exported)
+        index2vocab = revlut({v: i for i, v in enumerate(art.vocab)})
+        conv_features = art.conv_features
+        encode, decode_init, decode_frames = (
+            art.encode, art.decode_init, art.decode_frames)
+        sr = art.sample_rate
+        chunk = art.chunk_samples  # the artifact's entry IS the shape
+        window = art.window_frames
+        budget = art.max_output_len
+        model_name = "wav2vec2-transducer (exported)"
+    else:
+        from audio8_tpu.cli.transcribe import load_transducer_stream
+
+        cfg, encode, decode_init, decode_frames, index2vocab = (
+            load_transducer_stream(args))
+        conv_features = cfg.conv_features
+        sr = args.target_sample_rate
+        chunk = int(args.chunk_seconds * sr)
+        if args.lane_align:
+            chunk = lane_aligned_chunk(chunk, conv_features)
+        window = 256
+        budget = args.max_decode_len
+        model_name = "wav2vec2-transducer"
     batcher = None
     if args.batch_wait_ms > 0:
         batcher = MicroBatcher(encode, chunk, batch_size=args.batch,
@@ -416,15 +438,15 @@ def _serve_transducer(args):
         # /stream emit partials as soon as the first chunk's stable
         # frames land instead of waiting for a full chunk's worth more
         return TransducerStreamer(
-            encode, decode_init, decode_frames, cfg.conv_features,
+            encode, decode_init, decode_frames, conv_features,
             chunk_samples=chunk,
             context_samples=int(args.context_seconds * sr),
-            window_frames=256,
-            max_output_len=args.max_decode_len, batcher=batcher)
+            window_frames=window,
+            max_output_len=budget, batcher=batcher)
 
     service = TransducerService(
         factory, index2vocab, sample_rate=sr, postproc=postproc,
-        info={"model": "wav2vec2-transducer", "d_model": args.d_model,
+        info={"model": model_name, "d_model": args.d_model,
               "num_layers": args.num_layers,
               "chunk_seconds": round(chunk / sr, 3)})
     logger.info("warming up (compiling %d-sample chunk encode + decode "
@@ -448,6 +470,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, force=True)
     from audio8_tpu.cli.transcribe import load_acoustic
 
+    if args.exported:
+        from audio8_tpu.export import artifact_kind
+
+        if artifact_kind(args.exported) == "transducer":
+            return _serve_transducer(args)
     if args.transducer:
         return _serve_transducer(args)
     if args.timestamps and args.target_type != "ltr":

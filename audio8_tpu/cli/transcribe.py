@@ -90,8 +90,9 @@ def parse_args(argv=None):
     args = apply_preset(p.parse_args(argv))
     if args.exported:
         if args.transducer:
-            raise SystemExit("--exported artifacts are CTC forwards; "
-                             "the transducer path loads checkpoints")
+            raise SystemExit("--transducer is not needed with "
+                             "--exported: the artifact records its own "
+                             "kind (meta.json) and routes itself")
         if args.quantize != "none":
             raise SystemExit("--quantize is baked at export time "
                              "(a8t-export --quantize int8)")
@@ -414,6 +415,53 @@ def _transducer_main(args):
     return results
 
 
+def _exported_transducer_main(args):
+    """Transcribe through an a8t-export transducer artifact: the
+    serialized encode/decode_init/decode_frames entries drive a
+    ``serve.TransducerStreamer`` (greedy resumable lattice search) —
+    no model code, any audio length through the artifact's fixed
+    shapes."""
+    if args.beam > 1 or args.timestamps or args.lm or args.device_beam:
+        raise SystemExit(
+            "exported transducer artifacts decode with the greedy "
+            "streaming lattice search: --beam/--timestamps/--lm/"
+            "--device_beam need the checkpoint path (--transducer)")
+    from audio8_tpu.export import load_artifact
+    from audio8_tpu.serve import TransducerStreamer
+
+    art = load_artifact(args.exported)
+    index2vocab = revlut({v: i for i, v in enumerate(art.vocab)})
+    postproc = postproc_bpe if args.target_type == "bpe" else postproc_letters
+    sr = art.sample_rate
+    streamer = TransducerStreamer(
+        art.encode, art.decode_init, art.decode_frames, art.conv_features,
+        chunk_samples=art.chunk_samples,
+        context_samples=int(args.context_seconds * sr),
+        window_frames=art.window_frames,
+        max_output_len=art.max_output_len)
+    reader = SoundfileAudioReader()
+    results = []
+    for path in args.audio:
+        wav = np.asarray(reader.read(path), np.float32)
+        if args.vad:
+            from audio8_tpu.ops.vad import speech_segments
+
+            segs = speech_segments(wav, sr)
+        else:
+            segs = [(0, len(wav))]
+        texts = []
+        for a, b in segs:
+            streamer.reset()
+            streamer.feed(wav[a:b])
+            text = streamer.finish_text(index2vocab, postproc=postproc)
+            if text:
+                texts.append(text)
+        text = " ".join(texts)
+        results.append((path, text))
+        print(f"{path}\t{text}")
+    return results
+
+
 def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr,
                     postproc=postproc_letters):
     """One waveform -> ``(text, (T', V) np log-probs)`` via the chunked
@@ -443,6 +491,11 @@ def _transcribe_wav(wav, forward, ct, decoder, index2vocab, sr,
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.exported:
+        from audio8_tpu.export import artifact_kind
+
+        if artifact_kind(args.exported) == "transducer":
+            return _exported_transducer_main(args)
     if args.transducer:
         return _transducer_main(args)
     if args.timestamps and args.target_type != "ltr":

@@ -50,20 +50,32 @@ from jax import export as jax_export
 ARTIFACT_VERSION = 1
 
 
+def param_specs(flat_params: Sequence) -> List[jax.ShapeDtypeStruct]:
+    return [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+            for x in flat_params]
+
+
+def export_callable(fn: Callable, arg_specs: Sequence,
+                    platforms: Sequence[str] = ("cpu", "tpu")) -> bytes:
+    """Serialize ``fn(*arg_specs)`` (specs may be ShapeDtypeStruct
+    pytrees, e.g. from ``jax.eval_shape``). Returns serialized bytes."""
+    exp = jax_export.export(jax.jit(fn),
+                            platforms=tuple(platforms))(*arg_specs)
+    return exp.serialize()
+
+
 def export_forward(fn: Callable, flat_params: Sequence,
                    t_samples: int,
                    platforms: Sequence[str] = ("cpu", "tpu")) -> bytes:
     """Serialize ``fn(flat_params, signal (b, t_samples), lengths (b,))``
     with a symbolic batch dim. Returns the serialized bytes."""
     (b,) = jax_export.symbolic_shape("b")
-    args = (
-        [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
-         for x in flat_params],
-        jax.ShapeDtypeStruct((b, t_samples), jnp.float32),
-        jax.ShapeDtypeStruct((b,), jnp.int32),
-    )
-    exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*args)
-    return exp.serialize()
+    return export_callable(
+        fn,
+        (param_specs(flat_params),
+         jax.ShapeDtypeStruct((b, t_samples), jnp.float32),
+         jax.ShapeDtypeStruct((b,), jnp.int32)),
+        platforms)
 
 
 def save_artifact(out_dir: str, flat_params: Sequence, meta: dict,
@@ -75,10 +87,12 @@ def save_artifact(out_dir: str, flat_params: Sequence, meta: dict,
     np.savez(os.path.join(out_dir, "params.npz"), **arrays)
     entry_meta = []
     for e in entries:
-        name = f"fwd_t{e['t']}.shlo"
+        name = e.get("name") or f"fwd_t{e['t']}.shlo"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(e["data"])
-        entry_meta.append({"t": int(e["t"]), "file": name})
+        em = {k: v for k, v in e.items() if k not in ("data", "name")}
+        em["file"] = name
+        entry_meta.append(em)
     meta = dict(meta)
     meta["version"] = ARTIFACT_VERSION
     meta["jax_version"] = jax.__version__
@@ -160,5 +174,88 @@ class ExportedAcoustic:
                              jnp.asarray(lengths, jnp.int32))
 
 
-def load_artifact(path: str) -> ExportedAcoustic:
-    return ExportedAcoustic(path)
+class ExportedTransducer:
+    """A loaded RNN-T artifact: the three streaming-decode callables
+    (``encode`` / ``decode_init`` / ``decode_frames``) with the exact
+    interface ``cli/transcribe.load_transducer_stream`` returns, so a
+    ``serve.TransducerStreamer`` plugs in unchanged — the resumable
+    windowed lattice search decodes any-length audio through the
+    artifact's fixed shapes (chunk for the encoder, ``window_frames``
+    per decode window, ``max_output_len`` label budget)."""
+
+    def __init__(self, path: str):
+        from audio8_tpu.utils import Offsets
+
+        Offsets.remap_fairseq_ctc()  # _pad_id / blank follow CTC order
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("version", 0) > ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact schema v{self.meta['version']} is newer than "
+                f"this loader (v{ARTIFACT_VERSION})")
+        with np.load(os.path.join(path, "params.npz")) as z:
+            self._params = [jnp.asarray(z[k]) for k in sorted(z.files)]
+        fns = {}
+        for e in self.meta["entries"]:
+            with open(os.path.join(path, e["file"]), "rb") as f:
+                exp = jax_export.deserialize(f.read())
+            fns[e["role"]] = jax.jit(exp.call)
+        missing = {"encode", "decode_init", "decode_frames"} - set(fns)
+        if missing:
+            raise ValueError(f"artifact {path} missing entries: {missing}")
+        self._encode, self._init, self._frames = (
+            fns["encode"], fns["decode_init"], fns["decode_frames"])
+        self.chunk_samples = int(
+            next(e["t"] for e in self.meta["entries"]
+                 if e["role"] == "encode"))
+        self.window_frames = int(self.meta["window_frames"])
+        self.max_output_len = int(self.meta["max_output_len"])
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.meta["vocab"])
+
+    @property
+    def conv_features(self):
+        return [tuple(f) for f in self.meta["conv_features"]]
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.meta.get("sample_rate", 16_000))
+
+    def encode(self, signal, lengths):
+        signal = np.asarray(signal, np.float32)
+        t = signal.shape[-1]
+        if t > self.chunk_samples:
+            raise ValueError(
+                f"encode window of {t} samples exceeds the exported "
+                f"chunk ({self.chunk_samples}); the TransducerStreamer "
+                f"must window on chunk_samples")
+        if t < self.chunk_samples:
+            signal = np.pad(signal, ((0, 0), (0, self.chunk_samples - t)))
+        return self._encode(self._params, jnp.asarray(signal),
+                            jnp.asarray(lengths, jnp.int32))
+
+    def decode_init(self):
+        return self._init(self._params)
+
+    def decode_frames(self, enc, n_frames, tokens, n, pred_out, carry):
+        return self._frames(self._params, enc, n_frames, tokens, n,
+                            pred_out, carry)
+
+
+def artifact_kind(path: str) -> str:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f).get("kind", "ctc")
+
+
+def load_artifact(path: str):
+    """Load an artifact by its recorded kind: ``ExportedAcoustic``
+    (kind 'ctc') or ``ExportedTransducer`` (kind 'transducer')."""
+    kind = artifact_kind(path)
+    if kind == "transducer":
+        return ExportedTransducer(path)
+    if kind == "ctc":
+        return ExportedAcoustic(path)
+    raise ValueError(f"unknown artifact kind {kind!r} in {path}")

@@ -145,6 +145,83 @@ def test_exported_flag_validation(setup):
                     "--transducer", "true"])
 
 
+@pytest.fixture
+def setup_transducer(tmp_path):
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+
+    letters = list("ABC") + ["|"]
+    with open(tmp_path / "dict.ltr.txt", "w") as f:
+        for ch in letters:
+            f.write(f"{ch} 1\n")
+    cfg = TransducerConfig(
+        vocab_size=4 + len(letters), d_model=32, num_heads=2, num_layers=1,
+        d_ff=64, pred_layers=1, pred_dim=16, pred_embed_dim=8, d_joint=16,
+        timestep_masking=0.0, channel_masking=0.0)
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8000)),
+                        jnp.asarray([8000], jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    save_checkpoint({"params": params}, str(tmp_path / "ckpt"), 0)
+    rng = np.random.default_rng(4)
+    wavfile.write(str(tmp_path / "a.wav"), 16000,
+                  (rng.normal(size=32_000) * 5000).astype(np.int16))
+    return tmp_path
+
+
+TSMALL = SMALL + ["--pred_layers", "1", "--pred_dim", "16",
+                  "--pred_embed_dim", "8", "--d_joint", "16"]
+
+
+def test_transducer_export_roundtrip(setup_transducer):
+    """An exported transducer artifact transcribes to the same text as
+    the live checkpoint path (single-chunk audio, so the streamer's
+    windowed lattice search is exactly the whole-utterance decode)."""
+    from audio8_tpu.cli.export import main as export_main
+    from audio8_tpu.cli.transcribe import main as tmain
+    from audio8_tpu.export import load_artifact
+
+    d = setup_transducer
+    out = str(d / "rnnt.a8x")
+    export_main(["--checkpoint", str(d / "ckpt-step-0"),
+                 "--dict_file", str(d / "dict.ltr.txt"),
+                 "--output", out, "--transducer", "true",
+                 "--seconds", "3", "--platforms", "cpu",
+                 "--max_decode_len", "64"] + TSMALL)
+    art = load_artifact(out)
+    assert art.meta["kind"] == "transducer"
+    assert art.window_frames == 256 and art.max_output_len == 64
+    assert art.chunk_samples >= 3 * 16_000
+
+    ref = tmain([str(d / "a.wav"),
+                 "--checkpoint", str(d / "ckpt-step-0"),
+                 "--dict_file", str(d / "dict.ltr.txt"),
+                 "--transducer", "true", "--max_decode_len", "64"]
+                + TSMALL)
+    got = tmain([str(d / "a.wav"), "--exported", out])
+    assert got[0][1] == ref[0][1]
+
+
+def test_transducer_export_rejects_ctc_flags(setup_transducer):
+    from audio8_tpu.cli.export import main as export_main
+    from audio8_tpu.cli.transcribe import main as tmain
+
+    d = setup_transducer
+    with pytest.raises(SystemExit):  # quantize is a CTC-path option
+        export_main(["--checkpoint", str(d / "ckpt-step-0"),
+                     "--dict_file", str(d / "dict.ltr.txt"),
+                     "--output", str(d / "x"), "--transducer", "true",
+                     "--quantize", "int8"] + TSMALL)
+    out = str(d / "rnnt2.a8x")
+    export_main(["--checkpoint", str(d / "ckpt-step-0"),
+                 "--dict_file", str(d / "dict.ltr.txt"),
+                 "--output", out, "--transducer", "true",
+                 "--seconds", "3", "--platforms", "cpu",
+                 "--max_decode_len", "64"] + TSMALL)
+    with pytest.raises(SystemExit):  # greedy-only artifact
+        tmain([str(d / "a.wav"), "--exported", out, "--beam", "4"])
+
+
 def test_serve_from_artifact(setup, monkeypatch):
     """a8t-serve --exported: HTTP transcription over the serialized
     forward — the full CLI wiring, no model code on the serving path."""

@@ -215,11 +215,15 @@ def test_transcribe_cli_transducer(tmp_path, rng):
     assert len(out) == 1 and out[0][0].endswith("u.wav")
     assert isinstance(out[0][1], str)  # random weights -> any text
 
+    # --timestamps is supported on the whole-utterance greedy decode
+    # (ops/align.word_timestamps); still rejected when combined with
+    # beam search, which carries no per-token alignment
     with pytest.raises(SystemExit):
         main([str(tmp_path / "u.wav"),
               "--checkpoint", str(tmp_path / "ckpt-step-0"),
               "--dict_file", str(tmp_path / "dict.ltr.txt"),
-              "--transducer", "true", "--timestamps", "true"])
+              "--transducer", "true", "--timestamps", "true",
+              "--beam", "4"])
 
 
 @pytest.mark.slow
