@@ -134,6 +134,78 @@ class SubwordBPE:
         return out
 
 
+def learn_bpe(word_counts: Dict[str, int], num_merges: int,
+              min_frequency: int = 2) -> List[Tuple[str, str]]:
+    """Learn BPE merge rules from a word-frequency table.
+
+    The subword-nmt ``learn_bpe`` algorithm (the external tool the
+    reference's workflow needs to create the codes file that
+    wrd2bpe.py consumes): start from characters + '</w>', repeatedly
+    merge the most frequent adjacent symbol pair (ties broken by
+    lexicographically smallest pair, matching subword-nmt's sort),
+    stop after ``num_merges`` or when the best pair's count drops
+    below ``min_frequency``. Incremental pair-count maintenance: each
+    merge re-examines only the words containing the merged pair.
+
+    Returns the ordered merge list; write with :func:`write_bpe_codes`
+    and apply with :class:`SubwordBPE` (same '</w>' end-of-word
+    convention).
+    """
+    words: List[Tuple[List[str], int]] = [
+        (list(w) + ["</w>"], c) for w, c in word_counts.items() if w]
+    stats: Dict[Tuple[str, str], int] = {}
+    index: Dict[Tuple[str, str], set] = {}
+    for wi, (syms, c) in enumerate(words):
+        for pair in zip(syms, syms[1:]):
+            stats[pair] = stats.get(pair, 0) + c
+            index.setdefault(pair, set()).add(wi)
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not stats:
+            break
+        best = min(stats, key=lambda p: (-stats[p], p))
+        if stats[best] < min_frequency:
+            break
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for wi in list(index.get(best, ())):
+            syms, c = words[wi]
+            # remove this word's old pair contributions
+            for pair in zip(syms, syms[1:]):
+                stats[pair] -= c
+                if stats[pair] <= 0:
+                    stats.pop(pair, None)
+                idx = index.get(pair)
+                if idx is not None:
+                    idx.discard(wi)
+                    if not idx:
+                        index.pop(pair, None)
+            merged: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    merged.append(new_sym)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[wi] = (merged, c)
+            for pair in zip(merged, merged[1:]):
+                stats[pair] = stats.get(pair, 0) + c
+                index.setdefault(pair, set()).add(wi)
+    return merges
+
+
+def write_bpe_codes(path: str, merges: Sequence[Tuple[str, str]]) -> None:
+    """Write merges in subword-nmt codes-file format (v0.2 header,
+    readable back by :class:`SubwordBPE`)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
 class BPEVectorizer:
     """BPE segmentation + vocab lookup (text.py:61-85)."""
 
