@@ -87,6 +87,12 @@ def parse_args(argv=None):
     parser.add_argument("--alpha", type=float, default=0.7)
     parser.add_argument("--beta", type=float, default=5.0)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--speed_perturb", type=float, nargs="*",
+                        help="speed-perturbation factors for training "
+                             "utterances (e.g. 0.9 1.0 1.1, the Kaldi/"
+                             "fairseq 3-way recipe); polyphase resample "
+                             "per read, transcripts unchanged "
+                             "(data/audio.speed_perturb_wav)")
     parser.add_argument("--lane_align", type=str2bool, default=True,
                         help="clamp pad targets that would push the conv "
                              "frame count past a 128-lane MXU tile boundary "
@@ -147,7 +153,8 @@ def train(argv=None):
         batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets,
-        lane_align=args.lane_align)
+        lane_align=args.lane_align,
+        speed_perturb=args.speed_perturb or ())
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,

@@ -94,6 +94,12 @@ def parse_args(argv=None):
                              "the time-synchronous beam search "
                              "(Transducer.decode_beam) instead of greedy")
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--speed_perturb", type=float, nargs="*",
+                        help="speed-perturbation factors for training "
+                             "utterances (e.g. 0.9 1.0 1.1, the Kaldi/"
+                             "fairseq 3-way recipe); polyphase resample "
+                             "per read, transcripts unchanged "
+                             "(data/audio.speed_perturb_wav)")
     parser.add_argument("--lane_align", type=str2bool, default=True)
     parser.add_argument("--length_buckets", type=int, nargs="*")
     parser.add_argument("--profile_dir", type=str)
@@ -131,7 +137,8 @@ def train(argv=None):
         shard_index=rank, num_shards=world,
         batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
-        length_grid=args.length_buckets, lane_align=args.lane_align)
+        length_grid=args.length_buckets, lane_align=args.lane_align,
+        speed_perturb=args.speed_perturb or ())
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,

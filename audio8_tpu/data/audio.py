@@ -75,3 +75,22 @@ class AudioResampleReader(SoundfileAudioReader):
 
         num = int(len(wav) * self.sample_factor)
         return scipy.signal.resample(wav, num).astype(np.float32)
+
+
+def speed_perturb_wav(wav: np.ndarray, factor: float) -> np.ndarray:
+    """Play ``wav`` at ``factor``x speed (duration x 1/factor) by
+    polyphase resampling at the rational approximation of the factor —
+    the Kaldi/fairseq speed-perturbation primitive (no reference
+    equivalent; audio8 ships no augmentation). ``resample_poly`` keeps
+    the tiny 9/10- and 11/10-style ratios cheap and alias-free where a
+    full FFT resample would not be."""
+    from fractions import Fraction
+
+    import scipy.signal
+
+    frac = Fraction(factor).limit_denominator(100)
+    if frac.numerator == frac.denominator:
+        return np.asarray(wav, np.float32)
+    out = scipy.signal.resample_poly(
+        np.asarray(wav, np.float32), frac.denominator, frac.numerator)
+    return out.astype(np.float32)

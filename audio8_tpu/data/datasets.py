@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import logging
+import math
 import os
 import queue
 import random
@@ -35,7 +36,8 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from audio8_tpu.config import CONV_FEATURES, lane_aligned_pad
-from audio8_tpu.data.audio import AudioResampleReader, SoundfileAudioReader
+from audio8_tpu.data.audio import (AudioResampleReader,
+                                   SoundfileAudioReader, speed_perturb_wav)
 from audio8_tpu.utils import Offsets
 
 logger = logging.getLogger(__name__)
@@ -172,6 +174,7 @@ class AudioTextLetterDataset:
         seed: int = 0,
         read_workers: int = 4,
         lane_align: bool = False,
+        speed_perturb: Sequence[float] = (),
     ):
         """``length_grid``: optional ascending audio lengths (samples); each
         batch pads UP to the smallest grid entry >= its max length, bounding
@@ -185,7 +188,15 @@ class AudioTextLetterDataset:
         ``lane_align``: clamp pad targets that would push the conv frame
         count past a 128-lane MXU tile boundary the batch's real max length
         didn't require (config.lane_aligned_pad); never drops audio, only
-        trims wasted pad."""
+        trims wasted pad.
+
+        ``speed_perturb``: speed factors (e.g. ``(0.9, 1.0, 1.1)``, the
+        Kaldi/fairseq 3-way recipe); each training utterance draws one
+        per read and is polyphase-resampled to speed*f (duration /f) —
+        standard ASR augmentation with no reference equivalent. Pad
+        targets scale by the worst-case stretch so static shapes and
+        cross-shard shape agreement are unaffected; transcripts are
+        unchanged. Leave empty for validation/eval datasets."""
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
             AudioResampleReader(self.sample_factor)
@@ -213,6 +224,12 @@ class AudioTextLetterDataset:
             else None)
         self.batch_multiple = max(batch_multiple, 1)
         self.row_shard = row_shard
+        self.speed_perturb = [float(f) for f in speed_perturb]
+        if any(f <= 0 for f in self.speed_perturb):
+            raise ValueError(f"speed factors must be > 0: {speed_perturb}")
+        # duration multiplies by 1/f; pads must fit the slowest factor
+        self._max_stretch = (max(1.0 / min(self.speed_perturb), 1.0)
+                             if self.speed_perturb else 1.0)
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
         # audio decode releases the GIL (ctypes FLAC / scipy WAV), so a
@@ -295,8 +312,10 @@ class AudioTextLetterDataset:
         n_real = len(batch)
         b_global = self._global_rows(n_real)
         # audio/text pads come from manifest metadata so every shard agrees
-        # on the global shape without decoding the whole batch
-        max_audio = max(self.sizes[idx] for idx in batch)
+        # on the global shape without decoding the whole batch (scaled by
+        # the worst-case speed-perturb stretch so every draw fits)
+        max_audio = int(math.ceil(
+            max(self.sizes[idx] for idx in batch) * self._max_stretch))
         if self.length_grid:
             fits = [g for g in self.length_grid if g >= max_audio]
             t_audio = fits[0] if fits else _round_up(max_audio, self.pad_to_multiple)
@@ -317,11 +336,22 @@ class AudioTextLetterDataset:
         rows = [batch[r] for r in range(lo, min(lo + b_local, n_real))]
 
         files = [self.files[idx] for idx in rows]
-        read = lambda pth: self.reader.read(pth, self.max_src_length or -1).squeeze()
+        # speed factors draw OUTSIDE the thread pool so row order (and
+        # therefore the stream under a fixed seed) stays deterministic
+        factors = (self._np_rng.choice(self.speed_perturb, size=len(files))
+                   if self.speed_perturb else None)
+
+        def read(i_pth):
+            i, pth = i_pth
+            wav = self.reader.read(pth, self.max_src_length or -1).squeeze()
+            if factors is not None and factors[i] != 1.0:
+                wav = speed_perturb_wav(wav, float(factors[i]))
+            return wav
+
         if self._pool is not None:
-            audios = list(self._pool.map(read, files))
+            audios = list(self._pool.map(read, enumerate(files)))
         else:
-            audios = [read(pth) for pth in files]
+            audios = [read(ip) for ip in enumerate(files)]
 
         signal = np.zeros((b_local, t_audio), np.float32)
         audio_lengths = np.zeros(b_local, np.int32)

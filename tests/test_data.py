@@ -321,3 +321,69 @@ def test_lane_align_row_shard_shape_agreement(corpus):
         assert a["token_ids"].shape[1] == b["token_ids"].shape[1]
         # row blocks are disjoint
         assert not (set(a["files"]) & set(b["files"]))
+
+
+def test_speed_perturb_wav_length_and_pitch():
+    """speed_perturb_wav at factor f: duration x 1/f and the dominant
+    frequency of a pure tone scales by f (it IS a speed change, not a
+    tempo-only stretch)."""
+    from audio8_tpu.data.audio import speed_perturb_wav
+
+    sr, f0 = 16_000, 440.0
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    for factor in (0.9, 1.1):
+        out = speed_perturb_wav(tone, factor)
+        assert abs(len(out) - sr / factor) <= 2
+        spec = np.abs(np.fft.rfft(out))
+        peak_hz = np.argmax(spec) * sr / len(out) / 1  # bin -> Hz at sr
+        assert abs(peak_hz - f0 * factor) < 5.0
+    # factor 1.0 is the identity
+    np.testing.assert_array_equal(speed_perturb_wav(tone, 1.0), tone)
+
+
+def test_dataset_speed_perturb(corpus):
+    """AudioTextLetterDataset(speed_perturb=...): every row fits its
+    padded slot at the worst-case stretch, lengths are post-perturb,
+    transcripts are untouched, and the same seed reproduces the
+    stream."""
+    vec = TextVectorizer(letter_vocab())
+
+    def build(seed):
+        return AudioTextLetterDataset(
+            str(corpus / "train.tsv"), vec, 64_000,
+            shuffle=False, is_infinite=False, pad_to_multiple=4000,
+            read_workers=1, seed=seed, speed_perturb=(0.5, 1.0, 2.0))
+
+    base = AudioTextLetterDataset(
+        str(corpus / "train.tsv"), vec, 64_000,
+        shuffle=False, is_infinite=False, pad_to_multiple=4000,
+        read_workers=1)
+    perturbed = build(7)
+    # worst-case stretch = 1/0.5 = 2x scales the pad targets
+    got_lengths, got_tokens = [], []
+    for b in perturbed:
+        assert b["signal"].shape[1] % 4000 == 0
+        for i in range(len(b["files"])):
+            n = int(b["signal_lengths"][i])
+            got_lengths.append(n)
+            # the slot fits the draw: no silent crop of a 2x-slowed row
+            assert n <= b["signal"].shape[1]
+            # content beyond the recorded length is padding
+            assert not np.any(b["signal"][i, n:])
+            got_tokens.append(b["token_ids"][i].tolist())
+    base_lengths = [int(b["signal_lengths"][i]) for b in base
+                    for i in range(len(b["files"]))]
+    base_tokens = [b["token_ids"][i].tolist() for b in base
+                   for i in range(len(b["files"]))]
+    # transcripts identical; at least one row actually changed speed
+    assert len(got_tokens) == len(base_tokens)
+    assert got_tokens == base_tokens
+    assert got_lengths != base_lengths
+    # ratios are one of the requested factors (inverse on duration)
+    for n, n0 in zip(got_lengths, base_lengths):
+        assert min(abs(n - n0 * r) for r in (2.0, 1.0, 0.5)) <= 2
+    # determinism under the same seed
+    again = [int(b["signal_lengths"][i]) for b in build(7)
+             for i in range(len(b["files"]))]
+    assert again == got_lengths
