@@ -145,6 +145,46 @@ def test_exported_flag_validation(setup):
                     "--transducer", "true"])
 
 
+def test_export_quantized_int8(setup):
+    """--quantize int8 bakes the quantized params + int8-MXU matmul path
+    into the artifact; outputs match a live int8-quantized forward.
+    (Dense kernels must reach ops/quant.py's min_dim=64 to quantize, so
+    this model uses d_model=64.)"""
+    from audio8_tpu.cli.export import main as export_main
+    from audio8_tpu.cli.transcribe import load_acoustic, parse_args
+    from audio8_tpu.export import load_artifact
+
+    q = ["--d_model", "64", "--num_heads", "2", "--num_layers", "1",
+         "--d_ff", "128"]
+    cfg = AcousticConfig(num_labels=8, d_model=64, num_heads=2,
+                         num_layers=1, d_ff=128)
+    model = Wav2Vec2AcousticModel(config=cfg)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 8000)))["params"]
+    save_checkpoint({"params": params}, str(setup / "qckpt"), 0)
+    out = str(setup / "model-int8.a8x")
+    export_main(["--checkpoint", str(setup / "qckpt-step-0"),
+                 "--dict_file", str(setup / "dict.ltr.txt"),
+                 "--output", out, "--seconds", "3", "--platforms", "cpu",
+                 "--quantize", "int8"] + q)
+    art = load_artifact(out)
+    assert art.meta["quantize"] == "int8"
+    args = parse_args([str(setup / "a.wav"),
+                       "--checkpoint", str(setup / "qckpt-step-0"),
+                       "--dict_file", str(setup / "dict.ltr.txt"),
+                       "--quantize", "int8"] + q)
+    _, live_forward, _, _, _ = load_acoustic(args)
+    t = art.max_samples
+    sig = np.random.default_rng(5).normal(size=(2, t)).astype(np.float32)
+    lens = np.asarray([t, t // 2], np.int32)
+    lp_a, fr_a = art.forward(sig, lens)
+    lp_l, fr_l = live_forward(jnp.asarray(sig), jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(fr_a), np.asarray(fr_l))
+    np.testing.assert_allclose(np.asarray(lp_a, np.float32),
+                               np.asarray(lp_l, np.float32),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.fixture
 def setup_transducer(tmp_path):
     from audio8_tpu.config import TransducerConfig
