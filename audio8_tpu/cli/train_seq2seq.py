@@ -79,6 +79,15 @@ def parse_args(argv=None):
     parser.add_argument("--target_type", choices=["wrd", "ltr", "bpe"], default="ltr")
     parser.add_argument("--freeze_fx", type=str2bool, default=True)
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--noise_manifest",
+                        help="additive-noise augmentation source: an audio "
+                             "manifest TSV or a directory of WAV/FLAC noise "
+                             "clips (data/audio.NoiseMixer, MUSAN-style)")
+    parser.add_argument("--noise_snr", type=float, nargs=2,
+                        default=[5.0, 20.0],
+                        help="uniform SNR-dB range for --noise_manifest")
+    parser.add_argument("--noise_prob", type=float, default=1.0,
+                        help="per-utterance probability of mixing noise")
     parser.add_argument("--speed_perturb", type=float, nargs="*",
                         help="speed-perturbation factors for training "
                              "utterances (e.g. 0.9 1.0 1.1, the Kaldi/"
@@ -116,6 +125,13 @@ def train(argv=None):
     use_bpe = args.target_type == "bpe"
     postproc = M.postproc_bpe if use_bpe else M.postproc_letters
 
+    noise_mixer = None
+    if args.noise_manifest:
+        from audio8_tpu.data.audio import NoiseMixer
+
+        noise_mixer = NoiseMixer(args.noise_manifest,
+                                 snr_db=args.noise_snr,
+                                 prob=args.noise_prob)
     train_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.train_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,
@@ -127,7 +143,8 @@ def train(argv=None):
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets,
         lane_align=args.lane_align,
-        speed_perturb=args.speed_perturb or ())
+        speed_perturb=args.speed_perturb or (),
+        noise_mixer=noise_mixer)
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,

@@ -94,6 +94,15 @@ def parse_args(argv=None):
                              "the time-synchronous beam search "
                              "(Transducer.decode_beam) instead of greedy")
     parser.add_argument("--pad_to_multiple", type=int, default=16_000)
+    parser.add_argument("--noise_manifest",
+                        help="additive-noise augmentation source: an audio "
+                             "manifest TSV or a directory of WAV/FLAC noise "
+                             "clips (data/audio.NoiseMixer, MUSAN-style)")
+    parser.add_argument("--noise_snr", type=float, nargs=2,
+                        default=[5.0, 20.0],
+                        help="uniform SNR-dB range for --noise_manifest")
+    parser.add_argument("--noise_prob", type=float, default=1.0,
+                        help="per-utterance probability of mixing noise")
     parser.add_argument("--speed_perturb", type=float, nargs="*",
                         help="speed-perturbation factors for training "
                              "utterances (e.g. 0.9 1.0 1.1, the Kaldi/"
@@ -128,6 +137,13 @@ def train(argv=None):
     postproc = (M.postproc_bpe if args.target_type == "bpe"
                 else M.postproc_letters)
 
+    noise_mixer = None
+    if args.noise_manifest:
+        from audio8_tpu.data.audio import NoiseMixer
+
+        noise_mixer = NoiseMixer(args.noise_manifest,
+                                 snr_db=args.noise_snr,
+                                 prob=args.noise_prob)
     train_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.train_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,
@@ -138,7 +154,8 @@ def train(argv=None):
         batch_multiple=batch_multiple, row_shard=row_shard,
         pad_to_multiple=args.pad_to_multiple,
         length_grid=args.length_buckets, lane_align=args.lane_align,
-        speed_perturb=args.speed_perturb or ())
+        speed_perturb=args.speed_perturb or (),
+        noise_mixer=noise_mixer)
     valid_set = AudioTextLetterDataset(
         os.path.join(args.root_dir, args.valid_dataset), vec,
         args.target_tokens_per_batch, args.max_sample_len,

@@ -77,6 +77,60 @@ class AudioResampleReader(SoundfileAudioReader):
         return scipy.signal.resample(wav, num).astype(np.float32)
 
 
+class NoiseMixer:
+    """Additive noise augmentation at a random SNR (MUSAN-style; no
+    reference equivalent — audio8 ships no augmentation).
+
+    ``source`` is an audio manifest TSV (same format as the dataset
+    manifests: directory header + ``file\\tnum_samples`` rows) or a
+    directory of WAV/FLAC files. Each call mixes one randomly chosen
+    noise clip (looped/cropped to the utterance length) at an SNR drawn
+    uniformly from ``snr_db``, with probability ``prob``. Pure
+    host-side, length-preserving — composes with speed perturbation and
+    the static-shape batching untouched.
+    """
+
+    def __init__(self, source: str, snr_db=(5.0, 20.0), prob: float = 1.0):
+        import os
+
+        self.snr_db = (float(snr_db[0]), float(snr_db[1]))
+        self.prob = float(prob)
+        self._reader = SoundfileAudioReader()
+        if os.path.isdir(source):
+            self.files = sorted(
+                os.path.join(source, f) for f in os.listdir(source)
+                if f.lower().endswith((".wav", ".flac")))
+        else:
+            with open(source) as f:
+                directory = f.readline().strip()
+                self.files = [os.path.join(directory, ln.split("\t")[0])
+                              for ln in f if ln.strip()]
+        if not self.files:
+            raise ValueError(f"no noise files found in {source!r}")
+
+    def __call__(self, wav: np.ndarray, rng) -> np.ndarray:
+        if self.prob < 1.0 and rng.random() > self.prob:
+            return wav
+        noise = np.asarray(
+            self._reader.read(self.files[int(rng.integers(len(self.files)))]),
+            np.float32).squeeze()
+        if noise.size == 0:
+            return wav
+        if len(noise) < len(wav):
+            reps = -(-len(wav) // len(noise))
+            noise = np.tile(noise, reps)
+        if len(noise) > len(wav):
+            start = int(rng.integers(len(noise) - len(wav) + 1))
+            noise = noise[start:start + len(wav)]
+        rms_s = float(np.sqrt(np.mean(np.square(wav)))) or 1e-8
+        rms_n = float(np.sqrt(np.mean(np.square(noise))))
+        if rms_n < 1e-8:
+            return wav
+        snr = float(rng.uniform(*self.snr_db))
+        scale = rms_s / (rms_n * 10.0 ** (snr / 20.0))
+        return (wav + scale * noise).astype(np.float32)
+
+
 def speed_perturb_wav(wav: np.ndarray, factor: float) -> np.ndarray:
     """Play ``wav`` at ``factor``x speed (duration x 1/factor) by
     polyphase resampling at the rational approximation of the factor —

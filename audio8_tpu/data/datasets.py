@@ -175,6 +175,7 @@ class AudioTextLetterDataset:
         read_workers: int = 4,
         lane_align: bool = False,
         speed_perturb: Sequence[float] = (),
+        noise_mixer=None,
     ):
         """``length_grid``: optional ascending audio lengths (samples); each
         batch pads UP to the smallest grid entry >= its max length, bounding
@@ -196,7 +197,11 @@ class AudioTextLetterDataset:
         standard ASR augmentation with no reference equivalent. Pad
         targets scale by the worst-case stretch so static shapes and
         cross-shard shape agreement are unaffected; transcripts are
-        unchanged. Leave empty for validation/eval datasets."""
+        unchanged. Leave empty for validation/eval datasets.
+
+        ``noise_mixer``: an optional ``data/audio.NoiseMixer`` (or any
+        ``(wav, rng) -> wav`` length-preserving callable) applied to
+        each training utterance after speed perturbation."""
         self.sample_factor = target_sample_rate / input_sample_rate
         self.reader = (
             AudioResampleReader(self.sample_factor)
@@ -227,6 +232,7 @@ class AudioTextLetterDataset:
         self.speed_perturb = [float(f) for f in speed_perturb]
         if any(f <= 0 for f in self.speed_perturb):
             raise ValueError(f"speed factors must be > 0: {speed_perturb}")
+        self.noise_mixer = noise_mixer
         # duration multiplies by 1/f; pads must fit the slowest factor
         self._max_stretch = (max(1.0 / min(self.speed_perturb), 1.0)
                              if self.speed_perturb else 1.0)
@@ -336,16 +342,23 @@ class AudioTextLetterDataset:
         rows = [batch[r] for r in range(lo, min(lo + b_local, n_real))]
 
         files = [self.files[idx] for idx in rows]
-        # speed factors draw OUTSIDE the thread pool so row order (and
-        # therefore the stream under a fixed seed) stays deterministic
+        # augmentation randomness draws OUTSIDE the thread pool so row
+        # order (and therefore the stream under a fixed seed) stays
+        # deterministic: factors here, a child Generator per row for the
+        # noise mixer
         factors = (self._np_rng.choice(self.speed_perturb, size=len(files))
                    if self.speed_perturb else None)
+        noise_rngs = ([np.random.default_rng(s) for s in
+                       self._np_rng.integers(0, 2**63, size=len(files))]
+                      if self.noise_mixer is not None else None)
 
         def read(i_pth):
             i, pth = i_pth
             wav = self.reader.read(pth, self.max_src_length or -1).squeeze()
             if factors is not None and factors[i] != 1.0:
                 wav = speed_perturb_wav(wav, float(factors[i]))
+            if noise_rngs is not None:
+                wav = self.noise_mixer(wav, noise_rngs[i])
             return wav
 
         if self._pool is not None:

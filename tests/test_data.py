@@ -387,3 +387,72 @@ def test_dataset_speed_perturb(corpus):
     again = [int(b["signal_lengths"][i]) for b in build(7)
              for i in range(len(b["files"]))]
     assert again == got_lengths
+
+
+def test_noise_mixer_snr(tmp_path):
+    """NoiseMixer hits the requested SNR: mixing at X dB makes the
+    added-noise power 10^(-X/10) of the signal power."""
+    from audio8_tpu.data.audio import NoiseMixer
+
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    write_wav(str(noise_dir / "n0.wav"), 4000, seed=50)
+    mixer = NoiseMixer(str(noise_dir), snr_db=(10.0, 10.0))
+    rng = np.random.default_rng(0)
+    sig = np.sin(2 * np.pi * 300 * np.arange(16_000) / 16_000).astype(np.float32)
+    out = mixer(sig, rng)
+    assert out.shape == sig.shape and out.dtype == np.float32
+    added = out - sig
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean(added**2))
+    assert abs(snr - 10.0) < 0.5
+    # prob=0 is the identity
+    none = NoiseMixer(str(noise_dir), snr_db=(10.0, 10.0), prob=0.0)
+    np.testing.assert_array_equal(none(sig, rng), sig)
+
+
+def test_noise_mixer_manifest_source(tmp_path):
+    """NoiseMixer accepts the manifest-TSV source format too, and loops
+    short noise clips over long utterances."""
+    from audio8_tpu.data.audio import NoiseMixer
+
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    write_wav(str(noise_dir / "n0.wav"), 1000, seed=51)
+    tsv = tmp_path / "noise.tsv"
+    tsv.write_text(f"{noise_dir}\nn0.wav\t1000\n")
+    mixer = NoiseMixer(str(tsv), snr_db=(0.0, 0.0))
+    sig = np.ones(5000, np.float32)
+    out = mixer(sig, np.random.default_rng(1))
+    assert out.shape == sig.shape
+    assert np.any(out != sig)
+
+
+def test_dataset_noise_mixer(corpus, tmp_path):
+    """Dataset integration: lengths/transcripts unchanged, signals
+    perturbed, deterministic under a fixed seed."""
+    from audio8_tpu.data.audio import NoiseMixer
+
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    write_wav(str(noise_dir / "n0.wav"), 3000, seed=52)
+    vec = TextVectorizer(letter_vocab())
+
+    def build(mixer, seed=3):
+        return AudioTextLetterDataset(
+            str(corpus / "train.tsv"), vec, 64_000,
+            shuffle=False, is_infinite=False, pad_to_multiple=4000,
+            read_workers=2, seed=seed, noise_mixer=mixer)
+
+    base = [b for b in build(None)]
+    mixer = NoiseMixer(str(noise_dir), snr_db=(5.0, 5.0))
+    noisy = [b for b in build(mixer)]
+    again = [b for b in build(mixer)]
+    for b0, b1, b2 in zip(base, noisy, again):
+        np.testing.assert_array_equal(b0["signal_lengths"], b1["signal_lengths"])
+        np.testing.assert_array_equal(b0["token_ids"], b1["token_ids"])
+        assert np.any(b0["signal"] != b1["signal"])
+        np.testing.assert_array_equal(b1["signal"], b2["signal"])
+        # padding stays silent
+        for i in range(b1["signal"].shape[0]):
+            n = int(b1["signal_lengths"][i])
+            assert not np.any(b1["signal"][i, n:])
