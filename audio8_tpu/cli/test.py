@@ -82,6 +82,11 @@ def evaluate(argv=None):
     parser.add_argument("--basedir", type=str)
     parser.add_argument("--root_dir")
     parser.add_argument("--checkpoint")
+    parser.add_argument("--exported",
+                        help="a8t-export CTC artifact directory: score the "
+                             "serialized StableHLO forward instead of "
+                             "building the model — certify an artifact's "
+                             "WER on a manifest before serving it")
     parser.add_argument("--valid_dataset", type=str, help="e.g. dev-other.tsv")
     parser.add_argument("--dict_file", type=str, default="dict.ltr.txt")
     parser.add_argument("--max_sample_len", type=int, default=325_000)
@@ -138,8 +143,23 @@ def evaluate(argv=None):
     Offsets.remap_fairseq_ctc()
     setup()
 
-    vocab_file = args.vocab_file or os.path.join(args.root_dir, args.dict_file)
-    vocab_list = read_vocab_list(vocab_file)
+    artifact = None
+    if args.exported:
+        from audio8_tpu.export import load_artifact
+
+        if args.transducer or args.quantize != "none":
+            raise ValueError("--exported eval scores the artifact as "
+                             "written: --quantize is baked at export time "
+                             "and transducer artifacts eval through the "
+                             "checkpoint path (a8t-test --transducer)")
+        artifact = load_artifact(args.exported)
+        if not hasattr(artifact, "forward"):
+            raise ValueError(f"{args.exported} is not a CTC artifact")
+        vocab_list = artifact.vocab  # the artifact's vocab IS the head
+    else:
+        vocab_file = (args.vocab_file
+                      or os.path.join(args.root_dir, args.dict_file))
+        vocab_list = read_vocab_list(vocab_file)
     vocab = {v: i for i, v in enumerate(vocab_list)}
     index2vocab = revlut(vocab)
     vec = TextVectorizer(vocab)
@@ -186,30 +206,37 @@ def evaluate(argv=None):
         length_grid=args.length_buckets,
         lane_align=args.lane_align)
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    cfg = AcousticConfig(
-        num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
-        d_model=args.d_model, num_heads=args.num_heads, num_layers=args.num_layers,
-        d_ff=args.d_ff, dropout=args.dropout, timestep_masking=0.0,
-        channel_masking=0.0, **topology_kwargs(args))
-    model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
+    if artifact is not None:
+        params = None
 
-    checkpoint = args.checkpoint
-    if not checkpoint:
-        from audio8_tpu.train.checkpoint import find_latest_checkpoint
-        checkpoint, _ = find_latest_checkpoint(args.basedir)
-    example = jnp.zeros((1, args.pad_to_multiple), jnp.float32)
-    init_params = model.init(jax.random.PRNGKey(0), example)["params"]
-    params, _, _ = resolve_restart(checkpoint, init_params, ctc=True,
-                                   num_layers=args.num_layers,
-                                   sr=args.target_sample_rate // 1000,
-                                   **topology_kwargs(args))
-    if args.quantize == "int8":
-        from audio8_tpu.ops.quant import quantize_model_params
+        def eval_fn(_params, signal, signal_lengths):
+            return artifact.forward(np.asarray(signal),
+                                    np.asarray(signal_lengths))
+    else:
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        cfg = AcousticConfig(
+            num_labels=len(vocab), sample_rate=args.target_sample_rate // 1000,
+            d_model=args.d_model, num_heads=args.num_heads, num_layers=args.num_layers,
+            d_ff=args.d_ff, dropout=args.dropout, timestep_masking=0.0,
+            channel_masking=0.0, **topology_kwargs(args))
+        model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 
-        params = quantize_model_params(params)
+        checkpoint = args.checkpoint
+        if not checkpoint:
+            from audio8_tpu.train.checkpoint import find_latest_checkpoint
+            checkpoint, _ = find_latest_checkpoint(args.basedir)
+        example = jnp.zeros((1, args.pad_to_multiple), jnp.float32)
+        init_params = model.init(jax.random.PRNGKey(0), example)["params"]
+        params, _, _ = resolve_restart(checkpoint, init_params, ctc=True,
+                                       num_layers=args.num_layers,
+                                       sr=args.target_sample_rate // 1000,
+                                       **topology_kwargs(args))
+        if args.quantize == "int8":
+            from audio8_tpu.ops.quant import quantize_model_params
 
-    eval_fn = build_eval_fn(model)
+            params = quantize_model_params(params)
+
+        eval_fn = build_eval_fn(model)
     postproc = M.postproc_letters if args.target_type != "bpe" else M.postproc_bpe
     metrics = {}
     c_errors = c_total = w_errors = w_total = wlm_errors = 0

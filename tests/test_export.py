@@ -185,6 +185,26 @@ def test_export_quantized_int8(setup):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_a8t_test_exported_matches_checkpoint(setup):
+    """a8t-test --exported certifies an artifact's WER on a manifest:
+    metrics equal the checkpoint-path eval bit-for-bit."""
+    from audio8_tpu.cli.test import evaluate
+
+    # tiny manifest over the fixture wav
+    with open(setup / "valid.tsv", "w") as f:
+        f.write(f"{setup}\na.wav\t40000\n")
+    with open(setup / "valid.ltr", "w") as f:
+        f.write("A B | C A |\n")
+    out = _export(setup)
+    common = ["--root_dir", str(setup), "--valid_dataset", "valid.tsv",
+              "--target_tokens_per_batch", "48000",
+              "--pad_to_multiple", "16000"]
+    ref = evaluate(common + ["--checkpoint", str(setup / "ckpt-step-0"),
+                             "--dict_file", "dict.ltr.txt"] + SMALL)
+    got = evaluate(common + ["--exported", out])
+    assert got["wer"] == ref["wer"] and got["cer"] == ref["cer"]
+
+
 @pytest.fixture
 def setup_transducer(tmp_path):
     from audio8_tpu.config import TransducerConfig
