@@ -194,6 +194,11 @@ class EncoderConfig:
     # softmax over bf16 logits when compute dtype is bf16 (+8% step
     # throughput measured on v5e; no effect under f32 compute).
     bf16_softmax: bool = True
+    # Fused attention kernels (ops/pallas): None = XLA attention
+    # (fastest measured end-to-end); True = whole-row fused core
+    # (attention_kernel.py); "block" = projections-inside fused block
+    # (attention_block_kernel.py). Both opt-in, both parity-tested.
+    fused_attention: object = None
     # Rematerialize each transformer layer in backprop (jax.checkpoint):
     # saves only layer inputs, recomputes in-layer activations. Needed
     # for large models on long clips; costs ~1 extra forward.

@@ -260,6 +260,7 @@ class AudioTransformerEncoder(nn.Module):
     layer_drop: float = 0.0
     pre_norm: bool = False
     flash_attention: bool = False
+    fused_attention: object = None  # None | True (core) | "block"
     bf16_softmax: bool = True
     remat: bool = False
     sequence_parallel: bool = False
@@ -320,6 +321,7 @@ class AudioTransformerEncoder(nn.Module):
             dropout_rate=self.dropout, attention_dropout=self.attention_dropout,
             activation="gelu", pre_norm=self.pre_norm,
             layer_drop=self.layer_drop, flash=self.flash_attention,
+            fused_attention=self.fused_attention,
             bf16_softmax=self.bf16_softmax, remat=self.remat,
             seq_shard=self.sequence_parallel,
             moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
@@ -405,6 +407,7 @@ class Wav2Vec2Encoder(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
+            fused_attention=cfg.fused_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
@@ -575,6 +578,7 @@ class Wav2Vec2Model(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
+            fused_attention=cfg.fused_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,

@@ -235,6 +235,66 @@ class MultiHeadAttention(nn.Module):
             return jnp.squeeze(mask, axis=(1, 2))
         return None
 
+    def _block_eligible(self, query, key, value, mask, cache,
+                        position_bias):
+        """Gate for the fused attention-BLOCK kernel
+        (``fused_attention="block"``, attention_block_kernel.py): strict
+        self-attention (same array object for q/k/v), square T within
+        the VMEM bound, no rpr/bias/cache/flash, key-validity masks
+        only, and never during init (the XLA path must create the Dense
+        params first). Returns False (no mask) / (B, T) key-validity /
+        None (ineligible)."""
+        if self.fused_attention != "block" or self.flash:
+            return None
+        if self.is_initializing():
+            return None
+        if not (query is key and key is value):
+            return None
+        if position_bias is not None or self.gated_rel_pos:
+            return None
+        from audio8_tpu.ops.pallas.attention_kernel import structural_ok
+
+        t = query.shape[1]
+        if not structural_ok(t, t, self.d_head, self.rpr_k, cache):
+            return None
+        # int8-quantized serving keeps the Dense int8-MXU path
+        if self.get_variable("params", "w_Q")["kernel"].dtype == jnp.int8:
+            return None
+        if mask is None:
+            return False
+        if (hasattr(mask, "ndim") and mask.ndim == 4
+                and mask.shape[1] == 1 and mask.shape[2] == 1):
+            kv = jnp.squeeze(mask, axis=(1, 2))
+            return jnp.broadcast_to(kv, (query.shape[0], t))
+        return None
+
+    def _fused_block(self, x, key_valid, deterministic):
+        """Run the fused-projections attention block kernel."""
+        from audio8_tpu.ops.pallas.attention_block_kernel import (
+            attention_block_nheads)
+
+        pq = self.get_variable("params", "w_Q")
+        pk = self.get_variable("params", "w_K")
+        pv = self.get_variable("params", "w_V")
+        po = self.get_variable("params", "w_O")
+        cast = lambda a: a.astype(self.dtype)
+        rate = 0.0 if deterministic else self.dropout_rate
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), -(2 ** 31), 2 ** 31 - 1,
+                jnp.int32).astype(jnp.uint32)
+        block = attention_block_nheads(self.num_heads)
+        return block(
+            x.astype(self.dtype),
+            cast(pq["kernel"]), cast(pq["bias"]),
+            cast(pk["kernel"]), cast(pk["bias"]),
+            cast(pv["kernel"]), cast(pv["bias"]),
+            cast(po["kernel"]), cast(po["bias"]),
+            None if key_valid is False else key_valid,
+            (1.0 / float(np.sqrt(self.d_head))) if self.scale else 1.0,
+            rate, seed)
+
     def _rel_ids(self, t_q: int, t_k: int, q_offset) -> jnp.ndarray:
         qi = jnp.arange(t_q)[:, None] + q_offset
         kj = jnp.arange(t_k)[None, :]
@@ -281,6 +341,11 @@ class MultiHeadAttention(nn.Module):
         ``cache_index`` and attention runs over the full static cache with
         positions >= cache_index + T_new masked out; returns (out, cache).
         """
+        blk = self._block_eligible(query, key, value, mask, cache,
+                                   position_bias)
+        if blk is not None:
+            return self._fused_block(query, blk, deterministic)
+
         q = self._split(self.w_Q(query))
         k = self._split(self.w_K(key))
         v = self._split(self.w_V(value))
