@@ -204,6 +204,57 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                 port: int = 8000) -> ThreadingHTTPServer:
     """Bind a ThreadingHTTPServer serving ``service`` (port 0 = ephemeral)."""
 
+    class Metrics:
+        """Thread-safe request counters rendered in Prometheus text
+        format at GET /metrics (production-serving observability the
+        reference has no equivalent of)."""
+
+        def __init__(self):
+            self._lock = threading.Lock()
+            self.requests = {}       # (route, code) -> count
+            self.seconds = {}        # route -> [sum, count]
+            self.audio_seconds = 0.0
+
+        def observe(self, route: str, code: int, elapsed: float,
+                    audio_seconds: float = 0.0):
+            with self._lock:
+                key = (route, code)
+                self.requests[key] = self.requests.get(key, 0) + 1
+                s = self.seconds.setdefault(route, [0.0, 0])
+                s[0] += elapsed
+                s[1] += 1
+                self.audio_seconds += audio_seconds
+
+        def render(self) -> str:
+            with self._lock:
+                lines = [
+                    "# TYPE a8t_requests_total counter",
+                ]
+                for (route, code), n in sorted(self.requests.items()):
+                    lines.append(
+                        f'a8t_requests_total{{route="{route}",'
+                        f'code="{code}"}} {n}')
+                lines.append("# TYPE a8t_request_seconds summary")
+                for route, (tot, cnt) in sorted(self.seconds.items()):
+                    lines.append(
+                        f'a8t_request_seconds_sum{{route="{route}"}} '
+                        f"{tot:.6f}")
+                    lines.append(
+                        f'a8t_request_seconds_count{{route="{route}"}} '
+                        f"{cnt}")
+                lines.append("# TYPE a8t_audio_seconds_total counter")
+                lines.append(
+                    f"a8t_audio_seconds_total {self.audio_seconds:.3f}")
+            b = service.transcriber.batcher
+            if b is not None:
+                lines.append("# TYPE a8t_batcher_dispatches_total counter")
+                lines.append(f"a8t_batcher_dispatches_total {b.dispatches}")
+                lines.append("# TYPE a8t_batcher_rows_total counter")
+                lines.append(f"a8t_batcher_rows_total {b.rows}")
+            return "\n".join(lines) + "\n"
+
+    metrics = Metrics()
+
     class Handler(BaseHTTPRequestHandler):
         # chunked responses (the /stream ndjson) require HTTP/1.1;
         # _send always sets Content-Length so keep-alive stays correct
@@ -224,27 +275,46 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path in ("/healthz", "/health"):
                 self._send(200, service.health())
+            elif self.path == "/metrics":
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
             if self.path == "/stream":
-                self._stream()
+                t0 = time.perf_counter()
+                audio_sec, code = self._stream()
+                metrics.observe("/stream", code,
+                                time.perf_counter() - t0, audio_sec)
                 return
             if self.path != "/transcribe":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
+            t0 = time.perf_counter()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(n)
                 out = service.transcribe(
                     data, self.headers.get("Content-Type", ""))
                 self._send(200, out)
+                metrics.observe("/transcribe", 200,
+                                time.perf_counter() - t0,
+                                out.get("audio_seconds", 0.0))
             except (ValueError, KeyError) as e:
                 self._send(400, {"error": str(e)})
+                metrics.observe("/transcribe", 400,
+                                time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — keep the server alive
                 logger.exception("transcribe failed")
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                metrics.observe("/transcribe", 500,
+                                time.perf_counter() - t0)
 
         def _body_blocks(self):
             """Yield request-body byte blocks, honoring chunked
@@ -274,10 +344,12 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
             self.wfile.flush()
 
         def _stream(self):
+            """Serve one /stream request; returns (audio_seconds, code)
+            for the metrics counters."""
             fmt = self.headers.get("X-Audio-Format", "s16").lower()
             if fmt not in ("s16", "f32"):
                 self._send(400, {"error": f"unknown X-Audio-Format {fmt}"})
-                return
+                return 0.0, 400
             width = 4 if fmt == "f32" else 2
             st = service.new_stream()
             lock = service.stream_lock()
@@ -304,14 +376,17 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                 self._emit({"text": text, "final": True,
                             "audio_seconds": round(
                                 st.samples_fed / service.sample_rate, 3)})
+                code = 200
             except Exception as e:  # noqa: BLE001 — keep the server alive
                 logger.exception("stream failed")
                 self._emit({"error": f"{type(e).__name__}: {e}",
                             "final": True})
+                code = 500
             self.wfile.write(b"0\r\n\r\n")
             self.wfile.flush()
             # a failed stream may leave body bytes unread
             self.close_connection = True
+            return st.samples_fed / service.sample_rate, code
 
         def log_message(self, fmt, *a):  # route to logging, not stderr
             logger.info("%s %s", self.address_string(), fmt % a)

@@ -326,3 +326,30 @@ def test_rnnt_stream_endpoint(rnnt_server):
     assert final["text"] == st.finish_text(i2v)
     # 70k samples > one 32k chunk -> at least one interim partial line
     assert any("partial" in ln for ln in lines[:-1])
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics: Prometheus text counters reflect served requests."""
+    srv, *_ = server
+    wav = np.random.default_rng(3).normal(size=20_000).astype(np.float32) * .1
+    request(srv, "/transcribe", data=wav_bytes(wav))
+    url = "http://127.0.0.1:%d/metrics" % srv.server_address[1]
+    with urllib.request.urlopen(url, timeout=30) as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert 'a8t_requests_total{route="/transcribe",code="200"}' in body
+    assert 'a8t_request_seconds_count{route="/transcribe"}' in body
+    assert "a8t_audio_seconds_total" in body
+    # counters are monotonically increasing
+    key = 'a8t_requests_total{route="/transcribe",code="200"} '
+
+    def count(text):
+        line = [ln for ln in text.splitlines() if ln.startswith(key)][0]
+        return int(line[len(key):])
+
+    n0 = count(body)
+    request(srv, "/transcribe", data=wav_bytes(wav))
+    with urllib.request.urlopen(url, timeout=30) as r:
+        body2 = r.read().decode()
+    assert count(body2) == n0 + 1
