@@ -32,8 +32,12 @@ def parse_args(argv=None):
     from audio8_tpu.cli.common import add_common_model_args, apply_preset
 
     p = ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint",
                    help="a8t checkpoint, fairseq .pt, or HF dir")
+    p.add_argument("--exported",
+                   help="a8t-export --pooled artifact directory: run the "
+                        "serialized embedding forward instead of building "
+                        "the model from a checkpoint")
     p.add_argument("--root_dir", required=True)
     p.add_argument("--dataset", default="test.tsv",
                    help="TSV manifest (dir header + file\\tsamples rows)")
@@ -53,7 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--max_sample_len", type=int, default=325_000)
     p.add_argument("--batch", type=int, default=8)
     add_common_model_args(p)
-    return apply_preset(p.parse_args(argv))
+    args = apply_preset(p.parse_args(argv))
+    if not args.exported and not args.checkpoint:
+        raise SystemExit("--checkpoint is required "
+                         "(or pass an --exported artifact)")
+    return args
 
 
 def build_embedder(args):
@@ -65,6 +73,40 @@ def build_embedder(args):
     from audio8_tpu.config import PooledConfig
     from audio8_tpu.data.audio import SoundfileAudioReader
     from audio8_tpu.models.wav2vec2 import Wav2Vec2PooledEncoder
+
+    if args.exported:
+        from audio8_tpu.export import load_artifact
+
+        art = load_artifact(args.exported)
+        if not hasattr(art, "run"):
+            raise SystemExit(f"{args.exported} is not an embed artifact "
+                             "(a8t-export --pooled)")
+        # utterances must fit an exported window
+        args.max_sample_len = min(args.max_sample_len, art.max_samples)
+        run = art.run
+    else:
+        run = None
+
+    if run is not None:
+        reader = SoundfileAudioReader()
+
+        def embed(paths):
+            out = []
+            for lo in range(0, len(paths), args.batch):
+                chunk = paths[lo:lo + args.batch]
+                audios = [reader.read(p, args.max_sample_len).squeeze()
+                          for p in chunk]
+                t = max(len(a) for a in audios)
+                sig = np.zeros((len(chunk), t), np.float32)
+                lens = np.zeros(len(chunk), np.int32)
+                for i, a in enumerate(audios):
+                    sig[i, :len(a)] = a
+                    lens[i] = len(a)
+                out.append(np.asarray(run(sig, lens)))
+            return (np.concatenate(out) if out
+                    else np.zeros((0, 1), np.float32))
+
+        return embed
 
     cfg = PooledConfig(
         d_model=args.d_model, num_heads=args.num_heads,

@@ -36,8 +36,9 @@ def parse_args(argv=None):
     p = ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
                    help="a8t checkpoint, fairseq .pt, or HF dir")
-    p.add_argument("--dict_file", required=True,
-                   help="fairseq dict.ltr.txt or HF vocab.json")
+    p.add_argument("--dict_file",
+                   help="fairseq dict.ltr.txt or HF vocab.json (required "
+                        "except for --pooled embedding exports)")
     p.add_argument("--output", required=True, help="artifact directory")
     p.add_argument("--seconds", type=float, nargs="+", default=[30.0],
                    help="exported window length(s); one entry per value")
@@ -49,6 +50,14 @@ def parse_args(argv=None):
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: post-training weight quantization before "
                         "export (ops/quant.py int8 MXU path)")
+    p.add_argument("--pooled", type=str2bool, default=False,
+                   help="export a pooled utterance-embedding encoder "
+                        "(a8t-embed's surface): entries return (B, D) "
+                        "L2-normalized embeddings")
+    p.add_argument("--reduction_type", default="mean",
+                   choices=["mean", "max", "sha", "sha_max", "sha_mean",
+                            "2ha", "2ha_max", "2ha_mean"],
+                   help="utterance pooling baked into a --pooled export")
     p.add_argument("--transducer", type=str2bool, default=False,
                    help="export an a8t-train-transducer checkpoint: the "
                         "three streaming-decode callables (encode / "
@@ -66,9 +75,77 @@ def parse_args(argv=None):
     p.add_argument("--max_symbols_per_frame", type=int, default=4)
     add_common_model_args(p)
     args = apply_preset(p.parse_args(argv))
-    if args.transducer and args.quantize != "none":
+    if args.transducer and args.pooled:
+        raise SystemExit("--transducer and --pooled are exclusive")
+    if (args.transducer or args.pooled) and args.quantize != "none":
         raise SystemExit("--quantize int8 is a CTC-path export option")
+    if not args.pooled and not args.dict_file:
+        raise SystemExit("--dict_file is required (except with --pooled)")
     return args
+
+
+def _export_pooled(args):
+    """Embedding branch of main(): the pooled utterance encoder
+    (a8t-embed's surface) as batch-polymorphic fixed-window entries
+    returning (B, D) L2-normalized embeddings."""
+    from audio8_tpu.cli.common import resolve_restart, topology_kwargs
+    from audio8_tpu.config import PooledConfig
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2PooledEncoder
+
+    cfg = PooledConfig(
+        d_model=args.d_model, num_heads=args.num_heads,
+        num_layers=args.num_layers, d_ff=args.d_ff, dropout=0.0,
+        timestep_masking=0.0, channel_masking=0.0, freeze_fx=False,
+        reduction_type=args.reduction_type, **topology_kwargs(args))
+    model = Wav2Vec2PooledEncoder(
+        config=cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16000), jnp.float32),
+                      jnp.asarray([16000]))["params"]
+    params, _, _ = resolve_restart(args.checkpoint, init,
+                                   num_layers=args.num_layers,
+                                   **topology_kwargs(args))
+    flat, treedef = jax.tree.flatten(params)
+
+    def fn(flat_params, signal, lengths):
+        p = jax.tree.unflatten(treedef, flat_params)
+        emb = model.apply({"params": p}, signal, lengths, freeze=False)
+        emb = emb.astype(jnp.float32)
+        return emb * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(emb * emb, -1, keepdims=True), 1e-12))
+
+    sr = args.target_sample_rate
+    sizes = []
+    for s in args.seconds:
+        t = int(s * sr)
+        if args.lane_align:
+            t = lane_aligned_chunk(t, cfg.conv_features)
+        if t not in sizes:
+            sizes.append(t)
+    entries = []
+    for t in sorted(sizes):
+        logger.info("exporting pooled entry t=%d samples (%.2fs) for %s",
+                    t, t / sr, args.platforms)
+        entries.append({
+            "t": t,
+            "data": export_forward(fn, flat, t,
+                                   platforms=tuple(args.platforms)),
+        })
+    meta = {
+        "kind": "embed",
+        "conv_features": [list(f) for f in cfg.conv_features],
+        "sample_rate": sr,
+        "d_model": cfg.d_model,
+        "num_layers": cfg.num_layers,
+        "reduction_type": args.reduction_type,
+        "bf16": bool(args.bf16),
+        "platforms": list(args.platforms),
+        "checkpoint": args.checkpoint,
+    }
+    save_artifact(args.output, flat, meta, entries)
+    logger.info("wrote %s: embed artifact, %d entries, %d params",
+                args.output, len(entries), len(flat))
+    return args.output
 
 
 def _export_transducer(args):
@@ -164,6 +241,8 @@ def _export_transducer(args):
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.pooled:
+        return _export_pooled(args)
     if args.transducer:
         return _export_transducer(args)
     from audio8_tpu.cli.transcribe import build_acoustic

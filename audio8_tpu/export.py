@@ -245,6 +245,20 @@ class ExportedTransducer:
                             pred_out, carry)
 
 
+class ExportedEmbedder(ExportedAcoustic):
+    """A loaded utterance-embedding artifact (kind 'embed'): the same
+    entry-table shape discipline as the CTC artifact, but the forward
+    returns (B, D) L2-normalized embeddings (no vocab, no frames).
+    ``reduction_type`` records the pooling baked at export."""
+
+    @property
+    def reduction_type(self) -> str:
+        return self.meta.get("reduction_type", "mean")
+
+    def run(self, signal, lengths):
+        return self.forward(signal, lengths)
+
+
 def artifact_kind(path: str) -> str:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f).get("kind", "ctc")
@@ -258,4 +272,6 @@ def load_artifact(path: str):
         return ExportedTransducer(path)
     if kind == "ctc":
         return ExportedAcoustic(path)
+    if kind == "embed":
+        return ExportedEmbedder(path)
     raise ValueError(f"unknown artifact kind {kind!r} in {path}")

@@ -80,3 +80,55 @@ def test_embed_cli_writes_unit_vectors(corpus, tmp_path, monkeypatch):
                "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
                "--d_ff", "64"])
     assert rc == 0
+
+
+def test_embed_from_exported_artifact(corpus, tmp_path):
+    """a8t-export --pooled -> a8t-embed --exported matches the
+    checkpoint path's embeddings (same weights, same pooling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio8_tpu.cli.embed import main
+    from audio8_tpu.cli.export import main as export_main
+    from audio8_tpu.config import PooledConfig
+    from audio8_tpu.export import load_artifact
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2PooledEncoder
+    from audio8_tpu.train.checkpoint import save_checkpoint
+
+    cfg = PooledConfig(d_model=32, num_heads=2, num_layers=1, d_ff=64,
+                       dropout=0.0, timestep_masking=0.0,
+                       channel_masking=0.0, freeze_fx=False,
+                       reduction_type="mean")
+    model = Wav2Vec2PooledEncoder(config=cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16000), jnp.float32),
+                        jnp.asarray([16000]))["params"]
+    ckpt = save_checkpoint(params, str(tmp_path / "ckpt"), 1)
+    small = ["--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+             "--d_ff", "64"]
+
+    # --lane_align false so the exported window is exactly the 16000
+    # samples the checkpoint path pads these utterances to: the
+    # reference's reshape-all pad-mask downsampling makes the VALID
+    # FRAME COUNT a function of the padded length (reference
+    # wav2vec2.py:703-708 semantics, reproduced here), so bit-equality
+    # requires matching pad geometry
+    art_dir = str(tmp_path / "emb.a8x")
+    export_main(["--checkpoint", ckpt, "--output", art_dir,
+                 "--pooled", "true", "--reduction_type", "mean",
+                 "--seconds", "1", "--lane_align", "false",
+                 "--platforms", "cpu"] + small)
+    art = load_artifact(art_dir)
+    assert art.meta["kind"] == "embed"
+    assert art.reduction_type == "mean"
+
+    ref_out = str(tmp_path / "ref")
+    main(["--checkpoint", ckpt, "--root_dir", str(corpus),
+          "--dataset", "test.tsv", "--output", ref_out,
+          "--reduction_type", "mean", "--batch", "2"] + small)
+    got_out = str(tmp_path / "got")
+    main(["--exported", art_dir, "--root_dir", str(corpus),
+          "--dataset", "test.tsv", "--output", got_out, "--batch", "2"])
+    ref = np.load(ref_out + ".npy")
+    got = np.load(got_out + ".npy")
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
