@@ -74,20 +74,9 @@ def build_embedder(args):
     from audio8_tpu.data.audio import SoundfileAudioReader
     from audio8_tpu.models.wav2vec2 import Wav2Vec2PooledEncoder
 
-    if args.exported:
-        from audio8_tpu.export import load_artifact
-
-        art = load_artifact(args.exported)
-        if not hasattr(art, "run"):
-            raise SystemExit(f"{args.exported} is not an embed artifact "
-                             "(a8t-export --pooled)")
-        # utterances must fit an exported window
-        args.max_sample_len = min(args.max_sample_len, art.max_samples)
-        run = art.run
-    else:
-        run = None
-
-    if run is not None:
+    def make_embed(run, pad_target):
+        """The shared read/pad/batch loop: ``run(sig, lens) -> (B, D)``
+        unit vectors, ``pad_target(max_len) -> padded T``."""
         reader = SoundfileAudioReader()
 
         def embed(paths):
@@ -96,7 +85,7 @@ def build_embedder(args):
                 chunk = paths[lo:lo + args.batch]
                 audios = [reader.read(p, args.max_sample_len).squeeze()
                           for p in chunk]
-                t = max(len(a) for a in audios)
+                t = pad_target(max(len(a) for a in audios))
                 sig = np.zeros((len(chunk), t), np.float32)
                 lens = np.zeros(len(chunk), np.int32)
                 for i, a in enumerate(audios):
@@ -107,6 +96,19 @@ def build_embedder(args):
                     else np.zeros((0, 1), np.float32))
 
         return embed
+
+    if args.exported:
+        from audio8_tpu.export import load_artifact
+
+        art = load_artifact(args.exported)
+        if art.kind != "embed":
+            raise SystemExit(f"{args.exported} is a {art.kind!r} "
+                             "artifact, not an embed one "
+                             "(a8t-export --pooled)")
+        # utterances must fit an exported window; the artifact pads the
+        # rest of the way to its entry table itself
+        args.max_sample_len = min(args.max_sample_len, art.max_samples)
+        return make_embed(art.run, lambda n: n)
 
     cfg = PooledConfig(
         d_model=args.d_model, num_heads=args.num_heads,
@@ -132,28 +134,10 @@ def build_embedder(args):
         return emb * jax.lax.rsqrt(
             jnp.maximum(jnp.sum(emb * emb, -1, keepdims=True), 1e-12))
 
-    def run(signal, lengths):
-        return _run(params, signal, lengths)
-
-    reader = SoundfileAudioReader()
-
-    def embed(paths):
-        out = []
-        for lo in range(0, len(paths), args.batch):
-            chunk = paths[lo:lo + args.batch]
-            audios = [reader.read(p, args.max_sample_len).squeeze()
-                      for p in chunk]
-            t = max(16_000, ((max(len(a) for a in audios) + 15_999)
-                             // 16_000) * 16_000)
-            sig = np.zeros((len(chunk), t), np.float32)
-            lens = np.zeros(len(chunk), np.int32)
-            for i, a in enumerate(audios):
-                sig[i, :len(a)] = a
-                lens[i] = len(a)
-            out.append(np.asarray(run(jnp.asarray(sig), jnp.asarray(lens))))
-        return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
-
-    return embed
+    # pad to whole seconds (bounded program count)
+    return make_embed(
+        lambda sig, lens: _run(params, jnp.asarray(sig), jnp.asarray(lens)),
+        lambda n: max(16_000, ((n + 15_999) // 16_000) * 16_000))
 
 
 def compute_eer(scores: np.ndarray, labels: np.ndarray) -> float:

@@ -160,6 +160,10 @@ def _export_transducer(args):
     from audio8_tpu.models.text import read_vocab_list
     from audio8_tpu.models.transducer import Transducer
 
+    if len(args.seconds) != 1:
+        raise SystemExit(
+            "--transducer exports ONE encoder-chunk window; pass a "
+            f"single --seconds value (got {args.seconds})")
     # attrs load_transducer reads but that don't shape the export
     args.beam, args.timestamps = 1, False
     cfg, _, _, model, params = load_transducer(args)

@@ -63,7 +63,12 @@ def _load(path: str):
             model = model.state_dict()
         tree = {k: v.numpy() if hasattr(v, "numpy") else v
                 for k, v in model.items() if hasattr(v, "shape")}
-        has_opt = isinstance(blob, dict) and "optimizer" in blob
+        # fairseq stores optimizer state under 'last_optimizer_state'
+        # (+ 'optimizer_history'); plain torch training loops use
+        # 'optimizer'
+        has_opt = isinstance(blob, dict) and any(
+            k in blob for k in ("optimizer", "last_optimizer_state",
+                                "optimizer_history"))
         return "fairseq/torch .pt", None, tree, has_opt
     raise SystemExit(f"{path}: unknown checkpoint format")
 

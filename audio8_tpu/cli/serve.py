@@ -519,10 +519,15 @@ def _serve_transducer(args):
             window_frames=window,
             max_output_len=budget, batcher=batcher)
 
+    # exported artifacts record the REAL dims in meta.json; CLI flag
+    # defaults would misreport them on /healthz
+    dims = (dict(d_model=art.meta.get("d_model"),
+                 num_layers=art.meta.get("num_layers"))
+            if args.exported else
+            dict(d_model=args.d_model, num_layers=args.num_layers))
     service = TransducerService(
         factory, index2vocab, sample_rate=sr, postproc=postproc,
-        info={"model": model_name, "d_model": args.d_model,
-              "num_layers": args.num_layers,
+        info={"model": model_name, **dims,
               "chunk_seconds": round(chunk / sr, 3)})
     logger.info("warming up (compiling %d-sample chunk encode + decode "
                 "window)", chunk)
@@ -608,8 +613,11 @@ def main(argv=None):
     service = TranscribeService(
         ct, index2vocab, decoder, sample_rate=sr,
         timestamps=args.timestamps, postproc=postproc,
-        info={"model": model_name, "d_model": args.d_model,
-              "num_layers": args.num_layers, "beam": args.beam,
+        info={"model": model_name, "beam": args.beam,
+              **(dict(d_model=art.meta.get("d_model"),
+                      num_layers=art.meta.get("num_layers"))
+                 if art is not None else
+                 dict(d_model=args.d_model, num_layers=args.num_layers)),
               # the lane-aligned (snapped) window actually served, not
               # the requested flag value
               "chunk_seconds": round(ct.chunk / sr, 3)})

@@ -153,9 +153,21 @@ def evaluate(argv=None):
                              "and transducer artifacts eval through the "
                              "checkpoint path (a8t-test --transducer)")
         artifact = load_artifact(args.exported)
-        if not hasattr(artifact, "forward"):
-            raise ValueError(f"{args.exported} is not a CTC artifact")
+        if artifact.kind != "ctc":
+            raise ValueError(
+                f"{args.exported} is a {artifact.kind!r} artifact; "
+                "a8t-test --exported scores CTC artifacts (transducer "
+                "eval uses the checkpoint path, embeddings a8t-embed)")
         vocab_list = artifact.vocab  # the artifact's vocab IS the head
+        # pin the batch shapes to the artifact's entry table: the
+        # valid-frame count under the reference's reshape-all pad-mask
+        # downsampling depends on the PADDED length, so the certified
+        # numbers equal a live eval run at the same length grid (and
+        # forward() never needs to re-pad)
+        args.length_buckets = sorted(
+            int(e["t"]) for e in artifact.meta["entries"])
+        args.max_sample_len = min(args.max_sample_len,
+                                  artifact.max_samples)
     else:
         vocab_file = (args.vocab_file
                       or os.path.join(args.root_dir, args.dict_file))

@@ -102,6 +102,18 @@ def parse_args(argv=None):
     return args
 
 
+def build_beam_decoder(args, vocab_list):
+    """The optional PrefixBeamSearch an eval/serving surface wants,
+    from its common flag set (shared by the live and exported paths)."""
+    if args.beam <= 1 and not args.lm:
+        return None
+    from audio8_tpu.ops.beam import PrefixBeamSearch
+
+    return PrefixBeamSearch(vocab_list, alpha=args.alpha, beta=args.beta,
+                            beam=args.beam, lm_file=args.lm,
+                            device=args.device_beam)
+
+
 def load_exported_acoustic(args):
     """:func:`load_acoustic` equivalent backed by an ``a8t-export``
     artifact: the serialized StableHLO forward runs in place of the
@@ -112,15 +124,14 @@ def load_exported_acoustic(args):
 
     Offsets.remap_fairseq_ctc()
     art = load_artifact(args.exported)
+    if art.kind != "ctc":
+        raise SystemExit(
+            f"{args.exported} is a {art.kind!r} artifact; this surface "
+            "serves CTC artifacts (transducer artifacts route "
+            "automatically; embed artifacts run under a8t-embed)")
     vocab_list = art.vocab
     index2vocab = revlut({v: i for i, v in enumerate(vocab_list)})
-    decoder = None
-    if args.beam > 1 or args.lm:
-        from audio8_tpu.ops.beam import PrefixBeamSearch
-
-        decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
-                                   beta=args.beta, beam=args.beam,
-                                   lm_file=args.lm, device=args.device_beam)
+    decoder = build_beam_decoder(args, vocab_list)
     cfg = SimpleNamespace(conv_features=art.conv_features)
     forward = art.forward
     return cfg, forward, vocab_list, index2vocab, decoder, art
@@ -163,14 +174,7 @@ def load_acoustic(args):
     """
     cfg, model, params, vocab_list, index2vocab = build_acoustic(args)
 
-    decoder = None
-    if args.beam > 1 or args.lm:
-        from audio8_tpu.ops.beam import PrefixBeamSearch
-
-        decoder = PrefixBeamSearch(vocab_list, alpha=args.alpha,
-                                   beta=args.beta, beam=args.beam,
-                                   lm_file=args.lm,
-                                   device=args.device_beam)
+    decoder = build_beam_decoder(args, vocab_list)
 
     # params as a jit ARGUMENT, not a closure: closed-over arrays embed in
     # the HLO as constants, which overflows the axon remote-compile relay

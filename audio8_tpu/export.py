@@ -101,16 +101,9 @@ def save_artifact(out_dir: str, flat_params: Sequence, meta: dict,
         json.dump(meta, f, indent=1)
 
 
-class ExportedAcoustic:
-    """A loaded artifact: ``forward(signal, lengths)`` with the entry
-    table's shape discipline, plus the metadata serving needs.
-
-    ``forward`` pads the time axis up to the smallest entry that fits
-    (the batch dim is symbolic — any B runs), returns
-    ``(log_probs, frames)`` exactly like the live
-    ``cli/transcribe.load_acoustic`` forward, so ChunkedTranscriber /
-    StreamingTranscriber / MicroBatcher all plug in unchanged.
-    """
+class _ArtifactBase:
+    """Shared artifact loading: meta.json + schema-version check +
+    the flat params.npz list. Subclasses deserialize their entries."""
 
     def __init__(self, path: str):
         self.path = path
@@ -122,20 +115,17 @@ class ExportedAcoustic:
                 f"this loader (v{ARTIFACT_VERSION})")
         with np.load(os.path.join(path, "params.npz")) as z:
             self._params = [jnp.asarray(z[k]) for k in sorted(z.files)]
-        self._fns = {}
-        for e in sorted(self.meta["entries"], key=lambda e: e["t"]):
-            with open(os.path.join(path, e["file"]), "rb") as f:
-                exp = jax_export.deserialize(f.read())
-            # jit the rehydrated call so repeated dispatches hit the
-            # executable cache instead of re-tracing
-            self._fns[int(e["t"])] = jax.jit(exp.call)
-        if not self._fns:
-            raise ValueError(f"no entries in artifact {path}")
-        self._sizes = sorted(self._fns)
+
+    def _deserialize(self, entry: dict):
+        with open(os.path.join(self.path, entry["file"]), "rb") as f:
+            exp = jax_export.deserialize(f.read())
+        # jit the rehydrated call so repeated dispatches hit the
+        # executable cache instead of re-tracing
+        return jax.jit(exp.call)
 
     @property
-    def vocab(self) -> List[str]:
-        return list(self.meta["vocab"])
+    def kind(self) -> str:
+        return self.meta.get("kind", "ctc")
 
     @property
     def conv_features(self):
@@ -144,6 +134,37 @@ class ExportedAcoustic:
     @property
     def sample_rate(self) -> int:
         return int(self.meta.get("sample_rate", 16_000))
+
+
+class ExportedAcoustic(_ArtifactBase):
+    """A loaded artifact: ``forward(signal, lengths)`` with the entry
+    table's shape discipline, plus the metadata serving needs.
+
+    ``forward`` pads the time axis up to the smallest entry that fits
+    (the batch dim is symbolic — any B runs), returns
+    ``(log_probs, frames)`` exactly like the live
+    ``cli/transcribe.load_acoustic`` forward, so ChunkedTranscriber /
+    StreamingTranscriber / MicroBatcher all plug in unchanged.
+
+    NOTE on pad geometry: the valid-frame count under the reference's
+    reshape-all pad-mask downsampling is a function of the PADDED
+    length, so outputs are bit-identical to a live eval only when both
+    pad to the same sizes — feed entry-sized batches (e.g. a8t-test
+    --exported pins the dataset length grid to the entry table).
+    """
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self._fns = {}
+        for e in sorted(self.meta["entries"], key=lambda e: e["t"]):
+            self._fns[int(e["t"])] = self._deserialize(e)
+        if not self._fns:
+            raise ValueError(f"no entries in artifact {path}")
+        self._sizes = sorted(self._fns)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.meta["vocab"])
 
     @property
     def max_samples(self) -> int:
@@ -174,7 +195,7 @@ class ExportedAcoustic:
                              jnp.asarray(lengths, jnp.int32))
 
 
-class ExportedTransducer:
+class ExportedTransducer(_ArtifactBase):
     """A loaded RNN-T artifact: the three streaming-decode callables
     (``encode`` / ``decode_init`` / ``decode_frames``) with the exact
     interface ``cli/transcribe.load_transducer_stream`` returns, so a
@@ -187,20 +208,9 @@ class ExportedTransducer:
         from audio8_tpu.utils import Offsets
 
         Offsets.remap_fairseq_ctc()  # _pad_id / blank follow CTC order
-        self.path = path
-        with open(os.path.join(path, "meta.json")) as f:
-            self.meta = json.load(f)
-        if self.meta.get("version", 0) > ARTIFACT_VERSION:
-            raise ValueError(
-                f"artifact schema v{self.meta['version']} is newer than "
-                f"this loader (v{ARTIFACT_VERSION})")
-        with np.load(os.path.join(path, "params.npz")) as z:
-            self._params = [jnp.asarray(z[k]) for k in sorted(z.files)]
-        fns = {}
-        for e in self.meta["entries"]:
-            with open(os.path.join(path, e["file"]), "rb") as f:
-                exp = jax_export.deserialize(f.read())
-            fns[e["role"]] = jax.jit(exp.call)
+        super().__init__(path)
+        fns = {e["role"]: self._deserialize(e)
+               for e in self.meta["entries"]}
         missing = {"encode", "decode_init", "decode_frames"} - set(fns)
         if missing:
             raise ValueError(f"artifact {path} missing entries: {missing}")
@@ -215,14 +225,6 @@ class ExportedTransducer:
     @property
     def vocab(self) -> List[str]:
         return list(self.meta["vocab"])
-
-    @property
-    def conv_features(self):
-        return [tuple(f) for f in self.meta["conv_features"]]
-
-    @property
-    def sample_rate(self) -> int:
-        return int(self.meta.get("sample_rate", 16_000))
 
     def encode(self, signal, lengths):
         signal = np.asarray(signal, np.float32)

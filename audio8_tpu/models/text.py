@@ -142,10 +142,11 @@ def learn_bpe(word_counts: Dict[str, int], num_merges: int,
     reference's workflow needs to create the codes file that
     wrd2bpe.py consumes): start from characters + '</w>', repeatedly
     merge the most frequent adjacent symbol pair (ties broken by
-    lexicographically smallest pair, matching subword-nmt's sort),
-    stop after ``num_merges`` or when the best pair's count drops
-    below ``min_frequency``. Incremental pair-count maintenance: each
-    merge re-examines only the words containing the merged pair.
+    lexicographically LARGEST pair — subword-nmt's
+    ``max(stats, key=lambda x: (stats[x], x))``), stop after
+    ``num_merges`` or when the best pair's count drops below
+    ``min_frequency``. Incremental pair-count maintenance: each merge
+    re-examines only the words containing the merged pair.
 
     Returns the ordered merge list; write with :func:`write_bpe_codes`
     and apply with :class:`SubwordBPE` (same '</w>' end-of-word
@@ -164,7 +165,7 @@ def learn_bpe(word_counts: Dict[str, int], num_merges: int,
     for _ in range(num_merges):
         if not stats:
             break
-        best = min(stats, key=lambda p: (-stats[p], p))
+        best = max(stats, key=lambda p: (stats[p], p))
         if stats[best] < min_frequency:
             break
         merges.append(best)

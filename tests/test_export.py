@@ -187,8 +187,12 @@ def test_export_quantized_int8(setup):
 
 def test_a8t_test_exported_matches_checkpoint(setup):
     """a8t-test --exported certifies an artifact's WER on a manifest:
-    metrics equal the checkpoint-path eval bit-for-bit."""
+    metrics equal the checkpoint-path eval bit-for-bit AT THE SAME
+    LENGTH GRID (the exported eval pins the grid to the artifact's
+    entry table because valid-frame counts depend on the padded
+    length under the reference's reshape-all downsampling)."""
     from audio8_tpu.cli.test import evaluate
+    from audio8_tpu.export import load_artifact
 
     # tiny manifest over the fixture wav
     with open(setup / "valid.tsv", "w") as f:
@@ -196,11 +200,13 @@ def test_a8t_test_exported_matches_checkpoint(setup):
     with open(setup / "valid.ltr", "w") as f:
         f.write("A B | C A |\n")
     out = _export(setup)
+    entry = load_artifact(out).max_samples
     common = ["--root_dir", str(setup), "--valid_dataset", "valid.tsv",
               "--target_tokens_per_batch", "48000",
               "--pad_to_multiple", "16000"]
     ref = evaluate(common + ["--checkpoint", str(setup / "ckpt-step-0"),
-                             "--dict_file", "dict.ltr.txt"] + SMALL)
+                             "--dict_file", "dict.ltr.txt",
+                             "--length_buckets", str(entry)] + SMALL)
     got = evaluate(common + ["--exported", out])
     assert got["wer"] == ref["wer"] and got["cer"] == ref["cer"]
 

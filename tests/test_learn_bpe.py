@@ -6,12 +6,14 @@ from audio8_tpu.models.text import SubwordBPE, learn_bpe, write_bpe_codes
 
 
 def test_learn_bpe_classic_example():
-    """Sennrich et al.'s worked example: with counts low:5 lower:2
-    newest:6 widest:3, the most frequent pairs merge in the known
-    order ('e','s') then ('es','t') then ('est','</w>')."""
+    """Sennrich et al.'s worked corpus (low:5 lower:2 newest:6
+    widest:3) under subword-nmt's exact tie-break (max by
+    (count, pair), i.e. lexicographically LARGEST on ties): the three
+    9-count pairs ('e','s')/('s','t')/('t','</w>') resolve to
+    ('t','</w>') first, then ('s','t</w>'), then ('e','st</w>')."""
     counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     merges = learn_bpe(counts, 3)
-    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert merges == [("t", "</w>"), ("s", "t</w>"), ("e", "st</w>")]
 
 
 def test_learn_bpe_frequency_cutoff():
@@ -58,7 +60,7 @@ def test_incremental_stats_match_naive():
                     stats[pair] += word_counts[w]
             if not stats:
                 break
-            best = min(stats, key=lambda p: (-stats[p], p))
+            best = max(stats, key=lambda p: (stats[p], p))
             if stats[best] < min_frequency:
                 break
             merges.append(best)
