@@ -149,15 +149,20 @@ def evaluate(argv=None):
 
         if args.transducer or args.quantize != "none":
             raise ValueError("--exported eval scores the artifact as "
-                             "written: --quantize is baked at export time "
-                             "and transducer artifacts eval through the "
-                             "checkpoint path (a8t-test --transducer)")
+                             "written: --quantize is baked at export "
+                             "time and the artifact's kind (meta.json) "
+                             "routes itself — drop --transducer")
         artifact = load_artifact(args.exported)
+        if artifact.kind == "transducer":
+            vocab_list = artifact.vocab
+            vocab = {v: i for i, v in enumerate(vocab_list)}
+            return _evaluate_transducer_exported(
+                args, revlut(vocab), TextVectorizer(vocab), artifact)
         if artifact.kind != "ctc":
             raise ValueError(
                 f"{args.exported} is a {artifact.kind!r} artifact; "
-                "a8t-test --exported scores CTC artifacts (transducer "
-                "eval uses the checkpoint path, embeddings a8t-embed)")
+                "a8t-test --exported scores CTC and transducer "
+                "artifacts (embeddings run under a8t-embed)")
         vocab_list = artifact.vocab  # the artifact's vocab IS the head
         # pin the batch shapes to the artifact's entry table: the
         # valid-frame count under the reference's reshape-all pad-mask
@@ -274,6 +279,69 @@ def evaluate(argv=None):
         metrics["wer"] = (w_errors / max(w_total, 1)) * 100
         if beam_lm_key:
             metrics[beam_lm_key] = (wlm_errors / max(w_total, 1)) * 100
+        metrics["step"] = j + 1
+        if (j + 1) % args.steps_per_update == 0:
+            logger.info(metrics)
+    logger.info("Final results")
+    logger.info(metrics)
+    return metrics
+
+
+def _evaluate_transducer_exported(args, index2vocab, vec, art):
+    """Manifest WER/CER for an ``a8t-export --transducer`` artifact:
+    each utterance decodes through the artifact's resumable windowed
+    lattice search (serve.TransducerStreamer — the exact search serving
+    runs), so the certified numbers are the numbers the artifact will
+    produce in production. Greedy only (the artifact bakes the greedy
+    decode); beam/LM-rescore certification uses the checkpoint path."""
+    if args.beam > 1 or args.lm_rescore:
+        raise ValueError(
+            "exported transducer artifacts bake the greedy streaming "
+            "search; --beam/--lm_rescore certification needs the "
+            "checkpoint path (a8t-test --transducer)")
+    from audio8_tpu.serve import TransducerStreamer
+
+    valid_set = AudioTextLetterDataset(
+        os.path.join(args.root_dir, args.valid_dataset), vec,
+        args.target_tokens_per_batch, args.max_sample_len,
+        input_sample_rate=args.input_sample_rate,
+        target_sample_rate=args.target_sample_rate,
+        shuffle=False, is_infinite=False, tgt_type=args.target_type,
+        pad_to_multiple=args.pad_to_multiple,
+        length_grid=args.length_buckets,
+        lane_align=args.lane_align)
+    sr = args.target_sample_rate
+    streamer = TransducerStreamer(
+        art.encode, art.decode_init, art.decode_frames, art.conv_features,
+        chunk_samples=art.chunk_samples, context_samples=2 * sr,
+        window_frames=art.window_frames,
+        max_output_len=art.max_output_len)
+
+    postproc = (M.postproc_letters if args.target_type != "bpe"
+                else M.postproc_bpe)
+    metrics = {}
+    c_errors = c_total = w_errors = w_total = 0
+    for j, batch in enumerate(PrefetchLoader(valid_set, prefetch=4)):
+        if j > args.valid_steps:
+            break
+        n_real = batch.get("num_real", len(batch["signal_lengths"]))
+        decoded = []
+        for i in range(n_real):
+            streamer.reset()
+            streamer.feed(
+                batch["signal"][i, :int(batch["signal_lengths"][i])])
+            decoded.append(streamer.finish().tolist())
+        if args.verbose:
+            for ids in decoded:
+                print(postproc([index2vocab[t] for t in ids]))
+        sm = M.decode_metrics(decoded, batch["token_ids"][:n_real],
+                              index2vocab, postproc_fn=postproc)
+        c_errors += sm["c_errors"]
+        w_errors += sm["w_errors"]
+        c_total += sm["c_total"]
+        w_total += sm["w_total"]
+        metrics["cer"] = (c_errors / max(c_total, 1)) * 100
+        metrics["wer"] = (w_errors / max(w_total, 1)) * 100
         metrics["step"] = j + 1
         if (j + 1) % args.steps_per_update == 0:
             logger.info(metrics)

@@ -268,6 +268,41 @@ def test_transducer_export_roundtrip(setup_transducer):
     assert got[0][1] == ref[0][1]
 
 
+def test_a8t_test_exported_transducer(setup_transducer):
+    """a8t-test --exported on an RNN-T artifact: manifest WER/CER via
+    the artifact's windowed lattice search, equal to the checkpoint
+    eval at matching pad geometry (the streamer pads to the exported
+    chunk; the checkpoint eval pins its grid to the same size)."""
+    from audio8_tpu.cli.export import main as export_main
+    from audio8_tpu.cli.test import evaluate
+    from audio8_tpu.export import load_artifact
+
+    d = setup_transducer
+    with open(d / "valid.tsv", "w") as f:
+        f.write(f"{d}\na.wav\t32000\n")
+    with open(d / "valid.ltr", "w") as f:
+        f.write("A B | C |\n")
+    out = str(d / "rnnt-eval.a8x")
+    export_main(["--checkpoint", str(d / "ckpt-step-0"),
+                 "--dict_file", str(d / "dict.ltr.txt"),
+                 "--output", out, "--transducer", "true",
+                 "--seconds", "3", "--platforms", "cpu",
+                 "--max_decode_len", "64"] + TSMALL)
+    chunk = load_artifact(out).chunk_samples
+    common = ["--root_dir", str(d), "--valid_dataset", "valid.tsv",
+              "--target_tokens_per_batch", "48000"]
+    ref = evaluate(common + ["--checkpoint", str(d / "ckpt-step-0"),
+                             "--dict_file", str(d / "dict.ltr.txt"),
+                             "--transducer", "true",
+                             "--max_decode_len", "64",
+                             "--length_buckets", str(chunk)] + TSMALL)
+    got = evaluate(common + ["--exported", out])
+    assert got["wer"] == ref["wer"] and got["cer"] == ref["cer"]
+    # beam certification stays on the checkpoint path
+    with pytest.raises(ValueError):
+        evaluate(common + ["--exported", out, "--beam", "4"])
+
+
 def test_transducer_export_rejects_ctc_flags(setup_transducer):
     from audio8_tpu.cli.export import main as export_main
     from audio8_tpu.cli.transcribe import main as tmain
