@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -56,6 +57,24 @@ def _recurrence_combine(x, y):
     return ax + ay, _logaddexp(ay + bx, by)
 
 
+def _gather_emissions(log_probs, targets, label_lengths, blank):
+    """(blank_lp (B, T, U+1), emit_lp (B, T, U)) from the joint outputs.
+
+    ``emit_lp[b, t, u] = log P(y_{u+1} | t, u)``, NEG_INF at and past the
+    row's label count so dead lattice columns never contribute.
+    """
+    u1 = log_probs.shape[2]
+    lp = log_probs.astype(jnp.float32)
+    blank_lp = lp[..., blank]
+    emit_lp = jnp.take_along_axis(
+        lp[:, :, : u1 - 1, :], targets[:, None, :, None], axis=-1
+    )[..., 0]
+    u_idx = jnp.arange(u1 - 1)
+    emit_lp = jnp.where(u_idx[None, None, :] < label_lengths[:, None, None],
+                        emit_lp, NEG_INF)
+    return blank_lp, emit_lp
+
+
 def transducer_alphas(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
                       targets: jnp.ndarray, label_lengths: jnp.ndarray,
                       blank: int):
@@ -67,16 +86,8 @@ def transducer_alphas(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
     gather.
     """
     bsz, t_max, u1, _ = log_probs.shape
-    lp = log_probs.astype(jnp.float32)
-    blank_lp = lp[..., blank]  # (B, T, U+1)
-    # emit_lp[b, t, u] = log P(y_{u+1} | t, u), -inf past the row's labels
-    emit_lp = jnp.take_along_axis(
-        lp[:, :, : u1 - 1, :], targets[:, None, :, None], axis=-1
-    )[..., 0]  # (B, T, U)
-    u_idx = jnp.arange(u1 - 1)
-    emit_lp = jnp.where(u_idx[None, None, :] < label_lengths[:, None, None],
-                        emit_lp, NEG_INF)
-
+    blank_lp, emit_lp = _gather_emissions(log_probs, targets, label_lengths,
+                                          blank)
     alpha0 = jnp.full((bsz, u1), NEG_INF).at[:, 0].set(0.0)
 
     def step(alpha, inp):
@@ -101,31 +112,191 @@ def transducer_alphas(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
     return alpha_final, blank_lp
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "reduction"))
-def transducer_loss(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
-                    targets: jnp.ndarray, label_lengths: jnp.ndarray,
-                    blank: int = 0, reduction: str = "mean") -> jnp.ndarray:
-    """Negative log-likelihood of each row's label sequence.
+# ---------------------------------------------------------------- fused VJP
+#
+# The autodiff backward of the alpha lattice differentiates the
+# O(log U) associative-scan tree through logaddexp at every frame —
+# lots of saved residuals and VPU work. The classic transducer
+# identity (Graves 2012 §4; what warp-transducer computes) gives the
+# gradient analytically from alpha/beta occupancies instead:
+#
+#   d ll / d blank(t, u) = exp(alpha(t,u) + blank(t,u) + beta(t+1,u) - ll)
+#   d ll / d emit(t, u)  = exp(alpha(t,u) + emit(t,u) + beta(t,u+1) - ll)
+#
+# so the backward pass is ONE more lattice scan (beta, same
+# associative-scan shape as alpha) plus elementwise exp — no
+# differentiation through either scan. Each live frame's blank
+# occupancies sum to 1 (each alignment crosses every live frame via
+# exactly one blank), a property the parity test asserts.
 
-    log_probs: (B, T, U+1, V) log-softmaxed joint outputs; targets:
-    (B, U) int padded; reduction: 'none' | 'sum' | 'mean' (mean over
-    rows, like torchaudio.functional.rnnt_loss).
+
+def _beta_scan(blank_lp, emit_lp, frame_lengths, label_lengths):
+    """Reverse lattice: returns (beta_nexts, betas), each (T, B, U+1).
+
+    ``beta(t, u) = logaddexp(blank(t,u) + beta(t+1,u),
+                             emit(t,u) + beta(t,u+1))`` with the
+    boundary state ``beta(T_b, u) = [u == U_b ? 0 : -inf]``.
+    ``beta_nexts[t]`` is the state entering step t (i.e. beta(t+1, ·),
+    or the boundary row at the row's last live frame) — exactly the
+    factor the blank-occupancy formula needs.
     """
-    frame_lengths = frame_lengths.astype(jnp.int32)
-    label_lengths = label_lengths.astype(jnp.int32)
-    alpha_final, blank_lp = transducer_alphas(
-        log_probs, frame_lengths, targets, label_lengths, blank)
-    bsz = log_probs.shape[0]
+    bsz, t_max, u1 = blank_lp.shape
+    beta_init = jnp.where(
+        jnp.arange(u1)[None, :] == label_lengths[:, None], 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    def step(beta, inp):
+        blank_t, emit_t, t = inp  # (B, U+1), (B, U), scalar
+        b = blank_t + beta
+        # a[u] couples beta(t, u+1): emit(t, u) for u < U, none at u = U.
+        # Descending-u first-order recurrence == ascending on flipped u.
+        a = jnp.concatenate([emit_t, jnp.full((bsz, 1), NEG_INF)], axis=1)
+        af = jnp.flip(a, axis=1)
+        bf = jnp.flip(b, axis=1)
+        _, newf = jax.lax.associative_scan(_recurrence_combine, (af, bf),
+                                           axis=1)
+        new = jnp.flip(newf, axis=1)
+        active = (t < frame_lengths)[:, None]
+        beta_t = jnp.where(active, new, beta)
+        return beta_t, (beta, beta_t)
+
+    _, (beta_nexts, betas) = jax.lax.scan(
+        step, beta_init,
+        (blank_lp.transpose(1, 0, 2), emit_lp.transpose(1, 0, 2),
+         jnp.arange(t_max)), reverse=True)
+    return beta_nexts, betas
+
+
+def _alpha_rows(blank_lp, emit_lp, frame_lengths):
+    """Alpha lattice, stacking every frame's row: (alphas (T, B, U+1),
+    alpha_final (B, U+1)). Same recursion as ``transducer_alphas``."""
+    bsz, t_max, u1 = blank_lp.shape
+    alpha0 = jnp.full((bsz, u1), NEG_INF).at[:, 0].set(0.0)
+    blank_in = jnp.concatenate(
+        [jnp.zeros((bsz, 1, u1), jnp.float32), blank_lp[:, :-1]], axis=1)
+
+    def step(alpha, inp):
+        blank_t, emit_t, t = inp
+        b = jnp.where(t > 0, alpha + blank_t, alpha)
+        a = jnp.concatenate([jnp.full((bsz, 1), NEG_INF), emit_t], axis=1)
+        _, new = jax.lax.associative_scan(_recurrence_combine, (a, b), axis=1)
+        active = (t < frame_lengths)[:, None]
+        alpha_t = jnp.where(active, new, alpha)
+        return alpha_t, alpha_t
+
+    alpha_final, alphas = jax.lax.scan(
+        step, alpha0,
+        (blank_in.transpose(1, 0, 2), emit_lp.transpose(1, 0, 2),
+         jnp.arange(t_max)))
+    return alphas, alpha_final
+
+
+def _row_nll(alpha_final, blank_lp, frame_lengths, label_lengths):
+    bsz = alpha_final.shape[0]
     rows = jnp.arange(bsz)
-    # ll = alpha(T-1, U) + blank(T-1, U)
     a_end = alpha_final[rows, label_lengths]
     last_t = jnp.maximum(frame_lengths - 1, 0)
     b_end = blank_lp[rows, last_t, label_lengths]
     ll = a_end + b_end
-    # zero_infinity semantics (parity with ops/ctc.py): degenerate rows
-    # (frame_lengths == 0, or numerically dead lattices) contribute 0
     loss = jnp.where(ll > NEG_INF / 2, -ll, 0.0)
     loss = jnp.where(frame_lengths > 0, loss, 0.0)
+    return ll, loss
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _transducer_nll_fused(log_probs, frame_lengths, targets, label_lengths,
+                          blank):
+    """Per-row NLL (B,) with an analytic occupancy backward."""
+    out, _ = _fused_fwd(log_probs, frame_lengths, targets, label_lengths,
+                        blank)
+    return out
+
+
+def _fused_fwd(log_probs, frame_lengths, targets, label_lengths, blank):
+    frame_lengths = frame_lengths.astype(jnp.int32)
+    label_lengths = label_lengths.astype(jnp.int32)
+    blank_lp, emit_lp = _gather_emissions(log_probs, targets, label_lengths,
+                                          blank)
+    alphas, alpha_final = _alpha_rows(blank_lp, emit_lp, frame_lengths)
+    ll, loss = _row_nll(alpha_final, blank_lp, frame_lengths, label_lengths)
+    # zero-element carrier: static vocab size + input dtype for bwd
+    carrier = jnp.zeros((0, log_probs.shape[-1]), log_probs.dtype)
+    res = (alphas, ll, blank_lp, emit_lp, frame_lengths, targets,
+           label_lengths, carrier)
+    return loss, res
+
+
+def _fused_bwd(blank, res, cot):
+    (alphas, ll, blank_lp, emit_lp, frame_lengths, targets, label_lengths,
+     carrier) = res
+    in_dtype, vocab = carrier.dtype, carrier.shape[1]
+    bsz, t_max, u1 = blank_lp.shape
+    beta_nexts, betas = _beta_scan(blank_lp, emit_lp, frame_lengths,
+                                   label_lengths)
+    alphas = alphas.transpose(1, 0, 2)        # (B, T, U+1)
+    beta_nexts = beta_nexts.transpose(1, 0, 2)
+    betas = betas.transpose(1, 0, 2)
+
+    # live lattice nodes of non-degenerate (zero_infinity-surviving) rows;
+    # the mask must gate the where (not multiply after) because degenerate
+    # rows put NaN (= -inf - -inf) inside the exponent
+    ok = ((ll > NEG_INF / 2) & (frame_lengths > 0))[:, None, None]
+    live = ((jnp.arange(t_max)[None, :] <
+             frame_lengths[:, None])[..., None] & ok)  # (B, T, 1)
+    scale = -cot[:, None, None]  # d loss = -d ll, times row cotangent
+    norm = ll[:, None, None]
+
+    occ_blank = jnp.where(
+        live,
+        jnp.exp(jnp.minimum(alphas + blank_lp + beta_nexts - norm, 0.0)),
+        0.0) * scale
+    occ_emit = jnp.where(
+        live,
+        jnp.exp(jnp.minimum(
+            alphas[:, :, :-1] + emit_lp + betas[:, :, 1:] - norm, 0.0)),
+        0.0) * scale
+
+    # scatter the two live transitions per node to the vocab axis as
+    # one-hot products (MXU-friendly; same trick as the CTC kernel)
+    g = occ_blank[..., None] * jax.nn.one_hot(blank, vocab,
+                                              dtype=jnp.float32)
+    emit_hot = jax.nn.one_hot(targets, vocab, dtype=jnp.float32)  # (B, U, V)
+    g_emit = occ_emit[..., None] * emit_hot[:, None, :, :]        # (B,T,U,V)
+    g = g.at[:, :, :-1, :].add(g_emit)
+    zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (g.astype(in_dtype), zero_i(frame_lengths), zero_i(targets),
+            zero_i(label_lengths))
+
+
+_transducer_nll_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "reduction", "fused"))
+def transducer_loss(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
+                    targets: jnp.ndarray, label_lengths: jnp.ndarray,
+                    blank: int = 0, reduction: str = "mean",
+                    fused: bool = False) -> jnp.ndarray:
+    """Negative log-likelihood of each row's label sequence.
+
+    log_probs: (B, T, U+1, V) log-softmaxed joint outputs; targets:
+    (B, U) int padded; reduction: 'none' | 'sum' | 'mean' (mean over
+    rows, like torchaudio.functional.rnnt_loss). ``fused=True`` swaps
+    the autodiff-through-scan backward for the analytic alpha/beta
+    occupancy VJP (same loss values; gradients agree to float32
+    tolerance — tests/test_transducer.py).
+    """
+    frame_lengths = frame_lengths.astype(jnp.int32)
+    label_lengths = label_lengths.astype(jnp.int32)
+    if fused:
+        loss = _transducer_nll_fused(log_probs, frame_lengths, targets,
+                                     label_lengths, blank)
+    else:
+        alpha_final, blank_lp = transducer_alphas(
+            log_probs, frame_lengths, targets, label_lengths, blank)
+        # ll = alpha(T-1, U) + blank(T-1, U); zero_infinity semantics
+        # (parity with ops/ctc.py): degenerate rows contribute 0
+        _, loss = _row_nll(alpha_final, blank_lp, frame_lengths,
+                           label_lengths)
     if reduction == "none":
         return loss
     if reduction == "sum":
@@ -135,9 +306,10 @@ def transducer_loss(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
 
 def transducer_loss_from_logits(logits: jnp.ndarray, frame_lengths,
                                 targets, label_lengths, blank: int = 0,
-                                reduction: str = "mean") -> jnp.ndarray:
+                                reduction: str = "mean",
+                                fused: bool = False) -> jnp.ndarray:
     """Convenience wrapper: raw joint logits (B, T, U+1, V) -> loss."""
     return transducer_loss(
         jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
         frame_lengths, targets, label_lengths, blank=blank,
-        reduction=reduction)
+        reduction=reduction, fused=fused)

@@ -479,7 +479,7 @@ def accumulate_grads(acc, grads):
 
 def make_transducer_steps(model, tx: optax.GradientTransformation,
                           clip: float = 25.0, loss_reduction: str = "sum",
-                          mesh=None):
+                          mesh=None, fused_loss: bool = False):
     """(grad_fn, update_fn, decode_fn, eval_loss_fn) for RNN-T training
     (models/transducer.Transducer + ops/transducer.transducer_loss).
 
@@ -498,7 +498,7 @@ def make_transducer_steps(model, tx: optax.GradientTransformation,
     def _masked_loss(log_probs, frame_lengths, targets, target_lengths, rows):
         per_row = transducer_loss(log_probs, frame_lengths, targets,
                                   target_lengths, blank=Offsets.GO,
-                                  reduction="none")
+                                  reduction="none", fused=fused_loss)
         if loss_reduction == "sum":
             return jnp.sum(per_row * rows)
         per = per_row / jnp.maximum(target_lengths.astype(jnp.float32), 1.0)

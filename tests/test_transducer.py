@@ -84,6 +84,58 @@ def test_loss_gradient_numeric(rng):
         assert float(g[idx]) == pytest.approx(num, abs=2e-2), idx
 
 
+def test_fused_loss_matches_autodiff(rng):
+    """The analytic alpha/beta occupancy VJP (fused=True) must agree with
+    the autodiff-through-scan path on loss values AND gradients, and the
+    blank occupancies must sum to 1 per live frame."""
+    b, t, u, v, blank = 5, 7, 5, 6, 0
+    lp = _random_lp(rng, b, t, u + 1, v)
+    y = rng.integers(1, v, size=(b, u)).astype(np.int32)
+    t_len = np.asarray([7, 5, 6, 1, 3], np.int32)
+    u_len = np.asarray([5, 3, 0, 1, 5], np.int32)
+    args = (jnp.asarray(t_len), jnp.asarray(y), jnp.asarray(u_len))
+
+    def f(x, fused):
+        # weighted sum exercises non-uniform per-row cotangents
+        w = jnp.asarray([1.0, 0.5, 2.0, 1.5, 0.25])
+        per = transducer_loss(x, *args, blank=blank, reduction="none",
+                              fused=fused)
+        return jnp.sum(per * w)
+
+    x = jnp.asarray(lp)
+    v0, g0 = jax.value_and_grad(lambda x: f(x, False))(x)
+    v1, g1 = jax.value_and_grad(lambda x: f(x, True))(x)
+    assert float(v1) == pytest.approx(float(v0), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
+    # each live frame is crossed by exactly one blank transition:
+    # d ll / d blank(t, ·) sums to 1 (row 0: full lengths, weight 1)
+    g_row0 = -np.asarray(g1)[0, :, :, blank]
+    np.testing.assert_allclose(g_row0.sum(-1), np.ones(t), atol=1e-4)
+
+
+def test_fused_loss_degenerate_rows_zero_grads(rng):
+    """zero_infinity parity: a row whose lattice cannot reach its labels
+    (U > T impossible? here: frame_lengths=0) gets loss 0 and grad 0,
+    with no NaNs anywhere."""
+    b, t, u, v = 2, 4, 6, 5
+    lp = _random_lp(rng, b, t, u + 1, v)
+    y = rng.integers(1, v, size=(b, u)).astype(np.int32)
+    t_len = np.asarray([4, 0], np.int32)
+    u_len = np.asarray([3, 6], np.int32)
+
+    def f(x):
+        return transducer_loss(x, jnp.asarray(t_len), jnp.asarray(y),
+                               jnp.asarray(u_len), blank=0,
+                               reduction="sum", fused=True)
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(lp))
+    g = np.asarray(g)
+    assert np.isfinite(float(val))
+    assert bool(np.all(np.isfinite(g)))
+    assert np.abs(g[1]).max() == 0.0  # dead row contributes nothing
+
+
 def test_predictor_step_matches_sequence(rng):
     m = TransducerPredictor(vocab_size=11, num_layers=2, d_model=16,
                             embed_dim=8)
