@@ -201,7 +201,7 @@ def train(argv=None):
     report_on = max(10, args.steps_per_checkpoint) // 10
     model_base = os.path.join(args.basedir, "checkpoint")
 
-    train_itr = iter(PrefetchLoader(train_set, prefetch=args.num_train_workers))
+    train_itr = iter(PrefetchLoader(train_set, num_workers=args.num_train_workers, prefetch=4))
     avg_loss = Average("average_train_loss")
     step_time = Average("average_step_time")
     best_metric = 1e8

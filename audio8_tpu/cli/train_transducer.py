@@ -54,6 +54,10 @@ def parse_args(argv=None):
     parser.add_argument("--grad_accum", type=int, default=2)
     parser.add_argument("--loss_reduction_type", default="sum",
                         choices=["sum", "mean"])
+    parser.add_argument("--fused_loss", type=str2bool, default=False,
+                        help="analytic alpha/beta occupancy VJP for the "
+                             "RNN-T loss instead of autodiff-through-scan "
+                             "(first-order only; see ops/transducer.py)")
     parser.add_argument("--num_train_workers", type=int, default=4)
     parser.add_argument("--max_sample_len", type=int)
     parser.add_argument("--lr_scheduler", default="cosine")
@@ -213,7 +217,7 @@ def train(argv=None):
 
     grad_fn, update_fn, decode_fn, eval_loss_fn = make_transducer_steps(
         model, tx, clip=args.clip, loss_reduction=args.loss_reduction_type,
-        mesh=mesh)
+        mesh=mesh, fused_loss=args.fused_loss)
 
     from audio8_tpu.train.profiler import StepProfiler
     profiler = StepProfiler(args.profile_dir)
@@ -222,8 +226,8 @@ def train(argv=None):
     report_on = max(10, args.steps_per_checkpoint) // 10
     model_base = os.path.join(args.basedir, "checkpoint")
 
-    train_itr = iter(PrefetchLoader(train_set,
-                                    prefetch=args.num_train_workers))
+    train_itr = iter(PrefetchLoader(
+        train_set, num_workers=args.num_train_workers, prefetch=4))
     avg_loss = Average("average_train_loss")
     step_time = Average("average_step_time")
     batch_size_sent = Average("batch_size")

@@ -254,7 +254,12 @@ class AudioTextLetterDataset:
         self.files: List[str] = []
         self.sizes: List[int] = []
         self.tokens: List[np.ndarray] = []
-        transcription_file = tsv_file.replace("tsv", self.tgt_type)
+        # extension swap, NOT str.replace: the reference's
+        # ``tsv_file.replace("tsv", tgt)`` (data.py:171) rewrites the first
+        # "tsv" substring anywhere in the path, so a directory named
+        # ``tsv_data/`` breaks it — a deliberate fix (SURVEY.md §7)
+        transcription_file = (
+            os.path.splitext(tsv_file)[0] + "." + self.tgt_type)
         with open(tsv_file) as f, open(transcription_file) as rf:
             directory = f.readline().strip()
             for audio, transcription in zip(f, rf):
@@ -301,12 +306,20 @@ class AudioTextLetterDataset:
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for plan in self.batch_plans():
+            yield self.materialize(plan)
+
+    def batch_plans(self) -> Iterator[dict]:
+        """Cheap, sequential batch plans (indices + shapes + augmentation
+        draws; no audio decode). All stream randomness happens here, so
+        ``materialize`` calls may run on concurrent threads
+        (PrefetchLoader ``num_workers``) without perturbing determinism."""
         order = self._shard_order()
         while True:
             if self.shuffle:
                 self._rng.shuffle(order)
             for rd in order:
-                yield self.read_batch(self.batches[rd])
+                yield self._plan_batch(self.batches[rd])
             if not self.is_infinite:
                 return
 
@@ -315,6 +328,9 @@ class AudioTextLetterDataset:
         return snap_batch_size(n_real, mult)
 
     def read_batch(self, batch: Sequence[int]) -> Dict[str, np.ndarray]:
+        return self.materialize(self._plan_batch(batch))
+
+    def _plan_batch(self, batch: Sequence[int]) -> dict:
         n_real = len(batch)
         b_global = self._global_rows(n_real)
         # audio/text pads come from manifest metadata so every shard agrees
@@ -342,7 +358,7 @@ class AudioTextLetterDataset:
         rows = [batch[r] for r in range(lo, min(lo + b_local, n_real))]
 
         files = [self.files[idx] for idx in rows]
-        # augmentation randomness draws OUTSIDE the thread pool so row
+        # augmentation randomness draws in the (sequential) plan so row
         # order (and therefore the stream under a fixed seed) stays
         # deterministic: factors here, a child Generator per row for the
         # noise mixer
@@ -351,6 +367,19 @@ class AudioTextLetterDataset:
         noise_rngs = ([np.random.default_rng(s) for s in
                        self._np_rng.integers(0, 2**63, size=len(files))]
                       if self.noise_mixer is not None else None)
+        return {"rows": rows, "files": files, "factors": factors,
+                "noise_rngs": noise_rngs, "b_local": b_local,
+                "t_audio": t_audio, "t_text": t_text, "n_real": n_real,
+                "lo": lo}
+
+    def materialize(self, plan: dict) -> Dict[str, np.ndarray]:
+        """Heavy half of a batch read (decode + pad); thread-safe given a
+        plan from ``_plan_batch`` (the dataset's decode pool is shared and
+        the only mutable state touched here)."""
+        rows, files = plan["rows"], plan["files"]
+        factors, noise_rngs = plan["factors"], plan["noise_rngs"]
+        b_local, t_audio, t_text = (plan["b_local"], plan["t_audio"],
+                                    plan["t_text"])
 
         def read(i_pth):
             i, pth = i_pth
@@ -384,8 +413,8 @@ class AudioTextLetterDataset:
             "token_ids": token_ids,
             "token_lengths": text_lengths,
             "files": files,
-            "num_real": n_real,
-            "row_offset": lo,
+            "num_real": plan["n_real"],
+            "row_offset": plan["lo"],
         }
 
 
@@ -498,10 +527,20 @@ class AudioFileDataset:
             min_len = min(min_len, predlen)
 
     def __iter__(self):
+        for plan in self.batch_plans():
+            yield self.materialize(plan)
+
+    def batch_plans(self) -> Iterator[Tuple[List[int], int]]:
+        """Cheap, sequential (rows, crop length) plans; the stream RNG
+        lives entirely here so ``materialize`` is safe to run on
+        concurrent threads (PrefetchLoader ``num_workers``)."""
         for bi, (rows, t) in enumerate(self._compose(self._index_stream())):
             if not self.row_shard and bi % self.num_shards != self.shard_index:
                 continue
-            yield self.read_batch(rows, t)
+            yield rows, t
+
+    def materialize(self, plan: Tuple[List[int], int]) -> np.ndarray:
+        return self.read_batch(*plan)
 
     def read_batch(self, rows: Sequence[int], t: int) -> np.ndarray:
         if self.row_shard:
@@ -584,15 +623,54 @@ class BucketingAudioDataset(AudioFileDataset):
 
 class PrefetchLoader:
     """Thread-based background prefetcher replacing torch DataLoader workers
-    (the reference forks 4 worker processes, train.py:192)."""
+    (the reference forks 4 worker processes, train.py:192).
+
+    With ``num_workers > 1`` and a dataset exposing the
+    ``batch_plans()``/``materialize(plan)`` split (all package datasets
+    do), plans are drawn sequentially — preserving the stream's RNG
+    determinism — and materialized (audio decode + padding) on
+    ``num_workers`` threads, with batch ORDER preserved, so the emitted
+    stream is identical to ``iter(dataset)`` regardless of worker count.
+    Falls back to a single producer thread otherwise."""
 
     _DONE = object()
 
     def __init__(self, dataset, num_workers: int = 2, prefetch: int = 4):
         self.dataset = dataset
+        # clamp to physical cores: on a 1-core host extra decode threads
+        # can starve XLA CPU-collective rendezvous threads (40 s abort)
+        # while buying nothing; real TPU hosts keep full parallelism
+        self.num_workers = max(1, min(int(num_workers),
+                                      os.cpu_count() or 1))
         self.prefetch = max(prefetch, 1)
 
     def __iter__(self):
+        if (self.num_workers > 1
+                and hasattr(self.dataset, "batch_plans")
+                and hasattr(self.dataset, "materialize")):
+            yield from self._parallel_iter()
+        else:
+            yield from self._single_iter()
+
+    def _parallel_iter(self):
+        from collections import deque
+
+        depth = self.num_workers + self.prefetch
+        pending: deque = deque()
+        pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+        try:
+            for plan in self.dataset.batch_plans():
+                pending.append(pool.submit(self.dataset.materialize, plan))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
+            pool.shutdown(wait=False)
+
+    def _single_iter(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -283,7 +283,11 @@ def transducer_loss(log_probs: jnp.ndarray, frame_lengths: jnp.ndarray,
     rows, like torchaudio.functional.rnnt_loss). ``fused=True`` swaps
     the autodiff-through-scan backward for the analytic alpha/beta
     occupancy VJP (same loss values; gradients agree to float32
-    tolerance — tests/test_transducer.py).
+    tolerance — tests/test_transducer.py). The fused path uses
+    ``jax.custom_vjp``, which supports reverse-mode only: forward-mode
+    (``jax.jvp``) and second-order differentiation through
+    ``transducer_loss(fused=True)`` raise; use the default autodiff
+    path for grad-of-grad.
     """
     frame_lengths = frame_lengths.astype(jnp.int32)
     label_lengths = label_lengths.astype(jnp.int32)

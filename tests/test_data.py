@@ -60,6 +60,99 @@ def test_read_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(wav, data.astype(np.float32) / 32768.0)
 
 
+def _write_sphere(path, data, sr=16000, coding="pcm", byte_fmt="01"):
+    """Minimal NIST SPHERE writer for test fixtures."""
+    hdr = (f"NIST_1A\n   1024\nsample_rate -i {sr}\nchannel_count -i 1\n"
+           f"sample_n_bytes -i {1 if 'ulaw' in coding else 2}\n"
+           f"sample_coding -s{len(coding)} {coding}\n"
+           f"sample_byte_format -s{len(byte_fmt)} {byte_fmt}\nend_head\n")
+    with open(path, "wb") as f:
+        f.write(hdr.encode().ljust(1024, b" "))
+        f.write(data.tobytes())
+
+
+def test_read_sphere_pcm(tmp_path):
+    from audio8_tpu.data.audio import read_sphere
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.normal(size=500) * 8000).astype("<i2")
+    p = str(tmp_path / "x.sph")
+    _write_sphere(p, pcm)
+    wav, sr = read_sphere(p)
+    assert sr == 16000
+    np.testing.assert_allclose(wav, pcm.astype(np.float32) / 32768.0)
+
+    # big-endian payload
+    _write_sphere(p, pcm.astype(">i2"), byte_fmt="10")
+    wav_be, _ = read_sphere(p)
+    np.testing.assert_allclose(wav_be, wav)
+
+    # shorten-compressed: actionable error
+    _write_sphere(p, pcm, coding="pcm,embedded-shorten-v2.00")
+    with pytest.raises(ValueError, match="sph2pipe"):
+        read_sphere(p)
+
+
+def test_read_sphere_ulaw(tmp_path):
+    """mu-law roundtrip: encode linear -> ulaw bytes, decoder inverts to
+    within one quantization step."""
+    from audio8_tpu.data.audio import read_sphere
+
+    def ulaw_encode(x):
+        BIAS, CLIP = 0x84, 32635
+        x = np.clip(x.astype(np.int32), -CLIP, CLIP)
+        sign = np.where(x < 0, 0x80, 0)
+        x = np.abs(x) + BIAS
+        exp = (np.floor(np.log2(x)) - 7).clip(0, 7).astype(np.int32)
+        mant = (x >> (exp + 3)) & 0x0F
+        return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+    rng = np.random.default_rng(1)
+    pcm = (rng.normal(size=400) * 6000).astype(np.int16)
+    p = str(tmp_path / "u.sph")
+    _write_sphere(p, ulaw_encode(pcm), coding="ulaw")
+    wav, sr = read_sphere(p)
+    err = np.abs(wav * 32768.0 - pcm)
+    # mu-law quantization error grows with magnitude; bound by segment size
+    assert np.all(err <= np.maximum(np.abs(pcm) / 16.0, 32.0))
+
+
+def test_read_aiff(tmp_path):
+    import struct
+
+    from audio8_tpu.data.audio import read_aiff
+
+    rng = np.random.default_rng(2)
+    pcm = (rng.normal(size=300) * 8000).astype(">i2")
+    # 80-bit float for 16000: exponent 16383+13, mantissa 16000<<50
+    sr80 = struct.pack(">HQ", 16383 + 13, 16000 << 50)
+    comm = struct.pack(">hIh", 1, len(pcm), 16) + sr80
+    ssnd = struct.pack(">II", 0, 0) + pcm.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    p = str(tmp_path / "x.aiff")
+    with open(p, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+    wav, sr = read_aiff(p)
+    assert sr == 16000
+    np.testing.assert_allclose(
+        wav, pcm.astype(np.int16).astype(np.float32) / 32768.0)
+
+
+def test_unsupported_format_is_actionable(tmp_path):
+    from audio8_tpu.data.audio import read_audio
+
+    p = str(tmp_path / "x.ogg")
+    with open(p, "wb") as f:
+        f.write(b"OggS\x00\x00")
+    with pytest.raises(ValueError, match="soundfile"):
+        read_audio(p)
+    # reader dispatch goes through read_audio, so the dataset path gets
+    # the same actionable error (not a cryptic wavfile failure)
+    with pytest.raises(ValueError, match="Ogg"):
+        SoundfileAudioReader().read(p)
+
+
 def test_resample_reader(tmp_path):
     p = str(tmp_path / "x.wav")
     write_wav(p, 1000)
@@ -151,6 +244,59 @@ def test_prefetch_loader(corpus):
     direct = [b["files"] for b in iter(ds)]
     loaded = [b["files"] for b in PrefetchLoader(ds, prefetch=2)]
     assert direct == loaded
+
+
+def test_prefetch_loader_workers_identical_stream(corpus):
+    """num_workers > 1 materializes batches on a thread pool, but the
+    emitted stream (order AND content, incl. augmentation randomness)
+    is identical to direct iteration: plans are drawn sequentially."""
+    def make():
+        return AudioTextLetterDataset(
+            str(corpus / "train.tsv"), TextVectorizer(letter_vocab()),
+            target_tokens_per_batch=33000, is_infinite=False,
+            shuffle=True, seed=3, speed_perturb=(0.9, 1.0, 1.1))
+
+    direct = list(iter(make()))
+    loader = PrefetchLoader(make(), num_workers=4, prefetch=2)
+    loader.num_workers = 4  # bypass the cpu_count clamp: exercise the pool
+    parallel = list(loader)
+    assert len(direct) == len(parallel)
+    for d, p in zip(direct, parallel):
+        assert d["files"] == p["files"]
+        np.testing.assert_array_equal(d["signal"], p["signal"])
+        np.testing.assert_array_equal(d["token_ids"], p["token_ids"])
+
+    # dense pretrain stream too
+    def make_dense():
+        return AudioFileDataset(
+            str(corpus / "train.tsv"), max_length=20000,
+            target_tokens_per_batch=30000, shuffle=True, seed=5)
+
+    dense_loader = PrefetchLoader(make_dense(), num_workers=3, prefetch=2)
+    dense_loader.num_workers = 3  # bypass the cpu_count clamp
+    d_it, p_it = iter(make_dense()), iter(dense_loader)
+    for _ in range(5):
+        np.testing.assert_array_equal(next(d_it), next(p_it))
+
+
+def test_tsv_substring_in_directory_name(tmp_path):
+    """Transcript resolution swaps the EXTENSION: a path containing 'tsv'
+    as a substring (e.g. a tsv_data/ directory) must not be rewritten
+    (the reference's str.replace bug, data.py:171 — deliberately fixed)."""
+    root = tmp_path / "tsv_data"
+    root.mkdir()
+    audio_dir = root / "audio"
+    audio_dir.mkdir()
+    write_wav(str(audio_dir / "a.wav"), 8000)
+    with open(root / "train.tsv", "w") as f:
+        f.write(str(audio_dir) + "\na.wav\t8000\n")
+    with open(root / "train.ltr", "w") as f:
+        f.write("C A T |\n")
+    ds = AudioTextLetterDataset(
+        str(root / "train.tsv"), TextVectorizer(letter_vocab()),
+        target_tokens_per_batch=40000, is_infinite=False, shuffle=False)
+    batches = list(iter(ds))
+    assert len(batches) == 1 and len(batches[0]["files"]) == 1
 
 
 def test_audio_text_dataset_length_grid(corpus):

@@ -90,9 +90,16 @@ def test_unpruned_beam_scores_are_exact_marginals():
     assert checked >= 5  # empty seq + several length-1/2 sequences
 
 
-def test_nbest_sorted_and_improves_on_greedy():
-    """Beams come back score-sorted, and the best beam's score is at
-    least the width-1 beam's (a superset search can't do worse)."""
+def test_nbest_sorted_and_scores_bounded_by_marginals():
+    """Beams come back score-sorted, and every returned hypothesis's beam
+    score sums alignments over a SUBSET of its lattice paths (only those
+    surviving per-frame pruning), so it can never exceed the exact
+    marginal log P(y | x) (brute-force numpy DP).
+
+    Note: 'a wider beam's 1-best >= the width-1 beam's score' is NOT a
+    theorem under per-frame pruning + the max_symbols cap (beam search
+    is not monotone in width), and asserting it was order-flaky; the
+    subset bound below is guaranteed."""
     cfg = _cfg()
     model, params = _init(cfg, 7)
     wav = np.random.default_rng(4).normal(size=(1, 16_000)) * 0.1
@@ -101,11 +108,25 @@ def test_nbest_sorted_and_improves_on_greedy():
 
     dec = functools.partial(model.apply, {"params": params}, sig, lens,
                             method=Transducer.decode_beam)
-    _, _, s1 = dec(1, 64, 4)
     toks, n, s8 = dec(8, 64, 4)
+    toks, n = np.asarray(toks), np.asarray(n)
     s8 = np.asarray(s8)[0]
-    assert np.all(np.diff(s8[np.isfinite(s8) & (s8 > -1e20)]) <= 1e-6)
-    assert s8[0] >= float(np.asarray(s1)[0, 0]) - 1e-5
+    finite = s8 > -1e20
+    assert finite.any()
+    assert np.all(np.diff(s8[finite]) <= 1e-6)  # score-sorted
+    assert np.all(s8[finite] <= 1e-4)  # log-probabilities
+
+    blank = int(Offsets.GO)
+    for kk in range(min(3, int(finite.sum()))):
+        y = toks[0, kk, :n[0, kk]].tolist()
+        u_pad = max(len(y) + 1, 4)
+        y_arr = jnp.asarray([y + [0] * (u_pad - len(y))], jnp.int32)
+        lp, _ = model.apply({"params": params}, sig, lens, y_arr)
+        t_frames = np.asarray(lp).shape[1]
+        nll = np_rnnt_nll(np.asarray(lp)[0], t_frames,
+                          y + [0] * u_pad, len(y), blank)
+        assert s8[kk] <= -nll + 1e-3, (
+            f"beam score {s8[kk]} exceeds exact marginal {-nll} for {y}")
 
 
 def test_transcribe_cli_transducer_beam(tmp_path):

@@ -90,9 +90,11 @@ def main():
             state, loss = run(state)
         np.asarray(loss)
         ms = (time.perf_counter() - start) / n * 1e3
-        rtfx = (B * T_SAMP / SAMPLE_RATE) / (ms / 1e3) / jax.device_count()
+        # the step is built with mesh=None (no sharding), so this is
+        # whole-host throughput; don't divide by device_count
+        rtfx = (B * T_SAMP / SAMPLE_RATE) / (ms / 1e3)
         print(f"train-step fused={fused}: {ms:.2f} ms "
-              f"({rtfx:.0f} audio-sec/sec/chip)", flush=True)
+              f"({rtfx:.0f} audio-sec/sec)", flush=True)
 
 
 if __name__ == "__main__":
