@@ -334,6 +334,15 @@ def topology_kwargs(args):
                 causal_left_chunks=args.causal_left_chunks)
 
 
+def moe_kwargs(args):
+    """The Mixture-of-Experts flags as encoder-config kwargs (every
+    step factory threads the sowed Switch aux loss, train/steps.py)."""
+    return dict(moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+                moe_capacity_factor=args.moe_capacity_factor,
+                moe_every=args.moe_every,
+                moe_aux_weight=args.moe_aux_weight)
+
+
 def apply_preset(args):
     """Resolve ``--preset``: preset-managed flags parse with a ``None``
     sentinel, so an explicit flag ALWAYS wins (even when set to the base

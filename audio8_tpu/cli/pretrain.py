@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup,
+                                   moe_kwargs, resolve_restart, setup,
                                    setup_parallelism, topology_kwargs)
 from audio8_tpu.config import CONV_FEATURES, PretrainConfig, lane_aligned_grid
 from audio8_tpu.data.datasets import AudioFileDataset, BucketingAudioDataset, PrefetchLoader
@@ -123,10 +123,7 @@ def train(argv=None):
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
         remat=args.remat, **topology_kwargs(args),
-        sequence_parallel=args.sequence_parallel,
-        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-        moe_capacity_factor=args.moe_capacity_factor,
-        moe_every=args.moe_every, moe_aux_weight=args.moe_aux_weight,
+        sequence_parallel=args.sequence_parallel, **moe_kwargs(args),
         layer_drop=args.layer_drop, n_negatives=args.n_negatives)
     model = Wav2Vec2Model(config=cfg, dtype=dtype)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup,
+                                   moe_kwargs, resolve_restart, setup,
                                    setup_parallelism, topology_kwargs)
 from audio8_tpu.config import PooledConfig, TextEncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -144,7 +144,7 @@ def train(argv=None):
         sample_rate=args.target_sample_rate // 1000, d_model=args.d_model,
         num_heads=args.num_heads, num_layers=args.num_layers, d_ff=args.d_ff,
         dropout=args.dropout, layer_drop=args.layer_drop, remat=args.remat,
-        **topology_kwargs(args),
+        **topology_kwargs(args), **moe_kwargs(args),
         reduction_type=args.audio_reduction_type, reduction_d_k=args.audio_d_k)
     text_cfg = TextEncoderConfig(
         vocab_size=len(vocab), d_model=args.text_d_model,

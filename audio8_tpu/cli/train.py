@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup,
+                                   moe_kwargs, resolve_restart, setup,
                                    setup_parallelism, topology_kwargs)
 from audio8_tpu.config import AcousticConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -197,10 +197,7 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len,
-        sequence_parallel=args.sequence_parallel,
-        moe_experts=args.moe_experts, moe_top_k=args.moe_top_k,
-        moe_capacity_factor=args.moe_capacity_factor,
-        moe_every=args.moe_every, moe_aux_weight=args.moe_aux_weight,
+        sequence_parallel=args.sequence_parallel, **moe_kwargs(args),
         layer_drop=args.layer_drop, freeze_fx=args.freeze_fx)
     model = Wav2Vec2AcousticModel(config=cfg, dtype=dtype)
 

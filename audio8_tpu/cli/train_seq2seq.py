@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup,
+                                   moe_kwargs, resolve_restart, setup,
                                    setup_parallelism, topology_kwargs)
 from audio8_tpu.config import DecoderConfig, EncoderConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -166,7 +166,7 @@ def train(argv=None):
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,
         channel_mask_len=args.channel_mask_len, layer_drop=args.layer_drop,
-        remat=args.remat, **topology_kwargs(args),
+        remat=args.remat, **topology_kwargs(args), **moe_kwargs(args),
         freeze_fx=args.freeze_fx)
     dec_cfg = DecoderConfig(
         vocab_size=len(vocab), d_model=args.d_model,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio8_tpu.cli.common import (add_common_model_args, apply_preset,
-                                   resolve_restart, setup,
+                                   moe_kwargs, resolve_restart, setup,
                                    setup_parallelism, topology_kwargs)
 from audio8_tpu.config import TransducerConfig
 from audio8_tpu.data.datasets import AudioTextLetterDataset, PrefetchLoader
@@ -179,7 +179,7 @@ def train(argv=None):
         d_model=args.d_model, num_heads=args.num_heads,
         num_layers=args.num_layers, d_ff=args.d_ff, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
-        remat=args.remat, **topology_kwargs(args),
+        remat=args.remat, **topology_kwargs(args), **moe_kwargs(args),
         timestep_masking=args.timestep_masking,
         timestep_mask_len=args.timestep_mask_len,
         channel_masking=args.channel_masking,

@@ -72,7 +72,10 @@ class HubertPretrainModel(nn.Module):
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
-            sequence_parallel=cfg.sequence_parallel, **dd)
+            sequence_parallel=cfg.sequence_parallel,
+            moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
+            moe_every=cfg.moe_every, **dd)
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.uniform(scale=1.0), (cfg.d_model,),
             self.param_dtype)

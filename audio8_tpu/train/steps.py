@@ -45,11 +45,12 @@ def _mesh_wrap(fn, mesh):
 def moe_aux_weight(model) -> float:
     """The MoE load-balance loss weight, 0.0 for dense models. MoE layers
     sow their Switch aux loss into the 'losses' collection (nn/moe.py);
-    factories add ``weight * sum(sowed)`` to the objective."""
-    cfg = getattr(model, "config", None) or getattr(model, "encoder_config",
-                                                    None)
-    if cfg is not None and getattr(cfg, "moe_experts", 0) > 0:
-        return float(getattr(cfg, "moe_aux_weight", 0.0))
+    every factory adds ``weight * sum(sowed)`` to its objective
+    (``audio_config`` covers the dual-encoder's audio tower)."""
+    for name in ("config", "encoder_config", "audio_config"):
+        cfg = getattr(model, name, None)
+        if cfg is not None and getattr(cfg, "moe_experts", 0) > 0:
+            return float(getattr(cfg, "moe_aux_weight", 0.0))
     return 0.0
 
 
@@ -57,6 +58,17 @@ def sum_sowed_losses(mutated) -> jnp.ndarray:
     return sum((jnp.sum(v) for v in
                 jax.tree_util.tree_leaves(mutated.get("losses", {}))),
                jnp.zeros((), jnp.float32))
+
+
+def apply_collecting_aux(model, variables, *args, aux_w: float, **kwargs):
+    """``model.apply`` that also returns the sowed MoE load-balance loss
+    (a traced scalar when ``aux_w > 0``, literal 0.0 for dense models so
+    XLA sees no extra collection plumbing)."""
+    if aux_w > 0.0:
+        out, mut = model.apply(variables, *args, mutable=["losses"],
+                               **kwargs)
+        return out, sum_sowed_losses(mut)
+    return model.apply(variables, *args, **kwargs), 0.0
 
 
 def clean_targets(targets: jnp.ndarray, token_lengths: jnp.ndarray):
@@ -117,16 +129,9 @@ def make_ctc_steps(model, tx: optax.GradientTransformation, clip: float = 25.0,
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
             aux_w = moe_aux_weight(model)
-            if aux_w > 0.0:
-                (log_probs, pad_mask), mut = model.apply(
-                    {"params": p}, signal, signal_lengths, train=True,
-                    freeze=freeze, rngs=rngs, mutable=["losses"])
-                aux = sum_sowed_losses(mut)
-            else:
-                log_probs, pad_mask = model.apply(
-                    {"params": p}, signal, signal_lengths, train=True,
-                    freeze=freeze, rngs=rngs)
-                aux = 0.0
+            (log_probs, pad_mask), aux = apply_collecting_aux(
+                model, {"params": p}, signal, signal_lengths, aux_w=aux_w,
+                train=True, freeze=freeze, rngs=rngs)
             frame_lengths = jnp.sum(pad_mask, axis=-1)
             loss = _masked_ctc(log_probs, frame_lengths, targets,
                                target_lengths, rows)
@@ -195,16 +200,9 @@ def make_pretrain_steps(model, tx: optax.GradientTransformation,
                     "mask": jax.random.fold_in(rng, 1),
                     "gumbel": jax.random.fold_in(rng, 2)}
             aux_w = moe_aux_weight(model)
-            if aux_w > 0.0:
-                (c, t, ppl, valid), mut = model.apply(
-                    {"params": p}, signal, train=True, temperature=temp,
-                    rngs=rngs, mutable=["losses"])
-                aux = sum_sowed_losses(mut)
-            else:
-                c, t, ppl, valid = model.apply(
-                    {"params": p}, signal, train=True, temperature=temp,
-                    rngs=rngs)
-                aux = 0.0
+            (c, t, ppl, valid), aux = apply_collecting_aux(
+                model, {"params": p}, signal, aux_w=aux_w, train=True,
+                temperature=temp, rngs=rngs)
             loss, metrics = wav2vec2_pretrain_loss(
                 c, t, ppl, valid, jax.random.fold_in(rng, 3), n_vars,
                 n_negatives)
@@ -247,22 +245,26 @@ def make_data2vec_steps(model, tx: optax.GradientTransformation,
         data2vec_loss, data2vec_targets, ema_decay_schedule, ema_update)
 
     cfg = model.config
-    if moe_aux_weight(model) > 0.0:
-        raise NotImplementedError(
-            "MoE FFN layers are supported by the CTC and contrastive-"
-            "pretrain factories only (their objectives add the sowed "
-            "load-balance loss); set moe_experts=0 here")
+    aux_w = moe_aux_weight(model)
 
     def _loss(params, teacher, signal, lengths, rng, train):
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "mask": jax.random.fold_in(rng, 1)}
-        pred, time_mask, pad_mask = model.apply(
-            {"params": params}, signal, lengths, train=train, rngs=rngs)
+        # MoE aux collects from the student pass only (the teacher is a
+        # stop-gradient EMA; its routing shouldn't shape the student's
+        # load-balance objective)
+        (pred, time_mask, pad_mask), aux = apply_collecting_aux(
+            model, {"params": params}, signal, lengths, aux_w=aux_w,
+            train=train, rngs=rngs)
         hiddens, _, _ = model.apply(
             {"params": jax.lax.stop_gradient(teacher)}, signal, lengths,
             train=False, mask=False, collect_hiddens=True)
         target = data2vec_targets(hiddens, cfg.average_top_k_layers)
-        return data2vec_loss(pred, target, time_mask, pad_mask)
+        loss, metrics = data2vec_loss(pred, target, time_mask, pad_mask)
+        if aux_w > 0.0:
+            loss = loss + aux_w * aux
+            metrics = dict(metrics, moe_aux=aux)
+        return loss, metrics
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state, teacher, batch, rng):
@@ -300,11 +302,7 @@ def make_hubert_steps(model, tx: optax.GradientTransformation,
     from audio8_tpu.models.hubert import hubert_pretrain_loss
 
     cfg = model.config
-    if moe_aux_weight(model) > 0.0:
-        raise NotImplementedError(
-            "MoE FFN layers are supported by the CTC and contrastive-"
-            "pretrain factories only (their objectives add the sowed "
-            "load-balance loss); set moe_experts=0 here")
+    aux_w = moe_aux_weight(model)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
@@ -314,12 +312,17 @@ def make_hubert_steps(model, tx: optax.GradientTransformation,
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
-            logits, time_mask, pad_mask = model.apply(
-                {"params": p}, signal, signal_lengths, train=True, rngs=rngs)
-            return hubert_pretrain_loss(
+            (logits, time_mask, pad_mask), aux = apply_collecting_aux(
+                model, {"params": p}, signal, signal_lengths, aux_w=aux_w,
+                train=True, rngs=rngs)
+            loss, metrics = hubert_pretrain_loss(
                 logits, time_mask, pad_mask, batch["token_ids"],
                 batch["token_lengths"], cfg.pred_masked_weight,
                 cfg.pred_unmasked_weight)
+            if aux_w > 0.0:
+                loss = loss + aux_w * aux
+                metrics = dict(metrics, moe_aux=aux)
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state, gnorm = state.apply_gradients(grads, tx, clip_norm=clip)
@@ -356,11 +359,7 @@ def sequence_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
 
 def make_seq2seq_steps(model, tx: optax.GradientTransformation,
                        clip: float = 25.0, loss_reduction: str = "sum"):
-    if moe_aux_weight(model) > 0.0:
-        raise NotImplementedError(
-            "MoE FFN layers are supported by the CTC and contrastive-"
-            "pretrain factories only (their objectives add the sowed "
-            "load-balance loss); set moe_experts=0 here")
+    aux_w = moe_aux_weight(model)
 
     @functools.partial(jax.jit, static_argnames=("freeze",))
     def grad_fn(params, batch, rng, freeze: bool = True):
@@ -377,10 +376,15 @@ def make_seq2seq_steps(model, tx: optax.GradientTransformation,
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
-            log_probs = model.apply(
-                {"params": p}, signal, signal_lengths, dst, dst_lengths,
-                train=True, freeze=freeze, rngs=rngs)
-            return sequence_loss(log_probs, tgt, loss_reduction), {}
+            log_probs, aux = apply_collecting_aux(
+                model, {"params": p}, signal, signal_lengths, dst,
+                dst_lengths, aux_w=aux_w, train=True, freeze=freeze,
+                rngs=rngs)
+            loss = sequence_loss(log_probs, tgt, loss_reduction)
+            # scale by the example count so the per-example aux weight
+            # survives update_fn's 1/total_examples gradient scaling
+            loss = loss + aux_w * aux * jnp.maximum(jnp.sum(rows), 1.0)
+            return loss, {}
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         batch_size = jnp.sum(rows)
@@ -425,11 +429,7 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
     """Dual-encoder CLIP training; params = {'model': ..., 'loss': ...} so
     the temperature trains with everything else (the reference wraps the
     loss module in the optimizer for this, pretrain_paired.py:250-254)."""
-    if moe_aux_weight(model) > 0.0:
-        raise NotImplementedError(
-            "MoE FFN layers are supported by the CTC and contrastive-"
-            "pretrain factories only (their objectives add the sowed "
-            "load-balance loss); set moe_experts=0 here")
+    aux_w = moe_aux_weight(model)
 
     @functools.partial(jax.jit, static_argnames=("freeze_audio", "freeze_text"))
     def grad_fn(params, batch, rng, freeze_audio: bool = True, freeze_text: bool = True):
@@ -438,11 +438,17 @@ def make_paired_steps(model, loss_module, tx: optax.GradientTransformation,
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
-            a, t = model.apply(
-                {"params": p["model"]}, batch["signal"], batch["signal_lengths"],
-                batch["token_ids"], batch["token_lengths"], train=True,
-                freeze_audio=freeze_audio, freeze_text=freeze_text, rngs=rngs)
+            (a, t), aux = apply_collecting_aux(
+                model, {"params": p["model"]}, batch["signal"],
+                batch["signal_lengths"], batch["token_ids"],
+                batch["token_lengths"], aux_w=aux_w, train=True,
+                freeze_audio=freeze_audio, freeze_text=freeze_text,
+                rngs=rngs)
             loss, metrics = loss_module.apply({"params": p["loss"]}, a, t, rows)
+            if aux_w > 0.0:
+                # survives update_fn's 1/total_examples gradient scaling
+                loss = loss + aux_w * aux * jnp.maximum(jnp.sum(rows), 1.0)
+                metrics = dict(metrics, moe_aux=aux)
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -490,10 +496,7 @@ def make_transducer_steps(model, tx: optax.GradientTransformation,
     """
     from audio8_tpu.ops.transducer import transducer_loss
 
-    if moe_aux_weight(model) > 0.0:
-        raise NotImplementedError(
-            "MoE FFN layers are supported by the CTC and contrastive-"
-            "pretrain factories only; set moe_experts=0 here")
+    aux_w = moe_aux_weight(model)
 
     def _masked_loss(log_probs, frame_lengths, targets, target_lengths, rows):
         per_row = transducer_loss(log_probs, frame_lengths, targets,
@@ -514,12 +517,15 @@ def make_transducer_steps(model, tx: optax.GradientTransformation,
         def loss_fn(p):
             rngs = {"dropout": jax.random.fold_in(rng, 0),
                     "mask": jax.random.fold_in(rng, 1)}
-            log_probs, pad_mask = model.apply(
-                {"params": p}, signal, signal_lengths, targets, train=True,
-                freeze=freeze, rngs=rngs)
+            (log_probs, pad_mask), aux = apply_collecting_aux(
+                model, {"params": p}, signal, signal_lengths, targets,
+                aux_w=aux_w, train=True, freeze=freeze, rngs=rngs)
             frame_lengths = jnp.sum(pad_mask, axis=-1)
-            return _masked_loss(log_probs, frame_lengths, targets,
-                                target_lengths, rows), {}
+            loss = _masked_loss(log_probs, frame_lengths, targets,
+                                target_lengths, rows)
+            # survives update_fn's 1/total_examples gradient scaling
+            loss = loss + aux_w * aux * jnp.maximum(jnp.sum(rows), 1.0)
+            return loss, {}
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         batch_size = jnp.sum(rows)

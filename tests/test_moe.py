@@ -186,17 +186,178 @@ def test_moe_pretrain_step_trains_and_reports_aux():
     assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
 
 
-def test_moe_unsupported_factories_raise():
-    from audio8_tpu.models.seq2seq import create_seq2seq_model
-    from audio8_tpu.train.optim import create_lrs, create_optimizer
-    from audio8_tpu.train.steps import make_seq2seq_steps
-    import pytest
+def _supervised_batch(rng, b=2, t=8000, u=6, v_lo=4, v_hi=12):
+    return {
+        "signal": jnp.asarray(rng.normal(size=(b, t)).astype(np.float32)),
+        "signal_lengths": jnp.full((b,), t, jnp.int32),
+        "token_ids": jnp.asarray(rng.integers(v_lo, v_hi, size=(b, u)),
+                                 jnp.int32),
+        "token_lengths": jnp.full((b,), u, jnp.int32),
+    }
 
-    model = create_seq2seq_model(vocab_size=12, d_model=64, num_heads=4,
-                                 num_layers=2, d_ff=128, moe_experts=4)
+
+def test_moe_seq2seq_factory_trains():
+    """--moe_experts 4 trains one step through make_seq2seq_steps, and the
+    aux loss reaches the objective (loss differs between aux weights)."""
+    from audio8_tpu.config import DecoderConfig, EncoderConfig
+    from audio8_tpu.models.seq2seq import Seq2Seq
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_seq2seq_steps
+
+    rng = np.random.default_rng(0)
+    batch = _supervised_batch(rng)
     tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
-    with pytest.raises(NotImplementedError):
-        make_seq2seq_steps(model, tx)
+    losses = {}
+    for w in (0.0, 0.1):
+        enc = EncoderConfig(d_model=64, num_heads=4, num_layers=2, d_ff=128,
+                            dropout=0.0, timestep_masking=0.0,
+                            channel_masking=0.0, moe_experts=4,
+                            moe_aux_weight=w, moe_capacity_factor=2.0)
+        dec = DecoderConfig(vocab_size=12, d_model=64, num_heads=4,
+                            num_layers=1, dropout=0.0)
+        model = Seq2Seq(encoder_config=enc, decoder_config=dec)
+        params = model.init(
+            jax.random.PRNGKey(0), batch["signal"], batch["signal_lengths"],
+            batch["token_ids"][:, :-1],
+            jnp.maximum(batch["token_lengths"] - 1, 0))["params"]
+        grad_fn, update_fn, _, _ = make_seq2seq_steps(model, tx)
+        loss, grads, bsz, _ = grad_fn(params, batch, jax.random.PRNGKey(1),
+                                      freeze=False)
+        losses[w] = float(loss)
+        assert np.isfinite(losses[w])
+        state, gnorm = update_fn(TrainState.create(params, tx), grads, bsz)
+        assert int(state.step) == 1 and np.isfinite(float(gnorm))
+    assert losses[0.1] > losses[0.0]
+
+
+def test_moe_transducer_factory_trains():
+    from audio8_tpu.config import TransducerConfig
+    from audio8_tpu.models.transducer import Transducer
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_transducer_steps
+
+    rng = np.random.default_rng(1)
+    batch = _supervised_batch(rng, u=4)
+    cfg = TransducerConfig(vocab_size=12, d_model=64, num_heads=4,
+                           num_layers=2, d_ff=128, pred_layers=1,
+                           pred_dim=32, pred_embed_dim=16, d_joint=32,
+                           dropout=0.0, pred_dropout=0.0,
+                           timestep_masking=0.0, channel_masking=0.0,
+                           moe_experts=4, moe_aux_weight=0.05,
+                           moe_capacity_factor=2.0)
+    model = Transducer(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), batch["signal"],
+                        batch["signal_lengths"],
+                        batch["token_ids"])["params"]
+    tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
+    grad_fn, update_fn, _, _ = make_transducer_steps(model, tx)
+    loss, grads, bsz, _ = grad_fn(params, batch, jax.random.PRNGKey(1),
+                                  freeze=False)
+    assert np.isfinite(float(loss))
+    state, gnorm = update_fn(TrainState.create(params, tx), grads, bsz)
+    assert int(state.step) == 1 and np.isfinite(float(gnorm))
+
+
+def test_moe_hubert_factory_trains():
+    from audio8_tpu.config import HubertPretrainConfig
+    from audio8_tpu.models.hubert import HubertPretrainModel
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_hubert_steps
+
+    rng = np.random.default_rng(2)
+    cfg = HubertPretrainConfig(num_clusters=8, final_dim=16, d_model=64,
+                               num_heads=4, num_layers=2, d_ff=128,
+                               dropout=0.0, moe_experts=4,
+                               moe_aux_weight=0.05, moe_capacity_factor=2.0)
+    model = HubertPretrainModel(config=cfg)
+    signal = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
+    lengths = jnp.full((2,), 8000, jnp.int32)
+    # 8000 samples -> 24 encoder frames; cluster targets per frame
+    n_frames = 24
+    batch = {
+        "signal": signal, "signal_lengths": lengths,
+        "token_ids": jnp.asarray(
+            rng.integers(0, 8, size=(2, n_frames)), jnp.int32),
+        "token_lengths": jnp.full((2,), n_frames, jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        signal, lengths, train=True)["params"]
+    tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
+    train_step, _ = make_hubert_steps(model, tx)
+    state, metrics = train_step(TrainState.create(params, tx), batch,
+                                jax.random.PRNGKey(3))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
+
+
+def test_moe_data2vec_factory_trains():
+    from audio8_tpu.config import Data2VecPretrainConfig
+    from audio8_tpu.models.data2vec import Data2VecAudioModel
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_data2vec_steps
+
+    rng = np.random.default_rng(3)
+    cfg = Data2VecPretrainConfig(d_model=64, num_heads=4, num_layers=2,
+                                 d_ff=128, dropout=0.0, moe_experts=4,
+                                 moe_aux_weight=0.05,
+                                 moe_capacity_factor=2.0)
+    model = Data2VecAudioModel(config=cfg)
+    signal = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
+    lengths = jnp.full((2,), 8000, jnp.int32)
+    batch = {"signal": signal, "signal_lengths": lengths}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        signal, lengths, train=True)["params"]
+    teacher = jax.tree_util.tree_map(jnp.copy, params)
+    tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
+    train_step, _ = make_data2vec_steps(model, tx)
+    state, teacher, metrics = train_step(TrainState.create(params, tx),
+                                         teacher, batch,
+                                         jax.random.PRNGKey(4))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
+
+
+def test_moe_paired_factory_trains():
+    from audio8_tpu.config import PooledConfig, TextEncoderConfig
+    from audio8_tpu.models.dual_encoder import (DualEncoderModel,
+                                                SymmetricCLIPLoss)
+    from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
+    from audio8_tpu.train.steps import make_paired_steps
+
+    rng = np.random.default_rng(5)
+    batch = _supervised_batch(rng)
+    ac = PooledConfig(d_model=64, num_heads=4, num_layers=2, d_ff=128,
+                      dropout=0.0, timestep_masking=0.0,
+                      channel_masking=0.0, reduction_type="max",
+                      moe_experts=4, moe_aux_weight=0.05,
+                      moe_capacity_factor=2.0)
+    tc = TextEncoderConfig(vocab_size=12, d_model=32, num_heads=2,
+                           num_layers=1, d_ff=64, reduction_type="max")
+    model = DualEncoderModel(audio_config=ac, text_config=tc, output_dim=16)
+    loss_module = SymmetricCLIPLoss(init_temperature=0.07,
+                                    learn_temperature=True)
+    mp = model.init(jax.random.PRNGKey(0), batch["signal"],
+                    batch["signal_lengths"], batch["token_ids"],
+                    batch["token_lengths"])["params"]
+    a, t = model.apply({"params": mp}, batch["signal"],
+                       batch["signal_lengths"], batch["token_ids"],
+                       batch["token_lengths"])
+    lp = loss_module.init(jax.random.PRNGKey(1), a, t,
+                          jnp.ones((2,), jnp.float32))["params"]
+    params = {"model": mp, "loss": lp}
+    tx = create_optimizer(create_lrs(1e-4, 100, warmup_steps=10))
+    grad_fn, update_fn, _ = make_paired_steps(model, loss_module, tx)
+    loss, metrics, grads, bsz, _ = grad_fn(
+        params, batch, jax.random.PRNGKey(2),
+        freeze_audio=False, freeze_text=False)
+    assert np.isfinite(float(loss))
+    assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
+    state, gnorm = update_fn(TrainState.create(params, tx), grads, bsz)
+    assert int(state.step) == 1 and np.isfinite(float(gnorm))
 
 
 def test_moe_aux_loss_reaches_ctc_objective():
