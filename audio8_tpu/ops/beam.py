@@ -44,26 +44,43 @@ def _n_words(prefix, space_idx) -> int:
     return n
 
 
+def _kenlm_lm(lm_file: str):  # pragma: no cover - kenlm absent here
+    """Optional kenlm-backed LM (reads ARPA *and* KenLM binary). Context
+    is scored by string-prefix subtraction, matching ArpaLM.logp."""
+    import kenlm  # type: ignore
+
+    model = kenlm.Model(lm_file)
+
+    class _KenLM:
+        def logp(self, word, context):
+            ctx = " ".join(context)
+            full = (ctx + " " + word).strip()
+            base = model.score(ctx, bos=False, eos=False) if ctx else 0.0
+            return (model.score(full, bos=False, eos=False) - base) * \
+                math.log(10)
+
+    return _KenLM()
+
+
 def _load_lm(lm_file: str):
     """Prefer the native C++ ARPA LM; fall back to kenlm (if installed) or
-    the pure-Python ARPA reader (audio8_tpu.ops.lm)."""
+    the pure-Python ARPA reader (audio8_tpu.ops.lm). KenLM *binary*
+    models load only through kenlm itself; without it they fail
+    actionably (ops/lm.ensure_arpa) instead of garbled-parsing as ARPA
+    text — the reference consumes them via ctcdecode's bundled kenlm
+    (/root/reference/audio8/ctc.py:22-30)."""
+    from audio8_tpu.ops.lm import ensure_arpa
+
+    try:
+        return _kenlm_lm(lm_file)
+    except ImportError:
+        pass
+    ensure_arpa(lm_file)
     try:
         from audio8_tpu.csrc import native
 
         return native.NativeArpaLM(lm_file)
     except Exception:
-        pass
-    try:  # pragma: no cover - kenlm absent in this environment
-        import kenlm  # type: ignore
-
-        model = kenlm.Model(lm_file)
-
-        class _KenLM:
-            def logp(self, word, context):
-                return model.score(word, bos=False, eos=False) * math.log(10)
-
-        return _KenLM()
-    except ImportError:
         from audio8_tpu.ops.lm import ArpaLM
 
         return ArpaLM(lm_file)

@@ -15,11 +15,40 @@ from typing import Dict, Sequence, Tuple
 
 LOG10 = math.log(10.0)
 
+# Every KenLM binary (probing or trie, any version) starts with this
+# sanity-header magic (kenlm lm/binary_format.cc kMagicBeforeVersion).
+# The reference hands such files to ctcdecode's bundled kenlm
+# (/root/reference/audio8/ctc.py:22-30); this environment has no kenlm
+# to differential-test a from-scratch binary reader against, so rather
+# than risk silently wrong LM scores we detect the format and fail with
+# the conversion path (docs/PARITY.md "KenLM binary" note).
+KENLM_BINARY_MAGIC = b"mmap lm http://kheafield.com/code format version"
+
+
+def ensure_arpa(path: str) -> None:
+    """Raise an actionable error if ``path`` is a KenLM *binary* model
+    rather than ARPA text (otherwise a binary file would garbled-parse
+    as ARPA with no useful error)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    try:
+        with opener(path, "rb") as f:
+            head = f.read(len(KENLM_BINARY_MAGIC))
+    except OSError:
+        return  # let the real reader produce its own error
+    if head == KENLM_BINARY_MAGIC:
+        raise ValueError(
+            f"{path} is a KenLM binary model (probing/trie), which this "
+            "framework does not load — use the ARPA text file the binary "
+            "was built from (kenlm's build_binary consumes ARPA; lmplz "
+            "emits it). ARPA may be gzipped. If only the binary remains, "
+            "regenerate with: lmplz -o <order> < corpus.txt > lm.arpa")
+
 
 class ArpaLM:
     """Backoff n-gram LM loaded from an ARPA file (optionally gzipped)."""
 
     def __init__(self, path: str):
+        ensure_arpa(path)
         self.ngrams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
         self.order = 0
         opener = gzip.open if path.endswith(".gz") else open

@@ -127,3 +127,32 @@ def test_native_lm_beam_matches_python_lm_beam(tmp_path):
         got = native.prefix_beam_search_lm(lpr, blank, 8, sym["|"], 0.8, 0.3,
                                            pieces, pbs.lm)
         assert got[0] == want[0]
+
+
+def test_kenlm_binary_fails_actionably(tmp_path):
+    """A KenLM *binary* model (the artifact the reference feeds ctcdecode,
+    /root/reference/audio8/ctc.py:22-30) must not garbled-parse as ARPA:
+    every load path raises with the conversion instructions."""
+    from audio8_tpu.ops.beam import _load_lm
+    from audio8_tpu.ops.lm import KENLM_BINARY_MAGIC
+
+    f = tmp_path / "lm.klm"
+    f.write_bytes(KENLM_BINARY_MAGIC + b" 5\n\0" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="KenLM binary"):
+        ArpaLM(str(f))
+    with pytest.raises(ValueError, match="build_binary"):
+        _load_lm(str(f))
+    with pytest.raises(ValueError, match="ARPA"):
+        PrefixBeamSearch(["<s>", "<pad>", "</s>", "<unk>", "|", "A"],
+                         lm_file=str(f))
+
+
+def test_gzipped_arpa_still_loads(tmp_path):
+    """The binary sniff must not break gzipped ARPA text."""
+    import gzip
+
+    f = tmp_path / "lm.arpa.gz"
+    with gzip.open(str(f), "wt") as g:
+        g.write(ARPA)
+    lm = ArpaLM(str(f))
+    assert lm.order >= 1
