@@ -231,9 +231,17 @@ class EncoderConfig:
     pre_norm: bool = False
     extractor_mode: str = "group"
     conv_bias: bool = False
+    # Optional override of the per-sample-rate conv stack: a tuple of
+    # (channels, kernel, stride) blocks. The reference hardcodes the two
+    # CONV_FEATURES stacks (/root/reference/audio8/wav2vec2.py:26-29);
+    # HF checkpoints may carry arbitrary conv_dim/conv_kernel/conv_stride,
+    # and the committed golden fixtures use a tiny stack.
+    custom_conv_features: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
     @property
     def conv_features(self) -> List[Tuple[int, int, int]]:
+        if self.custom_conv_features is not None:
+            return [tuple(b) for b in self.custom_conv_features]
         return CONV_FEATURES[self.sample_rate]
 
     @property

@@ -221,6 +221,50 @@ def _hf_topology(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 pos_conv_depth=1, gated_rel_pos=False)
 
 
+def acoustic_config_from_hf(cfg: Dict[str, Any],
+                            topology: Dict[str, Any] = None,
+                            **overrides):
+    """Build an eval-ready ``AcousticConfig`` (dropout/masking off) from
+    an HF config dict — dims, family topology (``_hf_topology``),
+    positional-conv geometry, WavLM bucket table, conformer extras, and
+    the conv stack (``custom_conv_features`` when it isn't one of the
+    reference's two CONV_FEATURES stacks)."""
+    from audio8_tpu.config import CONV_FEATURES, AcousticConfig
+
+    topo = dict(topology if topology is not None else _hf_topology(cfg))
+    kw = dict(num_labels=cfg["vocab_size"], d_model=cfg["hidden_size"],
+              num_heads=cfg["num_attention_heads"],
+              num_layers=cfg["num_hidden_layers"],
+              d_ff=cfg["intermediate_size"],
+              dropout=0.0, attention_dropout=0.0,
+              timestep_masking=0.0, channel_masking=0.0)
+    if topo.get("pos_conv_depth", 1) > 1:  # data2vec stacked pos conv
+        kw["conv_pos_kernel"] = cfg.get("conv_pos_kernel_size", 19)
+    else:
+        kw["conv_pos_kernel"] = cfg.get("num_conv_pos_embeddings", 128)
+    kw["conv_pos_groups"] = cfg.get("num_conv_pos_embedding_groups", 16)
+    if topo.get("gated_rel_pos"):
+        kw["rel_pos_buckets"] = cfg.get("num_buckets", 320)
+        kw["rel_pos_max_distance"] = cfg.get("max_bucket_distance", 800)
+    if topo.get("encoder_type") == "conformer":
+        kw["conv_depthwise_kernel_size"] = cfg.get(
+            "conv_depthwise_kernel_size", 31)
+        kw["rotary_base"] = float(cfg.get("rotary_embedding_base", 10000))
+        kw["conformer_activation"] = cfg.get("hidden_act", "swish")
+    conv = tuple(zip(cfg.get("conv_dim", (512,) * 7),
+                     cfg.get("conv_kernel", (10, 3, 3, 3, 3, 2, 2)),
+                     cfg.get("conv_stride", (5, 2, 2, 2, 2, 2, 2))))
+    for sr, stack in CONV_FEATURES.items():
+        if conv == tuple(tuple(b) for b in stack):
+            kw["sample_rate"] = sr
+            break
+    else:
+        kw["custom_conv_features"] = conv
+    kw.update(topo)
+    kw.update(overrides)
+    return AcousticConfig(**kw)
+
+
 def is_hf_dir(path: str) -> bool:
     """True when ``path`` looks like a transformers save_pretrained dir."""
     return os.path.isdir(path) and os.path.exists(

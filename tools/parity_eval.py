@@ -58,6 +58,16 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", metavar="DIR",
                    help="generate a synthetic checkpoint+corpus in DIR and "
                         "run the full harness against it")
+    p.add_argument("--family", default="fairseq",
+                   choices=["fairseq", "wav2vec2", "wav2vec2_stable_ln",
+                            "hubert", "data2vec_audio", "wavlm",
+                            "conformer_rotary", "conformer_relative"],
+                   help="--synthetic model family: 'fairseq' (default) "
+                        "fabricates a fairseq wav2vec2 .pt; the rest build "
+                        "a tiny random HF model of that family "
+                        "(tools/make_golden_fixtures.families) and run the "
+                        "live-transformers-oracle --hf flow, so every zoo "
+                        "topology is checkable through this CLI eval path")
     p.add_argument("--json_out", help="write the report as JSON here")
     p.add_argument("--backend", default="cpu", choices=["cpu", "default"],
                    help="parity needs exact math: 'cpu' (default) forces "
@@ -67,12 +77,9 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_synthetic(outdir: str, d=64, h=4, l=2):
-    """Random fairseq-format CTC .pt + 6-utterance corpus."""
-    import torch
+def make_corpus(outdir: str):
+    """6-utterance synthetic letter corpus; returns the letter list."""
     from scipy.io import wavfile
-
-    from audio8_tpu.models.torch_ref import make_fairseq_state
 
     os.makedirs(os.path.join(outdir, "audio"), exist_ok=True)
     rng = np.random.default_rng(0)
@@ -90,7 +97,41 @@ def make_synthetic(outdir: str, d=64, h=4, l=2):
                           (rng.normal(size=n) * 5000).astype(np.int16))
             tf.write(f"u{i}.wav\t{n}\n")
             lf.write(" ".join(list(w.replace(" ", "|"))) + " |\n")
+    return letters
 
+
+def make_synthetic_hf(outdir: str, family: str):
+    """Tiny random HF model of ``family`` + corpus; returns the
+    save_pretrained dir for the --hf oracle flow."""
+    import torch
+
+    try:
+        from tools.make_golden_fixtures import families
+    except ImportError:  # invoked as `python tools/parity_eval.py`
+        from make_golden_fixtures import families
+
+    letters = make_corpus(outdir)
+    torch.manual_seed(0)
+    model = families(vocab_size=len(letters) + 4)[family]().eval()
+    with torch.no_grad():
+        # decisive head (like make_synthetic's): HF's 0.02-std init gives
+        # near-flat logits whose argmax flips on float noise — not what
+        # this harness measures
+        model.lm_head.weight.mul_(20.0)
+        model.lm_head.bias.normal_(0.0, 2.0)
+    hf_dir = os.path.join(outdir, "hf_model")
+    model.save_pretrained(hf_dir)
+    return hf_dir
+
+
+def make_synthetic(outdir: str, d=64, h=4, l=2):
+    """Random fairseq-format CTC .pt + 6-utterance corpus."""
+    import torch
+
+    from audio8_tpu.models.torch_ref import make_fairseq_state
+
+    letters = make_corpus(outdir)
+    rng = np.random.default_rng(0)
     state = make_fairseq_state(rng, d=d, h=h, l=l,
                                prefix="w2v_encoder.w2v_model.")
     v = len(letters) + 4  # specials
@@ -237,7 +278,10 @@ def main(argv=None):
     Offsets.remap_fairseq_ctc()
 
     if args.synthetic:
-        args.checkpoint = make_synthetic(args.synthetic)
+        if args.family == "fairseq":
+            args.checkpoint = make_synthetic(args.synthetic)
+        else:
+            args.hf = make_synthetic_hf(args.synthetic, args.family)
         args.root_dir = args.synthetic
         args.valid_dataset = "dev.tsv"
         args.num_heads = 4
@@ -254,6 +298,8 @@ def main(argv=None):
         # AutoModelForCTC resolves the family from config.json (Wav2Vec2,
         # HuBERT, Data2VecAudio, WavLM); the converter reports the matching
         # topology kwargs for our model
+        from audio8_tpu.models.convert_hf import acoustic_config_from_hf
+
         hf_model = transformers.AutoModelForCTC.from_pretrained(args.hf).eval()
         hc = hf_model.config
         params, report = load_hf_dir(args.hf, ctc=True)
@@ -266,17 +312,7 @@ def main(argv=None):
         logger.info("HF checkpoint dims: %s topology: %s", dims,
                     report["topology"])
         topo = dict(report["topology"])
-        if topo["pos_conv_depth"] > 1:
-            topo["conv_pos_kernel"] = getattr(hc, "conv_pos_kernel_size", 19)
-        if topo["gated_rel_pos"]:
-            topo["rel_pos_buckets"] = getattr(hc, "num_buckets", 320)
-            topo["rel_pos_max_distance"] = getattr(hc, "max_bucket_distance",
-                                                   800)
-        cfg = AcousticConfig(
-            num_labels=hc.vocab_size, sample_rate=args.sample_rate,
-            d_model=hc.hidden_size, num_heads=hc.num_attention_heads,
-            num_layers=hc.num_hidden_layers, d_ff=hc.intermediate_size,
-            dropout=0.0, timestep_masking=0.0, channel_masking=0.0, **topo)
+        cfg = acoustic_config_from_hf(hc.to_dict(), topo)
 
         def oracle(x, taps=None):
             with torch.no_grad():
