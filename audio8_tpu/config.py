@@ -194,6 +194,9 @@ class EncoderConfig:
     # softmax over bf16 logits when compute dtype is bf16 (+8% step
     # throughput measured on v5e; no effect under f32 compute).
     bf16_softmax: bool = True
+    # Q/K/V projections as one packed (d, 3d) GEMM at trace time (param
+    # tree unchanged; nn/transformer.MultiHeadAttention.packed_qkv).
+    packed_qkv: bool = False
     # Fused attention kernels (ops/pallas): None = XLA attention
     # (fastest measured end-to-end); True = whole-row fused core
     # (attention_kernel.py); "block" = projections-inside fused block

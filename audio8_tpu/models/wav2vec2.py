@@ -262,6 +262,7 @@ class AudioTransformerEncoder(nn.Module):
     flash_attention: bool = False
     fused_attention: object = None  # None | True (core) | "block"
     bf16_softmax: bool = True
+    packed_qkv: bool = False
     remat: bool = False
     sequence_parallel: bool = False
     moe_experts: int = 0
@@ -322,7 +323,8 @@ class AudioTransformerEncoder(nn.Module):
             activation="gelu", pre_norm=self.pre_norm,
             layer_drop=self.layer_drop, flash=self.flash_attention,
             fused_attention=self.fused_attention,
-            bf16_softmax=self.bf16_softmax, remat=self.remat,
+            bf16_softmax=self.bf16_softmax, packed_qkv=self.packed_qkv,
+            remat=self.remat,
             seq_shard=self.sequence_parallel,
             moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
@@ -408,7 +410,8 @@ class Wav2Vec2Encoder(nn.Module):
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             fused_attention=cfg.fused_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            bf16_softmax=cfg.bf16_softmax, packed_qkv=cfg.packed_qkv,
+            remat=cfg.remat,
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,
@@ -579,7 +582,8 @@ class Wav2Vec2Model(nn.Module):
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
             fused_attention=cfg.fused_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            bf16_softmax=cfg.bf16_softmax, packed_qkv=cfg.packed_qkv,
+            remat=cfg.remat,
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,

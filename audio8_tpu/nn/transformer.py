@@ -137,6 +137,13 @@ class MultiHeadAttention(nn.Module):
     # scale a shared bucketed position bias passed in as
     # ``position_bias`` (HF WavLMAttention steps 1-4)
     gated_rel_pos: bool = False
+    # Self-attention Q/K/V as ONE (d_model, 3*d_qk) GEMM: the kernels/
+    # biases of the three Dense submodules are concatenated at trace time
+    # (param tree unchanged — checkpoint/fairseq parity intact, the
+    # backward slices the packed dW). XLA does not merge independent
+    # GEMMs itself; one wide matmul amortizes the MXU invocation and
+    # reads the activations from HBM once instead of three times.
+    packed_qkv: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -346,9 +353,26 @@ class MultiHeadAttention(nn.Module):
         if blk is not None:
             return self._fused_block(query, blk, deterministic)
 
-        q = self._split(self.w_Q(query))
-        k = self._split(self.w_K(key))
-        v = self._split(self.w_V(value))
+        if (self.packed_qkv and query is key and key is value
+                and not self.is_initializing()):
+            pq, pk, pv = (m.variables["params"]
+                          for m in (self.w_Q, self.w_K, self.w_V))
+            if pq["kernel"].dtype == jnp.int8:  # quantized serving path
+                q, k, v = (self._split(m(query))
+                           for m in (self.w_Q, self.w_K, self.w_V))
+            else:
+                w = jnp.concatenate(
+                    [p["kernel"].astype(self.dtype) for p in (pq, pk, pv)],
+                    axis=1)
+                b = jnp.concatenate(
+                    [p["bias"].astype(self.dtype) for p in (pq, pk, pv)])
+                qkv = jnp.dot(query.astype(self.dtype), w) + b
+                q, k, v = (self._split(t)
+                           for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = self._split(self.w_Q(query))
+            k = self._split(self.w_K(key))
+            v = self._split(self.w_V(value))
 
         fused = (None if position_bias is not None
                  else self._fused_eligible(mask, cache, q.shape[2], k.shape[2]))
@@ -507,6 +531,7 @@ class TransformerEncoderLayer(nn.Module):
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
     gated_rel_pos: bool = False
+    packed_qkv: bool = False
     # Mixture-of-Experts FFN (nn/moe.py): >0 swaps the dense FFN for
     # moe_experts Switch/GShard experts
     moe_experts: int = 0
@@ -531,6 +556,7 @@ class TransformerEncoderLayer(nn.Module):
             bf16_softmax=self.bf16_softmax,
             fused_attention=self.fused_attention,
             gated_rel_pos=self.gated_rel_pos,
+            packed_qkv=self.packed_qkv,
             **dd,
         )
         if self.moe_experts > 0:
@@ -594,6 +620,7 @@ class TransformerEncoderStack(nn.Module):
     flash: bool = False
     bf16_softmax: bool = True
     fused_attention: Optional[bool] = None
+    packed_qkv: bool = False
     # WavLM: one bucketed RelativePositionBias shared by the stack,
     # gated per layer inside MultiHeadAttention
     gated_rel_pos: bool = False
@@ -648,6 +675,7 @@ class TransformerEncoderStack(nn.Module):
                 bf16_softmax=self.bf16_softmax,
                 fused_attention=self.fused_attention,
                 gated_rel_pos=self.gated_rel_pos,
+                packed_qkv=self.packed_qkv,
                 moe_experts=(self.moe_experts
                              if i % every == every - 1 else 0),
                 moe_top_k=self.moe_top_k,

@@ -357,7 +357,7 @@ def main():
                              "hubert", "transducer", "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("A8T_BENCH_BUDGET", 1500)),
+                    default=float(os.environ.get("A8T_BENCH_BUDGET", 2700)),
                     help="wall-clock budget (s) for the extra workloads in "
                          "'all' mode; the pretrain headline always runs and "
                          "the JSON line always prints")
