@@ -1,7 +1,8 @@
 """End-to-end run of the real-checkpoint parity harness on a synthetic
 fairseq .pt: conversion must consume every key, per-layer activation
 deltas must be at float-noise level, and the JAX eval pipeline's greedy
-WER/CER must equal the torch replica's on identical audio."""
+WER/CER must match the torch replica's on identical audio up to
+float-noise argmax ties (assert_decode_parity)."""
 import json
 import os
 import sys
@@ -10,6 +11,22 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def assert_decode_parity(report):
+    """Exact WER/CER equality is a theorem only when no greedy argmax
+    frame disagrees between the oracle and JAX forwards; a disagreement
+    is acceptable iff it is a float-noise tie — the oracle's top-2
+    margin at that frame within 2x the local log-prob delta (the
+    harness counts violations as 'unexplained')."""
+    diffs = report["argmax_diffs"]
+    assert diffs["unexplained"] == 0, diffs
+    if diffs["total"] == 0:
+        assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
+        assert report["wer"]["jax"]["cer"] == report["wer"]["torch"]["cer"]
+    # ties or not, the aggregate metrics must agree to well under a point
+    assert abs(report["wer"]["jax"]["wer"] - report["wer"]["torch"]["wer"]) < 0.5
+    assert abs(report["wer"]["jax"]["cer"] - report["wer"]["torch"]["cer"]) < 5.0
 
 
 @pytest.mark.slow
@@ -25,8 +42,7 @@ def test_parity_harness_synthetic(tmp_path):
     taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
     assert taps["log_probs"] < 1e-3
     assert all(v < 1e-3 for v in taps.values()), taps
-    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
-    assert report["wer"]["jax"]["cer"] == report["wer"]["torch"]["cer"]
+    assert_decode_parity(report)
 
 
 @pytest.mark.slow
@@ -77,7 +93,7 @@ def test_parity_harness_hf(tmp_path, stable_ln):
     assert report["ok"], report
     taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
     assert taps["log_probs"] < 1e-3
-    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
+    assert_decode_parity(report)
 
 @pytest.mark.slow
 @pytest.mark.parametrize("family", ["wavlm", "data2vec"])
@@ -129,7 +145,7 @@ def test_parity_harness_hf_families(tmp_path, family):
     assert report["ok"], report
     taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
     assert taps["log_probs"] < 1e-3
-    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
+    assert_decode_parity(report)
 
 
 @pytest.mark.slow
@@ -150,4 +166,4 @@ def test_parity_harness_synthetic_family(tmp_path, family):
     assert report["ok"], report
     taps = {d["tap"]: d["max_abs_delta"] for d in report["activation_deltas"]}
     assert taps["log_probs"] < 1e-3
-    assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
+    assert_decode_parity(report)

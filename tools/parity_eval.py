@@ -207,7 +207,10 @@ def activation_deltas(oracle, model, params, probes):
 def wer_side_by_side(oracle, model, params, valid_set, index2vocab,
                      valid_steps):
     """Greedy WER/CER, JAX pipeline vs the reference oracle, same audio
-    (B=1 rows so the no-padding oracle sees exact lengths)."""
+    (B=1 rows so the no-padding oracle sees exact lengths). Returns
+    (per-side metrics, argmax-disagreement stats): a disagreeing frame
+    is 'unexplained' unless the oracle's top-2 margin there is within
+    2x the local log-prob delta (float-noise tie)."""
     import jax
     import jax.numpy as jnp
 
@@ -220,6 +223,12 @@ def wer_side_by_side(oracle, model, params, valid_set, index2vocab,
         return lp, jnp.sum(pad_mask, axis=-1)
 
     acc = {"jax": [0, 0, 0, 0], "torch": [0, 0, 0, 0]}  # ce, ct, we, wt
+    # Greedy transcripts computed from log-probs that differ by at most
+    # dmax can only disagree at frames whose top-2 margin is < 2*dmax —
+    # a theorem, unlike exact metric equality (an argmax near-tie flips
+    # on float noise). Track every disagreeing frame and whether the
+    # local margin explains it.
+    diffs = {"total": 0, "unexplained": 0, "max_margin": 0.0}
     n = 0
     for batch in iter(valid_set):
         if n >= valid_steps:
@@ -249,11 +258,21 @@ def wer_side_by_side(oracle, model, params, valid_set, index2vocab,
                                np.asarray([fl_t]), index2vocab)
             for j, k in enumerate(["c_errors", "c_total", "w_errors", "w_total"]):
                 acc["torch"][j] += sm[k]
+            lpj = np.asarray(lp_j, np.float64)[0, :fl_t]
+            lpt = np.asarray(lp_t, np.float64)[0, :fl_t]
+            for f in np.nonzero(lpj.argmax(-1) != lpt.argmax(-1))[0]:
+                dmax = float(np.abs(lpj[f] - lpt[f]).max())
+                top2 = np.sort(lpt[f])[-2:]
+                margin = float(top2[1] - top2[0])
+                diffs["total"] += 1
+                diffs["max_margin"] = max(diffs["max_margin"], margin)
+                if margin > 2.0 * dmax + 1e-9:
+                    diffs["unexplained"] += 1
     out = {}
     for side, (ce, ct, we, wt) in acc.items():
         out[side] = {"cer": 100.0 * ce / max(ct, 1),
                      "wer": 100.0 * we / max(wt, 1), "utterances": n}
-    return out
+    return out, diffs
 
 
 def main(argv=None):
@@ -397,14 +416,19 @@ def main(argv=None):
                     d.get("note", ""))
 
     if valid_set is not None:
-        wers = wer_side_by_side(oracle, model, params, valid_set,
-                                index2vocab, args.valid_steps)
+        wers, diffs = wer_side_by_side(oracle, model, params, valid_set,
+                                       index2vocab, args.valid_steps)
         report_out["wer"] = wers
+        report_out["argmax_diffs"] = diffs
         logger.info("greedy WER side-by-side: %s", json.dumps(wers))
+        logger.info("frame argmax disagreements: %s (unexplained = margin "
+                    "beyond 2x the local log-prob delta)", json.dumps(diffs))
         dw = abs(wers["jax"]["wer"] - wers["torch"]["wer"])
         report_out["wer_delta"] = dw
 
     ok = np.isfinite(worst) and worst <= args.atol
+    if report_out.get("argmax_diffs", {}).get("unexplained", 0):
+        ok = False
     report_out["ok"] = bool(ok and report_out.get("wer_delta", 0.0) < 0.5)
     if args.json_out:
         with open(args.json_out, "w") as f:
