@@ -27,6 +27,7 @@ Structure map to the reference (for parity review):
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -648,6 +649,31 @@ def sample_negative_indices(
     return jnp.minimum(r, vc - 1).astype(jnp.int32)
 
 
+def _select_negatives(sims: jnp.ndarray, neg_idx: jnp.ndarray,
+                      mode: str) -> jnp.ndarray:
+    """Pick negative similarities sims[b, m, neg_idx[b, m, n]] -> (B, M, N).
+
+    mode="gather" is the direct formulation (take_along_axis). On TPU its
+    lane-axis gather lowers to a serialized per-element fusion and the
+    backward to a scatter-add — profiled at 3.2 + 2.2 ms/step at the
+    pretrain bench shape, the two largest non-matmul ops in the program
+    (docs/PERF.md round 3). mode="onehot" computes the same values as a
+    dense one-hot contraction: forward and backward are regular
+    broadcast-compare-multiply-reduce fusions the VPU streams at full
+    width. Each (b, m, n) row of the one-hot has exactly one nonzero, so
+    the contraction is *bit-exact* vs the gather (no reassociation: one
+    term per output), and the backward matches scatter-add semantics.
+    """
+    if mode == "gather":
+        return jnp.take_along_axis(sims, neg_idx, axis=2)
+    if mode == "onehot":
+        m = sims.shape[-1]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, m), 3)
+        oh = neg_idx[..., None] == slot  # (B, M, N, M) bool, fused
+        return jnp.sum(jnp.where(oh, sims[:, :, None, :], 0.0), axis=-1)
+    raise ValueError(f"unknown neg_lookup mode: {mode!r}")
+
+
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     # rsqrt of the CLAMPED squared norm: sqrt'(0) = inf makes the naive
     # sqrt-then-max form produce 0*inf = NaN gradients at exactly-zero
@@ -665,6 +691,7 @@ def wav2vec2_pretrain_loss(
     key: jax.Array,
     n_vars: int,
     n_negatives: int = 100,
+    neg_lookup: str | None = None,
 ):
     """InfoNCE + diversity loss (Wav2Vec2Loss, wav2vec2.py:371-396).
 
@@ -689,7 +716,9 @@ def wav2vec2_pretrain_loss(
     sims = jnp.einsum("bmc,bnc->bmn", c_hat, t_hat,
                       preferred_element_type=jnp.float32)  # (B, M, M)
     pos = jnp.diagonal(sims, axis1=1, axis2=2)  # (B, M)
-    negs = jnp.take_along_axis(sims, neg_idx, axis=2)  # (B, M, N) scalars
+    if neg_lookup is None:
+        neg_lookup = os.environ.get("A8T_NEG_LOOKUP", "onehot")
+    negs = _select_negatives(sims, neg_idx, neg_lookup)  # (B, M, N) scalars
     logits = jnp.concatenate([pos[..., None], negs], axis=2)  # (B, M, 1+N)
 
     logz = jax.nn.logsumexp(logits, axis=-1)

@@ -200,3 +200,27 @@ def test_pretrain_model_and_loss(rng):
     g = jax.grad(lf)(params)["params"]
     assert np.abs(np.asarray(g["quantizer"]["vars"])).sum() > 0
     assert np.abs(np.asarray(g["mask_emb"])).sum() > 0
+
+
+def test_neg_lookup_onehot_bit_exact_vs_gather(rng):
+    """_select_negatives("onehot") must be bit-exact with "gather" in value
+    AND gradient: each one-hot row has a single nonzero, so the contraction
+    has no reassociation (models/wav2vec2.py:_select_negatives)."""
+    from audio8_tpu.models.wav2vec2 import _select_negatives
+
+    B, M, N = 3, 29, 13
+    sims = jnp.asarray(rng.normal(size=(B, M, M)).astype(np.float32))
+    # include duplicate indices within a row (legal under sampling)
+    idx = jnp.asarray(rng.integers(0, M, size=(B, M, N)).astype(np.int32))
+    idx = idx.at[:, :, 1].set(idx[:, :, 0])
+
+    def f(s, mode):
+        return jnp.sum(jnp.sin(3.0 * _select_negatives(s, idx, mode)))
+
+    vg, gg = jax.value_and_grad(lambda s: f(s, "gather"))(sims)
+    vo, go = jax.value_and_grad(lambda s: f(s, "onehot"))(sims)
+    assert float(vg) == float(vo)
+    assert bool(jnp.all(gg == go))
+
+    with pytest.raises(ValueError):
+        _select_negatives(sims, idx, "nope")

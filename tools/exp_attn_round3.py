@@ -9,11 +9,15 @@ B=8 x 163,920 samples, T'=512, bf16) under attention-path variants:
                 reference recipe specifies 0.1)
   packed_nodrop both
 
-XLA flag variants must run in a fresh process (flags bind at backend
-init): pass them via XLA_FLAGS before invoking, e.g.
+XLA *TPU* flags cannot go through XLA_FLAGS here — the axon relay's
+client-side parser only knows the generic flag set and aborts on
+xla_tpu_* names. They CAN be forwarded per-compile via JAX's
+``compiler_options`` (CompileOptionsProto.env_option_overrides, which
+the terminal-side compiler parses and validates — a bogus name fails
+the remote compile loudly). Pass them as
 
-  XLA_FLAGS=--xla_tpu_enable_latency_hiding_scheduler=true \
-      python tools/exp_attn_round3.py base
+  python tools/exp_attn_round3.py base --copts \
+      xla_tpu_enable_latency_hiding_scheduler=true,xla_tpu_scoped_vmem_limit_kib=49152
 
 Prints one JSON line per variant with ms/step and audio-sec/sec/chip.
 """
@@ -46,7 +50,7 @@ VARIANTS = {
 }
 
 
-def run(name: str, n_steps: int = 20) -> dict:
+def run(name: str, n_steps: int = 20, copts: dict | None = None) -> dict:
     from audio8_tpu.config import PretrainConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
@@ -64,6 +68,15 @@ def run(name: str, n_steps: int = 20) -> dict:
     state = TrainState.create(params, tx)
     train_step, _ = make_pretrain_steps(model, tx, clip=1.0, n_negatives=100)
     keys = list(jax.random.split(jax.random.PRNGKey(7), n_steps + 1))
+    if copts:
+        # per-compile forwarding of terminal-side XLA flags (see docstring);
+        # the persistent cache keys on CompileOptionsProto, so each option
+        # set compiles fresh (visible in compile_s below)
+        tl = time.perf_counter()
+        train_step = train_step.lower(state, signal, keys[-1]).compile(
+            compiler_options=copts)
+        print(f"  lower+compile({copts}): "
+              f"{time.perf_counter() - tl:.1f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     state, metrics = train_step(state, signal, keys[-1])
     loss = float(np.asarray(metrics["loss"]))
@@ -85,13 +98,24 @@ def run(name: str, n_steps: int = 20) -> dict:
             "audio_sec_per_sec_per_chip": round(rtfx, 2),
             "windows_ms": [round(w / n_steps * 1000, 2) for w in windows],
             "loss": round(loss, 4), "compile_s": round(compile_s, 1),
+            "compiler_options": copts or {},
             "xla_flags": os.environ.get("XLA_FLAGS", "")}
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    args = sys.argv[1:]
+    copts = None
+    if "--copts" in args:
+        i = args.index("--copts")
+        copts = dict(kv.split("=", 1) for kv in args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    names = args or list(VARIANTS)
     for name in names:
-        print(json.dumps(run(name)), flush=True)
+        try:
+            print(json.dumps(run(name, copts=copts)), flush=True)
+        except Exception as e:  # a rejected flag fails one variant, not all
+            print(json.dumps({"variant": name, "error": str(e)[:300],
+                              "compiler_options": copts or {}}), flush=True)
 
 
 if __name__ == "__main__":
