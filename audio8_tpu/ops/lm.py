@@ -82,25 +82,25 @@ class ArpaLM:
 
     def logp(self, word: str, context: Tuple[str, ...]) -> float:
         """ln P(word | context) with standard backoff; OOV falls back to
-        <unk> or a -100 floor like kenlm."""
+        <unk> or a -100 floor like kenlm.
+
+        Backoff weights ACCUMULATE across every shortened context level
+        (P(w|a,b) missing twice = bo(a,b) + bo(b) + P(w)), matching the
+        C++ twin (csrc/arpa_lm.cc logp backoff_acc) and kenlm semantics.
+        """
         context = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        backoff_acc = 0.0
         while True:
             entry = self.ngrams.get(context + (word,))
             if entry is not None:
-                return entry[0]
+                return backoff_acc + entry[0]
             if not context:
                 unk = self.ngrams.get(("<unk>",))
-                return unk[0] if unk is not None else -100.0 * LOG10
+                return backoff_acc + (unk[0] if unk is not None else -100.0 * LOG10)
             bo = self.ngrams.get(context)
-            backoff = bo[1] if bo is not None else 0.0
+            if bo is not None:
+                backoff_acc += bo[1]
             context = context[1:]
-            entry = self.ngrams.get(context + (word,))
-            if entry is not None:
-                return backoff + entry[0]
-            if not context:
-                # apply accumulated backoff to unigram/unk
-                unk = self.ngrams.get((word,)) or self.ngrams.get(("<unk>",))
-                return backoff + (unk[0] if unk is not None else -100.0 * LOG10)
 
     def score_sequence(self, words: Sequence[str]) -> float:
         total = 0.0

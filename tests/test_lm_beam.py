@@ -82,6 +82,49 @@ def test_lm_fusion_steers_beam(tmp_path):
     assert any("CAS" in t.replace(" ", "") for t in texts)
 
 
+ARPA3 = """\\data\\
+ngram 1=4
+ngram 2=1
+ngram 3=1
+
+\\1-grams:
+-1.00000\tA\t-0.50000
+-1.00000\tB\t-0.40000
+-1.20000\tC
+-1.30103\t<unk>
+
+\\2-grams:
+-0.30000\tA B\t-0.20000
+
+\\3-grams:
+-0.10000\tA B A
+
+\\end\\
+"""
+
+
+def test_backoff_accumulates_across_levels(tmp_path):
+    """P(C | A, B): the trigram (A,B,C) and bigram (B,C) are both
+    missing, so BOTH backoff weights apply — bo(A,B) + bo(B) + P(C) —
+    kenlm semantics. A scorer that drops backoff accumulated before the
+    last shortening returns bo(B) + P(C) and fails this."""
+    f = tmp_path / "lm3.arpa"
+    f.write_text(ARPA3)
+    py = ArpaLM(str(f))
+    assert py.order == 3
+    want = (-0.2 + -0.4 + -1.2) * math.log(10)
+    np.testing.assert_allclose(py.logp("C", ("A", "B")), want, rtol=1e-6)
+    # OOV through two backoff levels: bo(A,B) + bo(B) + P(<unk>)
+    want_unk = (-0.2 + -0.4 + -1.30103) * math.log(10)
+    np.testing.assert_allclose(py.logp("Z", ("A", "B")), want_unk, rtol=1e-6)
+    native = pytest.importorskip("audio8_tpu.csrc.native")
+    cc = native.NativeArpaLM(str(f))
+    for word, ctx in [("C", ("A", "B")), ("Z", ("A", "B")), ("B", ("A",)),
+                      ("A", ("A", "B")), ("C", ("B",))]:
+        np.testing.assert_allclose(cc.logp(word, ctx), py.logp(word, ctx),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_native_arpa_lm_matches_python(tmp_path):
     native = pytest.importorskip("audio8_tpu.csrc.native")
     f = tmp_path / "lm.arpa"
