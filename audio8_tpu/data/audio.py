@@ -20,6 +20,8 @@ def _pcm_to_float(data: np.ndarray) -> np.ndarray:
         return data.astype(np.float32) / 2147483648.0
     if data.dtype == np.uint8:
         return (data.astype(np.float32) - 128.0) / 128.0
+    if data.dtype == np.int8:
+        return data.astype(np.float32) / 128.0
     return data.astype(np.float32)
 
 
@@ -94,7 +96,12 @@ def read_sphere(path: str) -> tuple[np.ndarray, int]:
     if "ulaw" in coding:
         data = _ulaw_decode(np.frombuffer(raw, np.uint8))
     else:
-        dt = np.dtype(np.int16 if sample_bytes == 2 else np.int32)
+        widths = {1: np.int8, 2: np.int16, 4: np.int32}
+        if sample_bytes not in widths:
+            raise ValueError(
+                f"{path!r}: unsupported SPHERE sample_n_bytes="
+                f"{sample_bytes} (supported: 1, 2, 4)")
+        dt = np.dtype(widths[sample_bytes])
         dt = dt.newbyteorder("<" if byte_fmt == "01" else ">")
         data = np.frombuffer(raw[: (len(raw) // dt.itemsize) * dt.itemsize],
                              dt)

@@ -71,7 +71,8 @@ class HubertPretrainModel(nn.Module):
             conformer_activation=cfg.conformer_activation,
             layer_drop=cfg.layer_drop, pre_norm=cfg.pre_norm,
             flash_attention=cfg.flash_attention,
-            bf16_softmax=cfg.bf16_softmax, remat=cfg.remat,
+            bf16_softmax=cfg.bf16_softmax, packed_qkv=cfg.packed_qkv,
+            remat=cfg.remat,
             sequence_parallel=cfg.sequence_parallel,
             moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
             moe_capacity_factor=cfg.moe_capacity_factor,

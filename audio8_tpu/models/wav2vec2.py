@@ -674,6 +674,26 @@ def _select_negatives(sims: jnp.ndarray, neg_idx: jnp.ndarray,
     raise ValueError(f"unknown neg_lookup mode: {mode!r}")
 
 
+# Captured ONCE at import so a mutated environment can't silently change
+# the compiled program between retraces; pass neg_lookup= explicitly to
+# override per-call.
+_NEG_LOOKUP_ENV = os.environ.get("A8T_NEG_LOOKUP")
+
+
+def _default_neg_lookup() -> str:
+    """onehot on TPU (where the lane-axis gather serializes — see
+    _select_negatives), gather elsewhere: on CPU/GPU take_along_axis is a
+    native gather and the dense (B, M, N, M) contraction would do O(M)
+    times the work."""
+    if _NEG_LOOKUP_ENV is not None:
+        return _NEG_LOOKUP_ENV
+    dev = jax.devices()[0]
+    # platform is "tpu" natively but e.g. "axon" through the TPU relay;
+    # device_kind ("TPU v5 lite") identifies the hardware either way
+    is_tpu = "tpu" in f"{dev.platform} {dev.device_kind}".lower()
+    return "onehot" if is_tpu else "gather"
+
+
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     # rsqrt of the CLAMPED squared norm: sqrt'(0) = inf makes the naive
     # sqrt-then-max form produce 0*inf = NaN gradients at exactly-zero
@@ -717,7 +737,7 @@ def wav2vec2_pretrain_loss(
                       preferred_element_type=jnp.float32)  # (B, M, M)
     pos = jnp.diagonal(sims, axis1=1, axis2=2)  # (B, M)
     if neg_lookup is None:
-        neg_lookup = os.environ.get("A8T_NEG_LOOKUP", "onehot")
+        neg_lookup = _default_neg_lookup()
     negs = _select_negatives(sims, neg_idx, neg_lookup)  # (B, M, N) scalars
     logits = jnp.concatenate([pos[..., None], negs], axis=2)  # (B, M, 1+N)
 

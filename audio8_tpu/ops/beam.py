@@ -63,19 +63,23 @@ def _kenlm_lm(lm_file: str):  # pragma: no cover - kenlm absent here
 
 
 def _load_lm(lm_file: str):
-    """Prefer the native C++ ARPA LM; fall back to kenlm (if installed) or
-    the pure-Python ARPA reader (audio8_tpu.ops.lm). KenLM *binary*
-    models load only through kenlm itself; without it they fail
-    actionably (ops/lm.ensure_arpa) instead of garbled-parsing as ARPA
-    text — the reference consumes them via ctcdecode's bundled kenlm
+    """Route by format: ARPA text (optionally gzipped) always loads
+    through our own readers — native C++ first, pure-Python fallback —
+    even when kenlm is installed (kenlm's stricter parser rejects files
+    ours accept, e.g. gzipped ARPA). KenLM *binary* models load only
+    through kenlm itself; without it they fail actionably
+    (ops/lm.ensure_arpa) instead of garbled-parsing as ARPA text — the
+    reference consumes them via ctcdecode's bundled kenlm
     (/root/reference/audio8/ctc.py:22-30)."""
     from audio8_tpu.ops.lm import ensure_arpa
 
     try:
-        return _kenlm_lm(lm_file)
-    except ImportError:
-        pass
-    ensure_arpa(lm_file)
+        ensure_arpa(lm_file)
+    except ValueError as binary_err:
+        try:
+            return _kenlm_lm(lm_file)
+        except ImportError:
+            raise binary_err from None
     try:
         from audio8_tpu.csrc import native
 

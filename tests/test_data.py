@@ -60,10 +60,13 @@ def test_read_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(wav, data.astype(np.float32) / 32768.0)
 
 
-def _write_sphere(path, data, sr=16000, coding="pcm", byte_fmt="01"):
+def _write_sphere(path, data, sr=16000, coding="pcm", byte_fmt="01",
+                  sample_bytes=None):
     """Minimal NIST SPHERE writer for test fixtures."""
+    if sample_bytes is None:
+        sample_bytes = 1 if "ulaw" in coding else 2
     hdr = (f"NIST_1A\n   1024\nsample_rate -i {sr}\nchannel_count -i 1\n"
-           f"sample_n_bytes -i {1 if 'ulaw' in coding else 2}\n"
+           f"sample_n_bytes -i {sample_bytes}\n"
            f"sample_coding -s{len(coding)} {coding}\n"
            f"sample_byte_format -s{len(byte_fmt)} {byte_fmt}\nend_head\n")
     with open(path, "wb") as f:
@@ -90,6 +93,29 @@ def test_read_sphere_pcm(tmp_path):
     # shorten-compressed: actionable error
     _write_sphere(p, pcm, coding="pcm,embedded-shorten-v2.00")
     with pytest.raises(ValueError, match="sph2pipe"):
+        read_sphere(p)
+
+
+def test_read_sphere_pcm_widths(tmp_path):
+    """1-byte linear PCM decodes as int8 (not garbage int32); unsupported
+    widths fail actionably."""
+    from audio8_tpu.data.audio import read_sphere
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "w.sph")
+    pcm8 = (rng.normal(size=300) * 60).astype(np.int8)
+    _write_sphere(p, pcm8, sample_bytes=1)
+    wav, sr = read_sphere(p)
+    assert wav.shape == (300,)
+    np.testing.assert_allclose(wav, pcm8.astype(np.float32) / 128.0)
+
+    pcm32 = (rng.normal(size=200) * 2**25).astype("<i4")
+    _write_sphere(p, pcm32, sample_bytes=4)
+    wav32, _ = read_sphere(p)
+    np.testing.assert_allclose(wav32, pcm32.astype(np.float32) / 2**31)
+
+    _write_sphere(p, pcm8, sample_bytes=3)
+    with pytest.raises(ValueError, match="sample_n_bytes"):
         read_sphere(p)
 
 

@@ -52,6 +52,40 @@ def test_packed_qkv_cross_attention_falls_back():
         np.asarray(base.apply({"params": params}, q, kv, kv)), atol=1e-6)
 
 
+def test_packed_qkv_reaches_hubert_and_data2vec():
+    """The flag must thread through EVERY encoder owner, not silently
+    no-op: with packed_qkv=True, hubert/data2vec forwards still match the
+    unpacked forward bit-for-bit on the same params (proving the packed
+    code path actually engaged AND is numerically identical)."""
+    from audio8_tpu.config import Data2VecPretrainConfig, HubertPretrainConfig
+    from audio8_tpu.models.data2vec import Data2VecAudioModel
+    from audio8_tpu.models.hubert import HubertPretrainModel
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 4000)),
+                    jnp.float32)
+    lens = jnp.asarray([4000, 3000], jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    for cls, cfg_cls, outs in [
+            (HubertPretrainModel, HubertPretrainConfig, 3),
+            (Data2VecAudioModel, Data2VecPretrainConfig, 3)]:
+        kw = dict(d_model=32, num_heads=2, num_layers=1, d_ff=64, dropout=0.0)
+        if cfg_cls is HubertPretrainConfig:
+            kw.update(num_clusters=12, final_dim=16)
+        base = cls(config=cfg_cls(**kw))
+        packed = cls(config=cfg_cls(packed_qkv=True, **kw))
+        params = base.init(rngs, x, lens)["params"]
+        assert jax.tree_util.tree_structure(
+            packed.init(rngs, x, lens)["params"]) == \
+            jax.tree_util.tree_structure(params)
+        # same mask RNG on both sides -> identical span masks, so the
+        # only difference can come from the attention projection path
+        mk = {"mask": jax.random.PRNGKey(7)}
+        a = base.apply({"params": params}, x, lens, rngs=mk)
+        b = packed.apply({"params": params}, x, lens, rngs=mk)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=1e-6, err_msg=cls.__name__)
+
+
 def test_packed_qkv_full_model_parity():
     cfgs = [AcousticConfig(num_labels=12, d_model=64, num_heads=4,
                            num_layers=2, d_ff=128, dropout=0.0,

@@ -18,15 +18,21 @@ def assert_decode_parity(report):
     frame disagrees between the oracle and JAX forwards; a disagreement
     is acceptable iff it is a float-noise tie — the oracle's top-2
     margin at that frame within 2x the local log-prob delta (the
-    harness counts violations as 'unexplained')."""
+    harness counts violations as 'unexplained'). With ties, the bound is
+    also a theorem: each flipped frame changes the collapsed hyp by at
+    most 2 edits at either level (a mid-run flip splits a run,
+    "AAA"->"ABA"), so the aggregate metric moves at most
+    200 * flips / ref_total points."""
     diffs = report["argmax_diffs"]
     assert diffs["unexplained"] == 0, diffs
+    jax_m, torch_m = report["wer"]["jax"], report["wer"]["torch"]
     if diffs["total"] == 0:
-        assert report["wer"]["jax"]["wer"] == report["wer"]["torch"]["wer"]
-        assert report["wer"]["jax"]["cer"] == report["wer"]["torch"]["cer"]
-    # ties or not, the aggregate metrics must agree to well under a point
-    assert abs(report["wer"]["jax"]["wer"] - report["wer"]["torch"]["wer"]) < 0.5
-    assert abs(report["wer"]["jax"]["cer"] - report["wer"]["torch"]["cer"]) < 5.0
+        assert jax_m["wer"] == torch_m["wer"]
+        assert jax_m["cer"] == torch_m["cer"]
+    wer_bound = 200.0 * diffs["total"] / max(jax_m["ref_words"], 1) + 1e-9
+    cer_bound = 200.0 * diffs["total"] / max(jax_m["ref_chars"], 1) + 1e-9
+    assert abs(jax_m["wer"] - torch_m["wer"]) <= wer_bound, (report["wer"], diffs)
+    assert abs(jax_m["cer"] - torch_m["cer"]) <= cer_bound, (report["wer"], diffs)
 
 
 @pytest.mark.slow

@@ -53,7 +53,14 @@ def main():
             ds = AudioFileDataset(tsv, max_length=163_920,
                                   target_tokens_per_batch=163_920 * 8)
             loader = PrefetchLoader(ds, num_workers=workers, prefetch=4)
-            loader.num_workers = workers  # report the asked-for count
+            if loader.num_workers != workers:
+                # the loader clamps to cpu_count; measuring an unclamped
+                # pool would report rates real training can't reach
+                print(json.dumps({"num_workers": workers,
+                                  "clamped_to": loader.num_workers,
+                                  "skipped": "exceeds cpu_count"}),
+                      flush=True)
+                continue
             it = iter(loader)
             for _ in range(3):  # warm the pool + page cache
                 next(it)

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     for mode in ("gather", "onehot"):
-        os.environ["A8T_NEG_LOOKUP"] = mode  # read at trace time
+        # the env var is captured ONCE at wav2vec2 import (so mutated
+        # environments can't silently change compiled programs); for the
+        # in-process A/B, override the captured value directly
+        import audio8_tpu.models.wav2vec2 as w2v
+        w2v._NEG_LOOKUP_ENV = mode
         print(f"--- {mode}", file=sys.stderr, flush=True)
         from exp_attn_round3 import run
         try:
