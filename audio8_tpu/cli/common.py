@@ -368,6 +368,13 @@ def add_common_model_args(parser):
                         help="ZeRO-1: shard AdamW moments over the 'data' "
                              "mesh axis (params stay per the TP/DP rules); "
                              "cuts optimizer HBM by the DP extent")
+    parser.add_argument("--fsdp", type=str2bool, default=False,
+                        help="fully-sharded data parallelism (ZeRO-3): "
+                             "params AND AdamW moments shard over the "
+                             "'data' mesh axis; XLA all-gathers each "
+                             "layer's params before use and reduce-"
+                             "scatters its grads. Composes with "
+                             "--tensor_parallel; implies --zero1")
     parser.add_argument("--sequence_parallel", type=str2bool, default=False,
                         help="Megatron-SP: shard the frame axis of the "
                              "residual stream over the 'model' mesh axis "

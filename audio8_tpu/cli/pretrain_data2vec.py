@@ -129,7 +129,7 @@ def train(argv=None):
         restart_tt=args.restart_tt, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
-    state = shard_state(state, mesh, rules, zero1=args.zero1)
+    state = shard_state(state, mesh, rules, zero1=args.zero1, fsdp=args.fsdp)
 
     # teacher: restored from the sibling teacher checkpoint on restart,
     # else initialized as a COPY of the student (the train step donates

@@ -186,7 +186,7 @@ def train(argv=None):
         args.restart_from, init_params, template, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(init_params, tx, step=global_step)
-    state = shard_state(state, mesh, rules, zero1=args.zero1)
+    state = shard_state(state, mesh, rules, zero1=args.zero1, fsdp=args.fsdp)
 
     grad_fn, update_fn, eval_fn = make_paired_steps(model, loss_module, tx,
                                                     clip=args.clip)

@@ -131,9 +131,9 @@ def train(argv=None):
             raise ValueError("--pipeline_parallel requires --grad_accum 1 "
                              "and --unfreeze_enc_after_step -1 (the "
                              "pipelined step always trains the stack)")
-        if args.zero1 or args.sequence_parallel:
-            raise ValueError("--pipeline_parallel excludes --zero1 and "
-                             "--sequence_parallel")
+        if args.zero1 or args.fsdp or args.sequence_parallel:
+            raise ValueError("--pipeline_parallel excludes --zero1, "
+                             "--fsdp and --sequence_parallel")
     mesh, rules, batch_multiple, row_shard = setup_parallelism(
         args.tensor_parallel, args.pipeline_parallel, args.pp_microbatches)
 
@@ -217,7 +217,7 @@ def train(argv=None):
         state = TrainState.create(params, tx, step=global_step)
     # place params + optimizer state on the mesh (replicated under pure DP,
     # Megatron-split under TP); every step below runs through the mesh
-    state = shard_state(state, mesh, rules, zero1=args.zero1)
+    state = shard_state(state, mesh, rules, zero1=args.zero1, fsdp=args.fsdp)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 

@@ -190,7 +190,7 @@ def train(argv=None):
         restart_tt=args.restart_tt, **topology_kwargs(args))
     if state is None:
         state = TrainState.create(params, tx, step=global_step)
-    state = shard_state(state, mesh, rules, zero1=args.zero1)
+    state = shard_state(state, mesh, rules, zero1=args.zero1, fsdp=args.fsdp)
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(state.params))
     logger.info("Model has %s parameters", f"{int(n_params):,}")
 

@@ -176,15 +176,46 @@ def zero1_shardings(state: Any, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(one, state)
 
 
+def fsdp_shardings(state: Any, mesh: Mesh,
+                   rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
+    """Sharding tree for fully-sharded data parallelism (ZeRO-3): EVERY
+    weight leaf — params and AdamW moments alike — keeps its rule spec
+    (Megatron 'model' split under TP) and additionally shards over 'data'
+    on the first free axis the extent divides; scalars and tiny leaves
+    stay replicated.
+
+    This is FSDP the SPMD way: no wrapper classes or manual
+    gather/scatter hooks (torch FSDP's machinery) — the annotation alone
+    makes XLA all-gather each layer's params over ICI right before use,
+    reduce-scatter its gradients, and run the optimizer update on the
+    shard. Per-chip HBM for weights+grads+moments drops by the 'data'
+    extent, the compute cost is one all-gather per layer per step that
+    overlaps with the previous layer's compute (XLA's latency-hiding
+    scheduler), and checkpoint save/restore is unchanged
+    (train/checkpoint.py host-gathers via ``to_host``). The reference
+    has no equivalent (plain DDP replicates everything,
+    /root/reference/audio8/train.py:266-268)."""
+
+    def one(path, leaf):
+        spec = _spec_for(_path_str(path), rules)
+        return NamedSharding(mesh, zero1_spec(leaf, mesh, base=spec))
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
 def shard_state(state: Any, mesh: Mesh,
                 rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES,
-                zero1: bool = False) -> Any:
+                zero1: bool = False, fsdp: bool = False) -> Any:
     """Place a full TrainState (params + optimizer moments + step) onto the
     mesh. The path rules match optimizer-moment leaves too because their
     paths end with the same param path (``.*`` rule prefixes), so TP moments
     shard like their params; scalars fall back to replication. With
     ``zero1=True`` the AdamW moments additionally shard over 'data'
-    (see zero1_shardings)."""
+    (see zero1_shardings); with ``fsdp=True`` params shard too (ZeRO-3,
+    see fsdp_shardings — implies zero1)."""
+    if fsdp:
+        shardings = fsdp_shardings(state, mesh, rules)
+        return jax.tree_util.tree_map(jax.device_put, state, shardings)
     if zero1:
         shardings = zero1_shardings(state, mesh, rules)
         return jax.tree_util.tree_map(jax.device_put, state, shardings)

@@ -124,6 +124,59 @@ def test_driver_tensor_parallel_matches_single_device(tmp_path):
 
 
 @pytest.mark.slow
+def test_driver_fsdp_matches_single_device(tmp_path):
+    """`--fsdp` (ZeRO-3: params + moments sharded over 'data') through the
+    REAL cli.train loop must reproduce single-device numerics — the
+    annotation changes where weights live and which collectives XLA
+    inserts (all-gather at use, reduce-scatter of grads), not the math."""
+    corpus = make_corpus(tmp_path)
+    _run_train(tmp_path / "run1", corpus, 1)
+    _run_train(tmp_path / "run8f", corpus, 8, extra=["--fsdp", "true"])
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    s1 = ckptr.restore(str(tmp_path / "run1" / "checkpoint-step-4"))
+    sf = ckptr.restore(str(tmp_path / "run8f" / "checkpoint-step-4"))
+    leaves1, tree1 = __import__("jax").tree_util.tree_flatten(s1["params"])
+    leavesf, treef = __import__("jax").tree_util.tree_flatten(sf["params"])
+    assert tree1 == treef
+    for l1, lf in zip(leaves1, leavesf):
+        np.testing.assert_allclose(l1, lf, rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_shardings_specs():
+    """Every divisible weight leaf carries 'data'; scalars stay replicated;
+    under TP the Megatron axis is preserved and 'data' lands on a free
+    axis."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from audio8_tpu.parallel.sharding import (TP_RULES, fsdp_shardings,
+                                              make_mesh)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    state = {
+        "params": {
+            "encoder_0": {"self_attn": {"w_Q": {
+                "kernel": np.zeros((64, 64), np.float32)}}},
+            "proj": {"bias": np.zeros((64,), np.float32)},
+            "tiny": {"w": np.zeros((3,), np.float32)},
+        },
+        "step": np.zeros((), np.int32),
+    }
+    sh = fsdp_shardings(state, mesh, TP_RULES)
+    # Megatron axis kept on the out dim, 'data' added on the free in dim
+    assert sh["params"]["encoder_0"]["self_attn"]["w_Q"]["kernel"].spec == \
+        P("data", "model")
+    assert sh["params"]["proj"]["bias"].spec == P("data")
+    # 3 not divisible by 4 -> replicated; scalar step replicated
+    assert sh["params"]["tiny"]["w"].spec == P(None)
+    assert sh["step"].spec == P()
+
+
+@pytest.mark.slow
 def test_driver_pipeline_parallel_matches_single_device(tmp_path):
     """`--pipeline_parallel 4 --pp_microbatches 2` through the REAL
     cli.train loop on a ('pipe' 4 x 'data' 2) mesh must reproduce
