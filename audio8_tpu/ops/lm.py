@@ -41,7 +41,9 @@ def ensure_arpa(path: str) -> None:
             "framework does not load — use the ARPA text file the binary "
             "was built from (kenlm's build_binary consumes ARPA; lmplz "
             "emits it). ARPA may be gzipped. If only the binary remains, "
-            "regenerate with: lmplz -o <order> < corpus.txt > lm.arpa")
+            "regenerate with: lmplz -o <order> < corpus.txt > lm.arpa, "
+            "or estimate in-package: a8t-train-ngram --input corpus.txt "
+            "--output lm.arpa --order <order>")
 
 
 class ArpaLM:
