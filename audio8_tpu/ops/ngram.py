@@ -37,7 +37,17 @@ def count_ngrams(sentences: Iterable[Sequence[str]], order: int,
     ``<s> w1..wn </s>``; k-grams never span sentences and never *end*
     with <s> (it is only ever context)."""
     counts: List[Counter] = [Counter() for _ in range(order)]
+    reserved = {BOS, EOS, UNK}
     for sent in sentences:
+        bad = reserved.intersection(sent)
+        if bad:
+            # conflating corpus tokens with the sentence markers silently
+            # corrupts the model (e.g. a literal </s> inflates
+            # end-of-sentence mass); error loudly like lmplz does
+            raise ValueError(
+                f"corpus contains reserved token(s) {sorted(bad)}; "
+                "remove or rename them (<s>, </s>, <unk> are the "
+                "sentence/OOV markers)")
         toks = [BOS] + list(sent) + [EOS]
         n = len(toks)
         for k in range(1, order + 1):
@@ -60,12 +70,8 @@ def adjusted_counts(raw: List[Counter]) -> List[Counter]:
     adj[order - 1] = Counter(raw[order - 1])
     for k in range(order - 1, 0, -1):  # fill order k from raw order k+1
         ak = adj[k - 1]
-        seen = set()
-        for g in raw[k]:
-            suffix = g[1:]
-            if g not in seen:
-                seen.add(g)
-                ak[suffix] += 1
+        for g in raw[k]:  # Counter keys are distinct (k+1)-grams
+            ak[g[1:]] += 1
         # grams whose left context never varies keep raw counts
         for g, c in raw[k - 1].items():
             if g[0] == BOS or g not in ak:
@@ -180,17 +186,10 @@ def train_kneser_ney(sentences: Iterable[Sequence[str]], order: int = 3,
     gammas[0][()] = gamma1
 
     def p_lower(g: Gram) -> float:
-        """Interpolated lower-order probability with recursive backoff
-        for suffixes the model never counted."""
-        for k in range(len(g), 0, -1):
-            sub = g[-k:]
-            if sub in p[k - 1]:
-                if k == len(g):
-                    return p[k - 1][sub]
-                # unseen at this length but seen shorter: backoff weights
-                # of the unseen intermediate contexts are 1 (not stored)
-                return p[k - 1][sub]
-        return gamma1 * uniform
+        """Interpolated lower-order probability. Always a direct hit:
+        every suffix of a counted gram is itself counted (continuation
+        or raw), so the interpolation never needs a backoff path."""
+        return p[len(g) - 1][g]
 
     for k in range(1, order):
         dk = disc[k]
@@ -220,14 +219,10 @@ def train_kneser_ney(sentences: Iterable[Sequence[str]], order: int = 3,
     # longer stored gram (ARPA omission means backoff 1.0)
     for k in range(1, order):
         for ctx, gamma in gammas[k].items():
-            if ctx and ctx in lm.prob or ctx == (BOS,):
-                lm.backoff[ctx] = l10(gamma)
-        # contexts that are themselves unstored (e.g. (<s>,) before any
-        # unigram pass) still need entries for their backoff to apply
-        for ctx in gammas[k]:
-            if ctx and ctx not in lm.prob:
-                lm.prob[ctx] = -99.0
-                lm.backoff[ctx] = l10(gammas[k][ctx])
+            # every context is already stored: contexts are counted grams
+            # (prefix of an occurrence) except (<s>,), whose -99 entry was
+            # added above
+            lm.backoff[ctx] = l10(gamma)
     return lm
 
 

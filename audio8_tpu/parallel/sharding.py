@@ -152,6 +152,23 @@ def zero1_spec(leaf, mesh: Mesh, base: Optional[P] = None) -> P:
     return P(*fixed)
 
 
+def _state_shardings(state: Any, mesh: Mesh,
+                     rules: Sequence[Tuple[str, P]],
+                     data_shards_leaf) -> Any:
+    """Shared builder for ZeRO-1/FSDP sharding trees: leaves selected by
+    ``data_shards_leaf(path_str)`` get their rule spec + 'data' on the
+    first divisible free axis (zero1_spec); the rest follow the rules."""
+
+    def one(path, leaf):
+        pstr = _path_str(path)
+        spec = _spec_for(pstr, rules)
+        if data_shards_leaf(pstr):
+            return NamedSharding(mesh, zero1_spec(leaf, mesh, base=spec))
+        return NamedSharding(mesh, P(*_fixed_spec(leaf, spec, mesh)))
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
 def zero1_shardings(state: Any, mesh: Mesh,
                     rules: Sequence[Tuple[str, P]] = DP_ONLY_RULES) -> Any:
     """Sharding tree for a TrainState with ZeRO-1 optimizer-state
@@ -164,16 +181,7 @@ def zero1_shardings(state: Any, mesh: Mesh,
     into a reduce-scattered/sharded AdamW step followed by an all-gather of
     the param deltas over ICI — moments never materialize replicated, a
     ~2/3 cut of optimizer HBM at wav2vec2-base scale."""
-
-    def one(path, leaf):
-        pstr = _path_str(path)
-        spec = _spec_for(pstr, rules)
-        if _MOMENT_RE.search(pstr):
-            # moments keep the param's rule spec (TP split) + 'data'
-            return NamedSharding(mesh, zero1_spec(leaf, mesh, base=spec))
-        return NamedSharding(mesh, P(*_fixed_spec(leaf, spec, mesh)))
-
-    return jax.tree_util.tree_map_with_path(one, state)
+    return _state_shardings(state, mesh, rules, _MOMENT_RE.search)
 
 
 def fsdp_shardings(state: Any, mesh: Mesh,
@@ -195,12 +203,7 @@ def fsdp_shardings(state: Any, mesh: Mesh,
     (train/checkpoint.py host-gathers via ``to_host``). The reference
     has no equivalent (plain DDP replicates everything,
     /root/reference/audio8/train.py:266-268)."""
-
-    def one(path, leaf):
-        spec = _spec_for(_path_str(path), rules)
-        return NamedSharding(mesh, zero1_spec(leaf, mesh, base=spec))
-
-    return jax.tree_util.tree_map_with_path(one, state)
+    return _state_shardings(state, mesh, rules, lambda _: True)
 
 
 def shard_state(state: Any, mesh: Mesh,

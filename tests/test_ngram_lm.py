@@ -156,6 +156,14 @@ def test_empty_corpus_errors():
         train_kneser_ney([], 3)
 
 
+def test_reserved_tokens_rejected():
+    """Literal <s>/</s>/<unk> in the corpus must error loudly (lmplz
+    behavior), not silently conflate with the sentence/OOV markers."""
+    for tok in (BOS, EOS, UNK):
+        with pytest.raises(ValueError, match="reserved"):
+            train_kneser_ney([["A", tok, "B"]], 2)
+
+
 def test_deterministic_output(tmp_path):
     sents = _corpus(seed=3)
     _, p1 = _train_to_arpa(tmp_path, sents, 3)
