@@ -66,20 +66,24 @@ def _load_lm(lm_file: str):
     """Route by format: ARPA text (optionally gzipped) always loads
     through our own readers — native C++ first, pure-Python fallback —
     even when kenlm is installed (kenlm's stricter parser rejects files
-    ours accept, e.g. gzipped ARPA). KenLM *binary* models load only
-    through kenlm itself; without it they fail actionably
-    (ops/lm.ensure_arpa) instead of garbled-parsing as ARPA text — the
-    reference consumes them via ctcdecode's bundled kenlm
+    ours accept, e.g. gzipped ARPA). KenLM *binary* models load through
+    kenlm itself when installed (bit-exact), else through our own
+    PROBING-format reader (ops/kenlm_bin.py); unsupported binary
+    subtypes (trie/quantized) fail with the ARPA-conversion recipe
+    instead of garbled-parsing as ARPA text — the reference consumes
+    them via ctcdecode's bundled kenlm
     (/root/reference/audio8/ctc.py:22-30)."""
     from audio8_tpu.ops.lm import ensure_arpa
 
     try:
         ensure_arpa(lm_file)
-    except ValueError as binary_err:
+    except ValueError:
         try:
             return _kenlm_lm(lm_file)
         except ImportError:
-            raise binary_err from None
+            from audio8_tpu.ops.kenlm_bin import KenLMBinaryLM
+
+            return KenLMBinaryLM(lm_file)
     try:
         from audio8_tpu.csrc import native
 

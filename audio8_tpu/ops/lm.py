@@ -18,17 +18,16 @@ LOG10 = math.log(10.0)
 # Every KenLM binary (probing or trie, any version) starts with this
 # sanity-header magic (kenlm lm/binary_format.cc kMagicBeforeVersion).
 # The reference hands such files to ctcdecode's bundled kenlm
-# (/root/reference/audio8/ctc.py:22-30); this environment has no kenlm
-# to differential-test a from-scratch binary reader against, so rather
-# than risk silently wrong LM scores we detect the format and fail with
-# the conversion path (docs/PARITY.md "KenLM binary" note).
+# (/root/reference/audio8/ctc.py:22-30); PROBING binaries load through
+# ops/kenlm_bin.KenLMBinaryLM, this text reader handles ARPA only.
 KENLM_BINARY_MAGIC = b"mmap lm http://kheafield.com/code format version"
 
 
 def ensure_arpa(path: str) -> None:
-    """Raise an actionable error if ``path`` is a KenLM *binary* model
-    rather than ARPA text (otherwise a binary file would garbled-parse
-    as ARPA with no useful error)."""
+    """Raise if ``path`` is a KenLM *binary* model rather than ARPA text
+    (otherwise a binary file would garbled-parse as ARPA with no useful
+    error). Callers that support binaries catch this and route to
+    ``ops.kenlm_bin.KenLMBinaryLM`` (see ops/beam._load_lm)."""
     opener = gzip.open if path.endswith(".gz") else open
     try:
         with opener(path, "rb") as f:
@@ -37,13 +36,13 @@ def ensure_arpa(path: str) -> None:
         return  # let the real reader produce its own error
     if head == KENLM_BINARY_MAGIC:
         raise ValueError(
-            f"{path} is a KenLM binary model (probing/trie), which this "
-            "framework does not load — use the ARPA text file the binary "
-            "was built from (kenlm's build_binary consumes ARPA; lmplz "
-            "emits it). ARPA may be gzipped. If only the binary remains, "
-            "regenerate with: lmplz -o <order> < corpus.txt > lm.arpa, "
-            "or estimate in-package: a8t-train-ngram --input corpus.txt "
-            "--output lm.arpa --order <order>")
+            f"{path} is a KenLM binary model, not ARPA text. PROBING "
+            "binaries load via audio8_tpu.ops.kenlm_bin.KenLMBinaryLM "
+            "(PrefixBeamSearch routes there automatically); trie/"
+            "quantized binaries need the original ARPA (lmplz emits it; "
+            "ARPA may be gzipped), a rebuild without the 'trie' "
+            "argument, or in-package estimation: a8t-train-ngram "
+            "--input corpus.txt --output lm.arpa --order <order>")
 
 
 class ArpaLM:

@@ -1,0 +1,232 @@
+"""KenLM binary (PROBING) reader/writer: roundtrip differential vs ARPA,
+format guards, and beam-search integration.
+
+kenlm itself is absent in this environment, so the format is validated
+by writer<->reader roundtrip (shared layout constants) plus structural
+sanity guards; the differential oracle is our ARPA scorer, which is
+itself differential-tested against the C++ reader (test_lm_beam.py).
+Reference consumer: /root/reference/audio8/ctc.py:22-30 (ctcdecode
+loads KenLM binaries for PrefixBeamSearch fusion).
+"""
+import itertools
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from audio8_tpu.ops.kenlm_bin import (
+    KenLMBinaryLM, combine_word_hash, murmur_hash64a, ngram_key,
+    write_kenlm_binary)
+from audio8_tpu.ops.lm import LOG10, ArpaLM
+
+ARPA = """\\data\\
+ngram 1=7
+ngram 2=5
+ngram 3=3
+
+\\1-grams:
+-1.0\t<unk>
+-0.60206\t<s>\t-0.30103
+-0.60206\t</s>
+-0.39794\ta\t-0.20412
+-0.52288\tb\t-0.1
+-0.69897\tc\t-0.05
+-0.90309\td
+
+\\2-grams:
+-0.30103\t<s> a\t-0.30103
+-0.17609\ta b\t-0.2
+-0.39794\tb c\t-0.15
+-0.52288\tc </s>
+-0.69897\ta c\t-0.1
+
+\\3-grams:
+-0.10914\t<s> a b
+-0.21085\ta b c
+-0.30103\tb c </s>
+
+\\end\\
+"""
+
+VOCAB = ["<unk>", "<s>", "</s>", "a", "b", "c", "d"]
+
+
+@pytest.fixture
+def pair(tmp_path):
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "lm.bin"
+    info = write_kenlm_binary(str(arpa), str(binp))
+    return ArpaLM(str(arpa)), KenLMBinaryLM(str(binp)), info
+
+
+def test_header_roundtrip(pair):
+    _, blm, info = pair
+    assert blm.order == 3
+    assert blm.counts == [7, 5, 3]
+    assert info["counts"] == [7, 5, 3]
+    # <unk> is id 0 and not hash-table-inserted; 6 other words follow
+    assert blm.bound == 7
+    assert blm.words == VOCAB
+
+
+def test_logp_matches_arpa_everywhere(pair):
+    """Every (word, context) combo over the vocab, contexts up to
+    order-1: binary scoring == ARPA scoring (fp32 storage tolerance).
+    In-vocab only: OOV semantics differ by design (kenlm id-0 mapping
+    finds <unk>-containing n-grams ARPA string-lookup cannot)."""
+    alm, blm, _ = pair
+    words = VOCAB
+    for w in words:
+        for clen in range(3):
+            for ctx in itertools.product(words, repeat=clen):
+                a = alm.logp(w, ctx)
+                b = blm.logp(w, ctx)
+                assert b == pytest.approx(a, abs=2e-5), (w, ctx)
+
+
+def test_oov_maps_to_unk(pair):
+    alm, blm, _ = pair
+    # OOV target: <unk> unigram prob (same value both readers here)
+    assert blm.logp("zzz", ()) == pytest.approx(-1.0 * LOG10, abs=2e-5)
+    assert blm.logp("zzz", ("a",)) == pytest.approx(
+        alm.logp("<unk>", ("a",)), abs=2e-5)
+    # OOV context word becomes <unk> in the context chain
+    got = blm.logp("a", ("zzz",))
+    assert got == pytest.approx(blm.logp("a", ("<unk>",)), abs=2e-5)
+
+
+def test_index_and_hash_helpers(pair):
+    _, blm, _ = pair
+    assert blm.index("<unk>") == 0
+    assert blm.index("oov-word") == 0
+    ids = [blm.index(w) for w in VOCAB[1:]]
+    assert sorted(ids) == list(range(1, 7))  # dense, ARPA order
+    # chain identity: key(w1..wn) extends key(w2..wn) by w1
+    k2 = ngram_key((ids[0], ids[1]))
+    assert ngram_key((ids[3], ids[0], ids[1])) == \
+        combine_word_hash(k2, ids[3])
+    # murmur is pure and length-sensitive
+    assert murmur_hash64a(b"abc") == murmur_hash64a(b"abc")
+    assert murmur_hash64a(b"abc") != murmur_hash64a(b"abcd")
+
+
+def test_score_sequence_matches(pair):
+    alm, blm, _ = pair
+    seq = ["<s>", "a", "b", "c", "</s>"]
+    assert blm.score_sequence(seq) == pytest.approx(
+        alm.score_sequence(seq), abs=1e-4)
+
+
+def test_trained_kn_lm_roundtrip(tmp_path):
+    """End-to-end with a real estimated LM: a8t-train-ngram ARPA ->
+    binary, scores agree on held-out word sequences incl. backoff-heavy
+    unseen n-grams."""
+    from audio8_tpu.ops.ngram import train_kneser_ney
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(25)]
+    sents = [[vocab[j] for j in rng.integers(0, 25, size=rng.integers(3, 9))]
+             for _ in range(200)]
+    lm = train_kneser_ney(sents, order=3)
+    arpa = tmp_path / "kn.arpa"
+    lm.write_arpa(str(arpa))
+    binp = tmp_path / "kn.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    alm, blm = ArpaLM(str(arpa)), KenLMBinaryLM(str(binp))
+    for _ in range(50):
+        seq = [vocab[j] for j in rng.integers(0, 25, size=6)]
+        assert blm.score_sequence(seq) == pytest.approx(
+            alm.score_sequence(seq), abs=1e-3), seq
+
+
+def test_beam_search_binary_lm_matches_arpa_lm(tmp_path):
+    """PrefixBeamSearch with lm.bin decodes identically to lm.arpa.
+
+    The fixture's <unk> carries no backoff weight: for OOV words (which
+    letter-level beam hypotheses produce constantly) kenlm id-0 mapping
+    applies <unk>'s backoff where ARPA string lookup backs off free, so
+    a nonzero <unk> backoff would make the two scorers *correctly*
+    disagree on OOV-heavy prefixes."""
+    from audio8_tpu.ops.beam import PrefixBeamSearch
+    from audio8_tpu.utils import Offsets
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "lm.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>", "|", "a", "b", "c", "d"]
+    sym = {p: i for i, p in enumerate(pieces)}
+    T, V = 12, len(pieces)
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(1, T, V)).astype(np.float32)
+    for t, ch in enumerate("ab|bc|ab"):
+        logits[0, t, sym[ch]] += 3.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    outs = []
+    for lm_file in (str(arpa), str(binp)):
+        pbs = PrefixBeamSearch(pieces, alpha=0.8, beta=0.3, beam=8,
+                               lm_file=lm_file)
+        assert pbs.lm is not None
+        outs.append(pbs.run(lp, n_best=3, return_ids=True))
+    assert outs[0] == outs[1]
+    assert isinstance(
+        PrefixBeamSearch(pieces, lm_file=str(binp)).lm, KenLMBinaryLM)
+
+
+def test_trie_and_corrupt_binaries_fail_actionably(tmp_path, pair):
+    _, _, _ = pair
+    good = tmp_path / "lm.arpa"
+    good.write_text(ARPA)
+    binp = tmp_path / "lm.bin"
+    write_kenlm_binary(str(good), str(binp))
+    blob = bytearray(binp.read_bytes())
+
+    # flip model_type to TRIE (2): offset = sanity(88) + 1B order + 3 pad + 4B mult
+    sanity_size = 88
+    trie = bytearray(blob)
+    struct.pack_into("<i", trie, sanity_size + 8, 2)
+    trie_path = tmp_path / "trie.bin"
+    trie_path.write_bytes(bytes(trie))
+    with pytest.raises(ValueError, match="TRIE"):
+        KenLMBinaryLM(str(trie_path))
+
+    # truncated body -> section/size inconsistency, not silent mis-scoring
+    cut = tmp_path / "cut.bin"
+    cut.write_bytes(bytes(blob[: len(blob) // 2]))
+    with pytest.raises(ValueError):
+        KenLMBinaryLM(str(cut))
+
+    # not a kenlm file at all
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"RIFF" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="not a KenLM"):
+        KenLMBinaryLM(str(junk))
+
+
+def test_cli_build_binary(tmp_path):
+    from audio8_tpu.cli.build_binary import main
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    out = tmp_path / "lm.klm"
+    assert main([str(arpa), str(out), "-p", "2.0"]) == 0
+    blm = KenLMBinaryLM(str(out))
+    alm = ArpaLM(str(arpa))
+    assert blm.logp("b", ("<s>", "a")) == pytest.approx(
+        alm.logp("b", ("<s>", "a")), abs=2e-5)
+
+
+def test_no_unk_arpa_gets_floor(tmp_path):
+    """ARPA without <unk>: id 0 row synthesizes kenlm's -100 floor."""
+    arpa = tmp_path / "nounk.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=2\n\n\\1-grams:\n-0.3\ta\n-0.6\tb\n\\end\\\n")
+    binp = tmp_path / "nounk.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    blm = KenLMBinaryLM(str(binp))
+    assert blm.logp("zzz", ()) == pytest.approx(-100.0 * LOG10, abs=1e-3)
+    assert blm.logp("a", ()) == pytest.approx(-0.3 * LOG10, abs=2e-5)

@@ -172,10 +172,12 @@ def test_native_lm_beam_matches_python_lm_beam(tmp_path):
         assert got[0] == want[0]
 
 
-def test_kenlm_binary_fails_actionably(tmp_path):
+def test_kenlm_binary_never_garbled_parses_as_arpa(tmp_path):
     """A KenLM *binary* model (the artifact the reference feeds ctcdecode,
-    /root/reference/audio8/ctc.py:22-30) must not garbled-parse as ARPA:
-    every load path raises with the conversion instructions."""
+    /root/reference/audio8/ctc.py:22-30) must never garbled-parse as ARPA
+    text: ArpaLM rejects it outright, and a corrupt/unsupported binary
+    fails the binary loader's sanity checks actionably (valid PROBING
+    binaries load — tests/test_kenlm_bin.py)."""
     from audio8_tpu.ops.beam import _load_lm
     from audio8_tpu.ops.lm import KENLM_BINARY_MAGIC
 
@@ -183,9 +185,10 @@ def test_kenlm_binary_fails_actionably(tmp_path):
     f.write_bytes(KENLM_BINARY_MAGIC + b" 5\n\0" + b"\x00" * 64)
     with pytest.raises(ValueError, match="KenLM binary"):
         ArpaLM(str(f))
-    with pytest.raises(ValueError, match="build_binary"):
+    # zeroed sanity floats = incompatible layout -> actionable error
+    with pytest.raises(ValueError, match="ARPA|sanity"):
         _load_lm(str(f))
-    with pytest.raises(ValueError, match="ARPA"):
+    with pytest.raises(ValueError, match="ARPA|sanity"):
         PrefixBeamSearch(["<s>", "<pad>", "</s>", "<unk>", "|", "A"],
                          lm_file=str(f))
 
