@@ -13,6 +13,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "lm_iface.h"
+
 namespace {
 
 constexpr double kLog0 = -1e30;
@@ -43,11 +45,9 @@ uint64_t HashIds(const int32_t* ids, int n) {
   return h;
 }
 
-struct Arpa {
+struct Arpa : public Lm {
   std::unordered_map<std::string, int32_t> vocab;
   std::unordered_map<NgramKey, std::pair<float, float>, NgramKeyHash> ngrams;
-  int order = 0;
-  int32_t unk_id = -1;
 
   int32_t Intern(const std::string& w) {
     auto it = vocab.find(w);
@@ -57,7 +57,7 @@ struct Arpa {
     return id;
   }
 
-  int32_t Lookup(const std::string& w) const {
+  int32_t Lookup(const std::string& w) const override {
     auto it = vocab.find(w);
     return it != vocab.end() ? it->second : -1;
   }
@@ -68,7 +68,7 @@ struct Arpa {
   }
 
   // ln P(word | context) with standard backoff
-  float LogP(int32_t word, const int32_t* ctx, int ctx_len) const {
+  float LogP(int32_t word, const int32_t* ctx, int ctx_len) const override {
     if (ctx_len > order - 1) {
       ctx += ctx_len - (order - 1);
       ctx_len = order - 1;
@@ -135,14 +135,14 @@ extern "C" void* a8t_lm_load(const char* path) {
   }
   fclose(f);
   lm->unk_id = lm->Lookup("<unk>");
-  return lm;
+  return static_cast<Lm*>(lm);
 }
 
-extern "C" void a8t_lm_free(void* lm) { delete static_cast<Arpa*>(lm); }
+extern "C" void a8t_lm_free(void* lm) { delete static_cast<Lm*>(lm); }
 
 extern "C" float a8t_lm_logp(void* lm_ptr, const char* word,
                              const char* context /* space-separated */) {
-  auto* lm = static_cast<Arpa*>(lm_ptr);
+  auto* lm = static_cast<Lm*>(lm_ptr);
   std::vector<int32_t> ctx;
   std::string s(context ? context : "");
   size_t pos = 0;
@@ -188,7 +188,7 @@ extern "C" int64_t a8t_prefix_beam_search_lm(
     int64_t space_idx, float alpha, float beta, int64_t n_best,
     const char* vocab_buf, const int64_t* vocab_offsets, void* lm_ptr,
     int64_t* out_ids, int64_t* out_lens, int64_t out_stride) {
-  auto* lm = static_cast<Arpa*>(lm_ptr);
+  auto* lm = static_cast<Lm*>(lm_ptr);
   auto piece = [&](int32_t sym) -> std::string {
     const int64_t a = vocab_offsets[sym];
     const int64_t b = vocab_offsets[sym + 1];

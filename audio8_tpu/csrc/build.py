@@ -8,7 +8,7 @@ import os
 import subprocess
 import sys
 
-SRC = ["editdistance.cc", "beam.cc", "flac.cc", "arpa_lm.cc"]
+SRC = ["editdistance.cc", "beam.cc", "flac.cc", "arpa_lm.cc", "kenlm_bin.cc"]
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "libaudio8.so")
 

@@ -1,0 +1,282 @@
+// KenLM PROBING binary model reader for the native LM-fused prefix beam
+// search. C++ twin of audio8_tpu/ops/kenlm_bin.py (same published
+// format-version-5 layout, differential-tested against it); completes
+// the reference's ctcdecode+KenLM-binary decode path natively
+// (/root/reference/audio8/ctc.py:22-30). The file is mmap'd and scored
+// in place: murmur-hashed vocab probing table, direct-indexed unigram
+// ProbBackoff array, CombineWordHash-keyed linear-probing tables for
+// the middle orders and the longest order.
+//
+// On any structural mismatch (bad magic, sanity reference values,
+// non-PROBING model type, section layout inconsistent with the file
+// size) the loader returns nullptr — callers fall back to the Python
+// reader, whose errors name the fix (ops/kenlm_bin.py).
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "lm_iface.h"
+
+namespace {
+
+constexpr double kLn10 = 2.302585092994046;
+
+const char kMagic[] = "mmap lm http://kheafield.com/code format version 5\n";
+// sizeof in C counts the implicit NUL (53), aligned up to 56 on disk.
+constexpr size_t kMagicField = 56;
+
+inline size_t Align8(size_t n) { return (n + 7) / 8 * 8; }
+
+inline uint64_t LoadU64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline uint32_t LoadU32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+inline float LoadF32(const uint8_t* p) {
+  float v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+// MurmurHash64A (Appleby), seed 0 — kenlm's portable vocab word hash.
+uint64_t Murmur64A(const void* key, size_t len, uint64_t seed = 0) {
+  const uint64_t m = 0xc6a4a7935bd1e995ull;
+  const int r = 47;
+  uint64_t h = seed ^ (len * m);
+  const auto* data = static_cast<const uint8_t*>(key);
+  const size_t n8 = len / 8 * 8;
+  for (size_t i = 0; i < n8; i += 8) {
+    uint64_t k = LoadU64(data + i);
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  const uint8_t* tail = data + n8;
+  switch (len & 7) {
+    case 7: h ^= static_cast<uint64_t>(tail[6]) << 48; [[fallthrough]];
+    case 6: h ^= static_cast<uint64_t>(tail[5]) << 40; [[fallthrough]];
+    case 5: h ^= static_cast<uint64_t>(tail[4]) << 32; [[fallthrough]];
+    case 4: h ^= static_cast<uint64_t>(tail[3]) << 24; [[fallthrough]];
+    case 3: h ^= static_cast<uint64_t>(tail[2]) << 16; [[fallthrough]];
+    case 2: h ^= static_cast<uint64_t>(tail[1]) << 8; [[fallthrough]];
+    case 1: h ^= static_cast<uint64_t>(tail[0]); h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
+
+// kenlm lm/search_hashed.hh CombineWordHash.
+inline uint64_t CombineWordHash(uint64_t current, uint32_t next) {
+  return (current * 8978948897894561157ull) ^
+         ((1ull + next) * 17894857484156487943ull);
+}
+
+// util/probing_hash_table.hh Size(): replicate kenlm's float32
+// arithmetic exactly so section offsets match byte-for-byte.
+inline uint64_t Buckets(uint64_t entries, float multiplier) {
+  const uint64_t scaled =
+      static_cast<uint64_t>(multiplier * static_cast<float>(entries));
+  return entries + 1 > scaled ? entries + 1 : scaled;
+}
+
+struct KenLmBinary : public Lm {
+  const uint8_t* base = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  const uint8_t* vocab_tab = nullptr;  // 12-byte (u64 key, u32 id) entries
+  uint64_t vocab_buckets = 0;
+  const uint8_t* unigram = nullptr;    // (f32 prob, f32 backoff) per id
+  std::vector<const uint8_t*> middles;  // 16-byte (u64, f32, f32) entries
+  std::vector<uint64_t> middle_buckets;
+  const uint8_t* longest = nullptr;    // 12-byte (u64 key, f32 prob) entries
+  uint64_t longest_buckets = 0;
+
+  ~KenLmBinary() override {
+    if (base != nullptr) munmap(const_cast<uint8_t*>(base), size);
+    if (fd >= 0) close(fd);
+  }
+
+  int32_t Lookup(const std::string& w) const override {
+    const uint64_t key = Murmur64A(w.data(), w.size());
+    uint64_t i = key % vocab_buckets;
+    while (true) {
+      const uint64_t k = LoadU64(vocab_tab + i * 12);
+      if (k == key) return static_cast<int32_t>(LoadU32(vocab_tab + i * 12 + 8));
+      if (k == 0) return -1;  // OOV; callers substitute unk_id (= 0)
+      i = (i + 1) % vocab_buckets;
+    }
+  }
+
+  // (prob10, backoff10) of the exact n-gram ctx+word, or false.
+  bool Find(const int32_t* ctx, int ctx_len, int32_t word, float* p,
+            float* b) const {
+    if (ctx_len == 0) {  // unigram rows exist for every id structurally
+      *p = LoadF32(unigram + word * 8);
+      *b = LoadF32(unigram + word * 8 + 4);
+      return true;
+    }
+    uint64_t key = static_cast<uint32_t>(word);
+    for (int i = ctx_len - 1; i >= 0; --i)
+      key = CombineWordHash(key, static_cast<uint32_t>(ctx[i]));
+    if (key == 0) return false;  // collides with the empty-bucket marker
+    const int n = ctx_len + 1;
+    const uint8_t* tab;
+    uint64_t buckets;
+    size_t stride, prob_off;
+    bool has_backoff;
+    if (n == order) {
+      tab = longest;
+      buckets = longest_buckets;
+      stride = 12;
+      prob_off = 8;
+      has_backoff = false;
+    } else {
+      tab = middles[n - 2];
+      buckets = middle_buckets[n - 2];
+      stride = 16;
+      prob_off = 8;
+      has_backoff = true;
+    }
+    uint64_t i = key % buckets;
+    while (true) {
+      const uint64_t k = LoadU64(tab + i * stride);
+      if (k == key) {
+        *p = LoadF32(tab + i * stride + prob_off);
+        *b = has_backoff ? LoadF32(tab + i * stride + prob_off + 4) : 0.0f;
+        return true;
+      }
+      if (k == 0) return false;
+      i = (i + 1) % buckets;
+    }
+  }
+
+  float LogP(int32_t word, const int32_t* ctx, int ctx_len) const override {
+    if (word < 0) word = 0;  // OOV -> <unk>, kenlm semantics
+    if (ctx_len > order - 1) {
+      ctx += ctx_len - (order - 1);
+      ctx_len = order - 1;
+    }
+    double acc = 0.0;
+    float p, b;
+    while (true) {
+      if (Find(ctx, ctx_len, word, &p, &b)) return (acc + p) * kLn10;
+      // ctx_len == 0 always resolves above (unigram is an array), so
+      // reaching here implies ctx_len >= 1: add the backoff weight of
+      // the context n-gram ctx[0..ctx_len) itself (its last word
+      // conditioned on the preceding ones), then drop the oldest word.
+      if (Find(ctx, ctx_len - 1, ctx[ctx_len - 1], &p, &b)) acc += b;
+      ++ctx;
+      --ctx_len;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" void* a8t_lm_load_kenlm(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+    close(fd);
+    return nullptr;
+  }
+  const size_t size = static_cast<size_t>(st.st_size);
+  void* mem = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (mem == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  const auto* base = static_cast<const uint8_t*>(mem);
+  auto fail = [&]() -> void* {
+    munmap(mem, size);
+    close(fd);
+    return nullptr;
+  };
+
+  // Sanity struct: magic[56], 3 reference floats, 2 word indices, u64.
+  const size_t sanity_size = Align8(kMagicField + 12 + 8) + 8;  // 88
+  if (size < sanity_size + 20) return fail();
+  if (std::memcmp(base, kMagic, sizeof(kMagic) - 1) != 0) return fail();
+  const uint8_t* s = base + kMagicField;
+  if (LoadF32(s) != 0.0f || LoadF32(s + 4) != 1.0f ||
+      LoadF32(s + 8) != -0.5f || LoadU32(s + 12) != 1 ||
+      LoadU32(s + 16) != 0xFFFFFFFFu || LoadU64(s + 24) != 1)
+    return fail();
+
+  // FixedWidthParameters: order u8, multiplier f32, model_type i32,
+  // has_vocabulary bool, search_version u32.
+  const uint8_t* fx = base + sanity_size;
+  const int order = fx[0];
+  const float multiplier = LoadF32(fx + 4);
+  const int32_t model_type = static_cast<int32_t>(LoadU32(fx + 8));
+  const bool has_vocab = fx[12] != 0;
+  if (model_type != 0 /* PROBING */ || order < 1 ||
+      !(multiplier > 1.0f) || !(multiplier < 1e6f))
+    return fail();
+  const size_t counts_off = sanity_size + 20;
+  if (size < counts_off + 8 * order) return fail();
+  std::vector<uint64_t> counts(order);
+  for (int i = 0; i < order; ++i) counts[i] = LoadU64(base + counts_off + 8 * i);
+
+  auto* lm = new KenLmBinary();
+  lm->base = base;
+  lm->size = size;
+  lm->fd = fd;
+  lm->order = order;
+  lm->unk_id = 0;
+
+  size_t off = Align8(counts_off + 8 * order);
+  auto need = [&](size_t bytes) {
+    if (off + bytes > size) return false;
+    return true;
+  };
+
+  // Vocab: u64 bound header + probing table of counts[0] entries.
+  if (!need(8)) { delete lm; return nullptr; }
+  off += 8;
+  lm->vocab_buckets = Buckets(counts[0], multiplier);
+  if (!need(lm->vocab_buckets * 12)) { delete lm; return nullptr; }
+  lm->vocab_tab = base + off;
+  off += lm->vocab_buckets * 12;
+
+  // Unigram: counts[0] + 1 ProbBackoff rows.
+  if (!need((counts[0] + 1) * 8)) { delete lm; return nullptr; }
+  lm->unigram = base + off;
+  off += (counts[0] + 1) * 8;
+
+  for (int n = 2; n < order; ++n) {
+    const uint64_t buckets = Buckets(counts[n - 1], multiplier);
+    if (!need(buckets * 16)) { delete lm; return nullptr; }
+    lm->middles.push_back(base + off);
+    lm->middle_buckets.push_back(buckets);
+    off += buckets * 16;
+  }
+  if (order > 1) {
+    lm->longest_buckets = Buckets(counts[order - 1], multiplier);
+    if (!need(lm->longest_buckets * 12)) { delete lm; return nullptr; }
+    lm->longest = base + off;
+    off += lm->longest_buckets * 12;
+  }
+  if (!has_vocab && off != size) { delete lm; return nullptr; }
+  return static_cast<Lm*>(lm);
+}

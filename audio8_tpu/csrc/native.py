@@ -102,13 +102,16 @@ _lib.a8t_prefix_beam_search_lm.argtypes = [
 ]
 
 
-class NativeArpaLM:
-    """C++ ARPA LM handle; scoring interface mirrors ops.lm.ArpaLM."""
+_lib.a8t_lm_load_kenlm.restype = ctypes.c_void_p
+_lib.a8t_lm_load_kenlm.argtypes = [ctypes.c_char_p]
 
-    def __init__(self, path: str):
-        self._h = _lib.a8t_lm_load(path.encode())
-        if not self._h:
-            raise IOError(f"failed to load ARPA LM {path!r}")
+
+class NativeLM:
+    """Base handle over the C ABI `Lm*` (csrc/lm_iface.h). Scoring
+    interface mirrors ops.lm.ArpaLM; the handle is also accepted
+    directly by a8t_prefix_beam_search_lm."""
+
+    _h = None
 
     def logp(self, word: str, context) -> float:
         ctx = " ".join(context) if not isinstance(context, str) else context
@@ -120,6 +123,27 @@ class NativeArpaLM:
                 _lib.a8t_lm_free(self._h)
         except Exception:
             pass
+
+
+class NativeArpaLM(NativeLM):
+    """C++ ARPA text LM (csrc/arpa_lm.cc)."""
+
+    def __init__(self, path: str):
+        self._h = _lib.a8t_lm_load(path.encode())
+        if not self._h:
+            raise IOError(f"failed to load ARPA LM {path!r}")
+
+
+class NativeKenLM(NativeLM):
+    """C++ mmap'd KenLM PROBING binary LM (csrc/kenlm_bin.cc). Raises
+    IOError for any file the strict structural checks reject (trie or
+    quantized binaries, truncated files) — callers fall back to the
+    Python reader whose errors name the conversion recipe."""
+
+    def __init__(self, path: str):
+        self._h = _lib.a8t_lm_load_kenlm(path.encode())
+        if not self._h:
+            raise IOError(f"failed to load KenLM binary {path!r}")
 
 
 def _pack_vocab(vocab: Sequence[str]):
@@ -134,7 +158,7 @@ def _pack_vocab(vocab: Sequence[str]):
 
 def prefix_beam_search_lm(log_probs: np.ndarray, blank: int, beam: int,
                           space_idx: int, alpha: float, beta: float,
-                          vocab: Sequence[str], lm: "NativeArpaLM | None",
+                          vocab: Sequence[str], lm: "NativeLM | None",
                           n_best: int = 0) -> List[List[int]]:
     """LM-fused decode of one utterance (T, V) -> n-best id sequences."""
     lp = np.ascontiguousarray(log_probs, np.float32)

@@ -67,8 +67,10 @@ def _load_lm(lm_file: str):
     through our own readers — native C++ first, pure-Python fallback —
     even when kenlm is installed (kenlm's stricter parser rejects files
     ours accept, e.g. gzipped ARPA). KenLM *binary* models load through
-    kenlm itself when installed (bit-exact), else through our own
-    PROBING-format reader (ops/kenlm_bin.py); unsupported binary
+    our own mmap'd C++ PROBING reader first (csrc/kenlm_bin.cc — the
+    fast path, and the one the native LM-fused beam search consumes
+    in-process), then kenlm itself when installed (bit-exact), then the
+    pure-Python PROBING reader (ops/kenlm_bin.py); unsupported binary
     subtypes (trie/quantized) fail with the ARPA-conversion recipe
     instead of garbled-parsing as ARPA text — the reference consumes
     them via ctcdecode's bundled kenlm
@@ -78,6 +80,12 @@ def _load_lm(lm_file: str):
     try:
         ensure_arpa(lm_file)
     except ValueError:
+        try:
+            from audio8_tpu.csrc import native
+
+            return native.NativeKenLM(lm_file)
+        except Exception:
+            pass
         try:
             return _kenlm_lm(lm_file)
         except ImportError:
@@ -230,7 +238,7 @@ class PrefixBeamSearch:
                     lp32, self.blank, self.beam,
                     self.bar_off if self.use_bar else -1,
                     self.alpha, self.beta)
-            if isinstance(self.lm, self._native.NativeArpaLM):
+            if isinstance(self.lm, self._native.NativeLM):
                 return self._native.prefix_beam_search_lm(
                     lp32, self.blank, self.beam,
                     self.bar_off if self.use_bar else -1,

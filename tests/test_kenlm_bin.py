@@ -173,8 +173,15 @@ def test_beam_search_binary_lm_matches_arpa_lm(tmp_path):
         assert pbs.lm is not None
         outs.append(pbs.run(lp, n_best=3, return_ids=True))
     assert outs[0] == outs[1]
-    assert isinstance(
-        PrefixBeamSearch(pieces, lm_file=str(binp)).lm, KenLMBinaryLM)
+    # binary files route to the native mmap'd reader when the library is
+    # built (the usual case here), else the pure-Python PROBING reader
+    lm = PrefixBeamSearch(pieces, lm_file=str(binp)).lm
+    try:
+        from audio8_tpu.csrc import native
+
+        assert isinstance(lm, (native.NativeKenLM, KenLMBinaryLM))
+    except ImportError:
+        assert isinstance(lm, KenLMBinaryLM)
 
 
 def test_trie_and_corrupt_binaries_fail_actionably(tmp_path, pair):
@@ -230,3 +237,118 @@ def test_no_unk_arpa_gets_floor(tmp_path):
     blm = KenLMBinaryLM(str(binp))
     assert blm.logp("zzz", ()) == pytest.approx(-100.0 * LOG10, abs=1e-3)
     assert blm.logp("a", ()) == pytest.approx(-0.3 * LOG10, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) PROBING reader: csrc/kenlm_bin.cc
+
+
+def _native_or_skip():
+    try:
+        from audio8_tpu.csrc import native
+    except ImportError:
+        pytest.skip("native library not built")
+    if not hasattr(native, "NativeKenLM"):
+        pytest.skip("native KenLM reader not in this build")
+    return native
+
+
+def test_native_kenlm_matches_python_everywhere(pair, tmp_path):
+    """C++ mmap reader == Python reader == ARPA scorer over the full
+    in-vocab (word, context) grid, contexts up to order-1."""
+    native = _native_or_skip()
+    alm, blm, _ = pair
+    arpa = tmp_path / "n.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "n.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    nlm = native.NativeKenLM(str(binp))
+    pylm = KenLMBinaryLM(str(binp))
+    for w in VOCAB:
+        for clen in range(3):
+            for ctx in itertools.product(VOCAB, repeat=clen):
+                n = nlm.logp(w, ctx)
+                assert n == pytest.approx(pylm.logp(w, ctx), abs=2e-5), \
+                    (w, ctx)
+                assert n == pytest.approx(alm.logp(w, ctx), abs=2e-5)
+
+
+def test_native_kenlm_oov_semantics(tmp_path):
+    """OOV word and OOV context words map to <unk> (id 0), matching the
+    Python reader and kenlm."""
+    native = _native_or_skip()
+    arpa = tmp_path / "o.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "o.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    nlm = native.NativeKenLM(str(binp))
+    pylm = KenLMBinaryLM(str(binp))
+    assert nlm.logp("zzz", ()) == pytest.approx(-1.0 * LOG10, abs=2e-5)
+    assert nlm.logp("a", ("zzz",)) == pytest.approx(
+        pylm.logp("a", ("zzz",)), abs=2e-5)
+    assert nlm.logp("zzz", ("a", "qqq")) == pytest.approx(
+        pylm.logp("zzz", ("a", "qqq")), abs=2e-5)
+
+
+def test_native_kenlm_rejects_bad_files(tmp_path):
+    """Trie-typed, truncated, and non-kenlm files raise IOError from the
+    native loader (callers then surface the Python reader's actionable
+    message via ops.beam._load_lm)."""
+    native = _native_or_skip()
+    arpa = tmp_path / "r.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "r.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    blob = bytearray(binp.read_bytes())
+
+    trie = bytearray(blob)
+    struct.pack_into("<i", trie, 88 + 8, 2)  # model_type -> TRIE
+    trie_path = tmp_path / "trie.bin"
+    trie_path.write_bytes(bytes(trie))
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(trie_path))
+
+    cut = tmp_path / "cut.bin"
+    cut.write_bytes(bytes(blob[: len(blob) // 2]))
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(cut))
+
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"RIFF" + b"\x00" * 100)
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(junk))
+
+    # the dispatch layer still fails actionably for trie files
+    from audio8_tpu.ops.beam import _load_lm
+    with pytest.raises(ValueError, match="TRIE"):
+        _load_lm(str(trie_path))
+
+
+def test_native_beam_search_consumes_binary_lm_in_process(tmp_path):
+    """With the native library built, a .bin LM runs through the C++
+    LM-fused beam search (no Python scoring callback) and decodes
+    identically to the same model as ARPA text."""
+    native = _native_or_skip()
+    from audio8_tpu.ops.beam import PrefixBeamSearch
+
+    arpa = tmp_path / "e.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "e.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>", "|", "a", "b", "c", "d"]
+    sym = {p: i for i, p in enumerate(pieces)}
+    T, V = 14, len(pieces)
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(1, T, V)).astype(np.float32)
+    for t, ch in enumerate("ab|abc|bc|a"):
+        logits[0, t, sym[ch]] += 3.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    pbs_bin = PrefixBeamSearch(pieces, alpha=0.7, beta=0.2, beam=8,
+                               lm_file=str(binp))
+    assert isinstance(pbs_bin.lm, native.NativeKenLM)
+    pbs_arpa = PrefixBeamSearch(pieces, alpha=0.7, beta=0.2, beam=8,
+                                lm_file=str(arpa))
+    assert pbs_bin.run(lp, n_best=3, return_ids=True) == \
+        pbs_arpa.run(lp, n_best=3, return_ids=True)
