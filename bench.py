@@ -1,7 +1,12 @@
 """Benchmark: wav2vec2-base train-step throughput (pretrain + CTC).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"extra_metrics"}.
+Prints the JSON line {"metric", "value", "unit", "vs_baseline",
+"extra_metrics"} the moment the headline is measured, and re-prints it
+(with more extras filled in) after each additional workload completes —
+every stdout line is complete and parseable, and the LAST line is the
+authoritative one. An external kill at any point after ~2 min therefore
+still leaves a valid artifact (the round-3 run was killed mid-extras with
+nothing on stdout; never again).
 
 Headline metric is the north-star from BASELINE.md: audio-sec/sec/chip
 (RTFx) for wav2vec2-base contrastive pretraining (full fwd+bwd+update,
@@ -347,7 +352,56 @@ def _single(metric: str, value: float, extra: dict) -> None:
     print(json.dumps({
         "metric": metric, "value": value, "unit": "audio-sec/sec/chip",
         "vs_baseline": None, "extra_metrics": extra,
-    }))
+    }), flush=True)
+
+
+# Measured cold compile+run cost per extra workload through the TPU
+# relay (round-3 bench stderr timeline, BENCH_r03.json tail). An extra
+# only starts if the remaining budget covers its estimate — a slow
+# compile mid-workload can no longer blow past the budget (the round-3
+# failure: transducer's 381 s compile + LARGE starting at +1221 s ran
+# straight into the driver's ~1300-1500 s kill window).
+_EXTRA_COSTS = {
+    "ctc_finetune_throughput": 140.0,
+    "ctc_finetune_frozen_throughput": 110.0,
+    "greedy_decode_rtfx": 90.0,
+    "seq2seq_finetune_throughput": 170.0,
+    "hubert_pretrain_throughput": 140.0,
+    "transducer_finetune_throughput": 440.0,
+    "large_pretrain_throughput": 700.0,
+}
+
+
+def _emit(throughput: float, extra: dict) -> None:
+    """Print the headline JSON line (stdout). Called immediately after the
+    headline is measured and again after every completed extra: a driver
+    kill at ANY later point leaves a complete, parseable line on stdout
+    (the round-3 artifact was lost because the only print sat after all
+    extras — VERDICT.md round 3, weak #1). The driver takes the last
+    complete line, so each re-emit only ever adds information."""
+    print(json.dumps({
+        "metric": "wav2vec2_base_pretrain_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(throughput / A100_BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "extra_metrics": dict(extra),
+    }), flush=True)
+
+
+def _check_neg_lookup() -> None:
+    """Fail loudly if the InfoNCE negative-lookup hot path silently flipped
+    off the one-hot formulation on TPU hardware (a ~10% regression nothing
+    else would flag — models/wav2vec2.py:_default_neg_lookup)."""
+    from audio8_tpu.models.wav2vec2 import _default_neg_lookup
+    mode = _default_neg_lookup()
+    dev = jax.devices()[0]
+    _note(f"neg_lookup mode: {mode} (platform={dev.platform}, "
+          f"device_kind={dev.device_kind})")
+    if "tpu" in f"{dev.platform} {dev.device_kind}".lower():
+        assert mode == "onehot", (
+            f"neg_lookup={mode!r} on TPU hardware — the serialized gather "
+            "path costs ~10%; unset A8T_NEG_LOOKUP or fix "
+            "_default_neg_lookup device sniffing")
 
 
 def main():
@@ -357,11 +411,14 @@ def main():
                              "hubert", "transducer", "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("A8T_BENCH_BUDGET", 2700)),
-                    help="wall-clock budget (s) for the extra workloads in "
-                         "'all' mode; the pretrain headline always runs and "
-                         "the JSON line always prints")
+                    default=float(os.environ.get("A8T_BENCH_BUDGET", 900)),
+                    help="total wall-clock budget (s); extras in 'all' mode "
+                         "only start when the remaining budget covers their "
+                         "measured cold cost. The pretrain headline always "
+                         "runs and its JSON line prints the moment it is "
+                         "measured")
     args = ap.parse_args()
+    _check_neg_lookup()
 
     if args.workload == "large":
         _single("wav2vec2_large_pretrain_throughput",
@@ -391,15 +448,19 @@ def main():
                  "ctc_unit": "audio-sec/sec/chip"})
         return
 
-    # 'all'/'pretrain': the headline runs FIRST so a driver timeout can
-    # never kill the run before the number exists; extras accumulate under
-    # a time budget and any failure is recorded, not fatal.
+    # 'all'/'pretrain': the headline runs FIRST and its JSON line prints
+    # the moment it exists — a driver timeout anywhere in the extras can
+    # only lose extras, never the headline. Extras run cheapest/most-
+    # certain first under a cost-gated budget; each completion re-emits
+    # the (now richer) line, and any failure is recorded, not fatal.
     start = time.perf_counter()
     throughput = bench_pretrain()
     extra = {}
+    _emit(throughput, extra)  # the headline is now on stdout, kill-proof
     if args.workload == "all":
-        # cheap/certain first, the big LARGE compile last: a budget or
-        # driver timeout then costs the least information
+        # warm-cache speedup observed so far this run: completed extras
+        # that beat their cold estimate shrink later gates proportionally
+        warm_ratio = 1.0
         for key, fn in [
             ("ctc_finetune_throughput", lambda: bench_ctc(False)),
             ("ctc_finetune_frozen_throughput", lambda: bench_ctc(True)),
@@ -409,24 +470,27 @@ def main():
             ("transducer_finetune_throughput", bench_transducer),
             ("large_pretrain_throughput", bench_pretrain_large),
         ]:
-            if time.perf_counter() - start > args.budget:
+            remaining = args.budget - (time.perf_counter() - start)
+            est = _EXTRA_COSTS[key] * warm_ratio
+            if remaining < est:
                 extra[key] = "skipped:budget"
+                _note(f"{key}: skipped (need ~{est:.0f}s, "
+                      f"{remaining:.0f}s left)")
                 continue
+            t0 = time.perf_counter()
             try:
                 extra[key] = round(fn(), 2)
+                actual = time.perf_counter() - t0
+                warm_ratio = min(warm_ratio,
+                                 max(0.1, actual / _EXTRA_COSTS[key]))
             except Exception as e:  # record, keep the headline alive
                 extra[key] = f"error:{type(e).__name__}"
+            _emit(throughput, extra)
         if any(isinstance(extra.get(k), (int, float)) for k in
                ("ctc_finetune_throughput", "ctc_finetune_frozen_throughput")):
             extra["ctc_unit"] = "audio-sec/sec/chip"
 
-    print(json.dumps({
-        "metric": "wav2vec2_base_pretrain_throughput",
-        "value": round(throughput, 2),
-        "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(throughput / A100_BASELINE_AUDIO_SEC_PER_SEC, 3),
-        "extra_metrics": extra,
-    }))
+    _emit(throughput, extra)
 
 
 if __name__ == "__main__":

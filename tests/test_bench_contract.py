@@ -1,7 +1,14 @@
-"""The driver contract of bench.py: exactly one JSON line, headline first,
-extras bounded by the time budget and never fatal."""
+"""The driver contract of bench.py: the headline JSON line is on stdout
+the moment it is measured (kill-proof — the round-3 artifact was lost to a
+driver timeout mid-extras, VERDICT.md r3 weak #1/#2), every line printed is
+parseable, the LAST line is the most complete, extras are cost-gated by the
+time budget and never fatal."""
 import json
+import os
+import signal
+import subprocess
 import sys
+import time
 
 import pytest
 
@@ -18,40 +25,71 @@ def bench(monkeypatch):
     monkeypatch.setattr(bench_mod, "bench_seq2seq", lambda *a, **k: 1600.0)
     monkeypatch.setattr(bench_mod, "bench_hubert", lambda *a, **k: 1450.0)
     monkeypatch.setattr(bench_mod, "bench_transducer", lambda *a, **k: 1550.0)
+    monkeypatch.setattr(bench_mod, "bench_pretrain_large",
+                        lambda *a, **k: 900.0)
+    monkeypatch.setattr(bench_mod, "_check_neg_lookup", lambda: None)
     return bench_mod
 
 
 def _run(bench, capsys, argv):
+    """Run bench.main(); assert EVERY stdout line parses as JSON and the
+    headline fields never change across re-emits; return the last line."""
     old = sys.argv
     sys.argv = ["bench.py"] + argv
     try:
         bench.main()
     finally:
         sys.argv = old
-    out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1, out
-    return json.loads(out[0])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines, "no JSON on stdout"
+    recs = [json.loads(ln) for ln in lines]
+    for r in recs:
+        assert r["metric"] == recs[0]["metric"]
+        assert r["value"] == recs[0]["value"]
+    return recs
 
 
 def test_all_mode_headline_and_extras(bench, capsys):
-    rec = _run(bench, capsys, [])
-    assert rec["metric"] == "wav2vec2_base_pretrain_throughput"
-    assert rec["value"] == 1300.0
-    assert rec["vs_baseline"] == round(1300.0 / 650.0, 3)
-    e = rec["extra_metrics"]
+    recs = _run(bench, capsys, [])
+    # headline is line 1, before any extra ran
+    assert recs[0]["metric"] == "wav2vec2_base_pretrain_throughput"
+    assert recs[0]["value"] == 1300.0
+    assert recs[0]["vs_baseline"] == round(1300.0 / 650.0, 3)
+    assert recs[0]["extra_metrics"] == {}
+    # last line is the most complete
+    e = recs[-1]["extra_metrics"]
     assert e["ctc_finetune_throughput"] == 1800.0
     assert e["ctc_finetune_frozen_throughput"] == 3000.0
     assert e["greedy_decode_rtfx"] == 4000.0
     assert e["seq2seq_finetune_throughput"] == 1600.0
     assert e["hubert_pretrain_throughput"] == 1450.0
     assert e["transducer_finetune_throughput"] == 1550.0
+    assert e["large_pretrain_throughput"] == 900.0
+    # re-emits only ever add extras, never remove
+    for prev, cur in zip(recs, recs[1:]):
+        assert set(prev["extra_metrics"]) <= set(cur["extra_metrics"])
 
 
 def test_budget_skips_extras_but_keeps_headline(bench, capsys):
-    rec = _run(bench, capsys, ["--budget", "-1"])
-    assert rec["value"] == 1300.0
+    recs = _run(bench, capsys, ["--budget", "-1"])
+    assert recs[0]["value"] == 1300.0
     assert all(v == "skipped:budget"
-               for k, v in rec["extra_metrics"].items() if k != "ctc_unit")
+               for k, v in recs[-1]["extra_metrics"].items()
+               if k != "ctc_unit")
+
+
+def test_cost_gate_skips_expensive_extras(bench, capsys, monkeypatch):
+    # budget covers the cheap extras' cold estimates but not transducer
+    # (440 s) or large (700 s): those must be skipped WITHOUT running
+    monkeypatch.setattr(bench, "_EXTRA_COSTS",
+                        dict(bench._EXTRA_COSTS,
+                             transducer_finetune_throughput=1e9,
+                             large_pretrain_throughput=1e9))
+    recs = _run(bench, capsys, ["--budget", "600"])
+    e = recs[-1]["extra_metrics"]
+    assert e["ctc_finetune_throughput"] == 1800.0
+    assert e["transducer_finetune_throughput"] == "skipped:budget"
+    assert e["large_pretrain_throughput"] == "skipped:budget"
 
 
 def test_extra_failure_is_recorded_not_fatal(bench, capsys, monkeypatch):
@@ -59,23 +97,76 @@ def test_extra_failure_is_recorded_not_fatal(bench, capsys, monkeypatch):
         raise RuntimeError("relay hiccup")
 
     monkeypatch.setattr(bench, "bench_decode", boom)
-    rec = _run(bench, capsys, [])
-    assert rec["value"] == 1300.0
-    assert rec["extra_metrics"]["greedy_decode_rtfx"] == "error:RuntimeError"
-    assert rec["extra_metrics"]["seq2seq_finetune_throughput"] == 1600.0
+    recs = _run(bench, capsys, [])
+    assert recs[0]["value"] == 1300.0
+    e = recs[-1]["extra_metrics"]
+    assert e["greedy_decode_rtfx"] == "error:RuntimeError"
+    assert e["seq2seq_finetune_throughput"] == 1600.0
 
 
 def test_single_workload_modes(bench, capsys):
-    rec = _run(bench, capsys, ["--workload", "ctc"])
+    rec = _run(bench, capsys, ["--workload", "ctc"])[-1]
     assert rec["metric"] == "wav2vec2_base_ctc_finetune_throughput"
     assert rec["value"] == 1800.0
-    rec = _run(bench, capsys, ["--workload", "decode"])
+    rec = _run(bench, capsys, ["--workload", "decode"])[-1]
     assert rec["value"] == 4000.0
-    rec = _run(bench, capsys, ["--workload", "seq2seq"])
+    rec = _run(bench, capsys, ["--workload", "seq2seq"])[-1]
     assert rec["value"] == 1600.0
-    rec = _run(bench, capsys, ["--workload", "hubert"])
+    rec = _run(bench, capsys, ["--workload", "hubert"])[-1]
     assert rec["metric"] == "hubert_base_pretrain_throughput"
     assert rec["value"] == 1450.0
-    rec = _run(bench, capsys, ["--workload", "transducer"])
+    rec = _run(bench, capsys, ["--workload", "transducer"])[-1]
     assert rec["metric"] == "wav2vec2_base_transducer_finetune_throughput"
     assert rec["value"] == 1550.0
+
+
+_KILL_DRIVER = """\
+import sys, time
+sys.path.insert(0, {repo!r})
+import bench
+
+bench._check_neg_lookup = lambda: None
+bench.bench_pretrain = lambda *a, **k: 1700.0
+
+def hang(*a, **k):
+    time.sleep(600)
+
+for name in ("bench_ctc", "bench_decode", "bench_seq2seq", "bench_hubert",
+             "bench_transducer", "bench_pretrain_large"):
+    setattr(bench, name, hang)
+
+sys.argv = ["bench.py", "--budget", "900"]
+bench.main()
+"""
+
+
+def test_sigkill_mid_extras_leaves_parseable_headline(tmp_path):
+    """The real round-3 failure mode: an external SIGKILL while an extra
+    workload is still compiling. The contract that matters — whenever the
+    process dies after the headline was measured, stdout already carries a
+    parseable headline line."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver = tmp_path / "kill_driver.py"
+    driver.write_text(_KILL_DRIVER.format(repo=repo))
+    proc = subprocess.Popen(
+        [sys.executable, str(driver)], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    try:
+        # the headline line appears while the first extra hangs forever
+        line = proc.stdout.readline()
+        deadline = time.time() + 120
+        while not line.strip() and time.time() < deadline:
+            line = proc.stdout.readline()
+        # bench.py is now asleep inside the first extra: SIGKILL, like the
+        # driver's timeout does
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+    rec = json.loads(line)
+    assert rec["metric"] == "wav2vec2_base_pretrain_throughput"
+    assert rec["value"] == 1700.0
+    assert rec["vs_baseline"] == round(1700.0 / 650.0, 3)
