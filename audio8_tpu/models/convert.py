@@ -345,8 +345,18 @@ def convert_ctc_state(state: Dict[str, Any], num_layers: int = 12,
 
 
 def load_torch_file(bin_file: str) -> Dict[str, Any]:
-    """Load a fairseq ``.pt`` and return its 'model' state dict as numpy."""
-    import torch
+    """Load a fairseq ``.pt`` and return its 'model' state dict as numpy.
+
+    Uses torch when importable; otherwise the in-package torch-free zip
+    reader (models/pt_reader.py, bit-identical on zip-format saves —
+    tests/test_fairseq_golden.py), so TPU hosts can consume fairseq
+    checkpoints without a torch install."""
+    try:
+        import torch
+    except ImportError:
+        from audio8_tpu.models.pt_reader import load_state_dict
+
+        return load_state_dict(bin_file)
 
     blob = torch.load(bin_file, map_location="cpu", weights_only=False)
     model = blob.get("model", blob)
@@ -369,7 +379,14 @@ def load_fairseq_bin(bin_file: str, ctc: bool = False, num_layers: int = 12,
     the data2vec-audio positional stack (beyond the reference's
     post-norm-only loader)."""
     state = load_torch_file(bin_file)
-    num_fx = 7 if sr == 16 else 6
+    # conv-stack depth from the checkpoint itself (falls back to the
+    # per-sample-rate CONV_FEATURES depth when the keys are absent)
+    prefix = "w2v_encoder.w2v_model." if ctc else ""
+    num_fx = 0
+    while f"{prefix}feature_extractor.conv_layers.{num_fx}.0.weight" in state:
+        num_fx += 1
+    if num_fx == 0:
+        num_fx = 7 if sr == 16 else 6
     kw = dict(pre_norm=pre_norm, extractor_mode=extractor_mode,
               conv_bias=conv_bias, pos_conv_depth=pos_conv_depth,
               gated_rel_pos=gated_rel_pos, encoder_type=encoder_type,

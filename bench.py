@@ -458,9 +458,11 @@ def main():
     extra = {}
     _emit(throughput, extra)  # the headline is now on stdout, kill-proof
     if args.workload == "all":
-        # warm-cache speedup observed so far this run: completed extras
-        # that beat their cold estimate shrink later gates proportionally
-        warm_ratio = 1.0
+        # relay/cache speed factor: the headline's own cold cost was
+        # ~100 s in round 3 but 522 s in a cold-cache round-4 run — seed
+        # the gate scale from the observed headline wall-clock, then let
+        # completed extras that beat their estimate shrink it
+        warm_ratio = max(1.0, (time.perf_counter() - start) / 100.0)
         for key, fn in [
             ("ctc_finetune_throughput", lambda: bench_ctc(False)),
             ("ctc_finetune_frozen_throughput", lambda: bench_ctc(True)),
