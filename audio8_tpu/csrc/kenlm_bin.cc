@@ -90,11 +90,23 @@ inline uint64_t CombineWordHash(uint64_t current, uint32_t next) {
 }
 
 // util/probing_hash_table.hh Size(): replicate kenlm's float32
-// arithmetic exactly so section offsets match byte-for-byte.
-inline uint64_t Buckets(uint64_t entries, float multiplier) {
+// arithmetic exactly so section offsets match byte-for-byte. Returns
+// false (instead of invoking float->uint64 conversion UB or wrapping
+// entries+1 to 0) when a corrupt/crafted counts[] would produce a
+// bucket count above `limit` — callers pass the file size, since every
+// bucket occupies >= 8 bytes and a larger table cannot possibly fit.
+inline bool BucketsChecked(uint64_t entries, float multiplier,
+                           uint64_t limit, uint64_t* out) {
+  if (entries >= limit) return false;  // also rules out entries+1 wrap
+  const double scaled_d =
+      static_cast<double>(multiplier) * static_cast<double>(
+          static_cast<float>(entries));
+  if (!(scaled_d >= 0.0) || scaled_d > static_cast<double>(limit))
+    return false;
   const uint64_t scaled =
       static_cast<uint64_t>(multiplier * static_cast<float>(entries));
-  return entries + 1 > scaled ? entries + 1 : scaled;
+  *out = entries + 1 > scaled ? entries + 1 : scaled;
+  return *out > 0 && *out <= limit;
 }
 
 struct KenLmBinary : public Lm {
@@ -104,6 +116,7 @@ struct KenLmBinary : public Lm {
 
   const uint8_t* vocab_tab = nullptr;  // 12-byte (u64 key, u32 id) entries
   uint64_t vocab_buckets = 0;
+  uint64_t vocab_bound = 0;            // counts[0] + 1 (unigram rows)
   const uint8_t* unigram = nullptr;    // (f32 prob, f32 backoff) per id
   std::vector<const uint8_t*> middles;  // 16-byte (u64, f32, f32) entries
   std::vector<uint64_t> middle_buckets;
@@ -120,7 +133,11 @@ struct KenLmBinary : public Lm {
     uint64_t i = key % vocab_buckets;
     while (true) {
       const uint64_t k = LoadU64(vocab_tab + i * 12);
-      if (k == key) return static_cast<int32_t>(LoadU32(vocab_tab + i * 12 + 8));
+      if (k == key) {
+        const uint32_t id = LoadU32(vocab_tab + i * 12 + 8);
+        // a corrupt table must not hand out ids past the unigram array
+        return id < vocab_bound ? static_cast<int32_t>(id) : -1;
+      }
       if (k == 0) return -1;  // OOV; callers substitute unk_id (= 0)
       i = (i + 1) % vocab_buckets;
     }
@@ -236,7 +253,14 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
   const size_t counts_off = sanity_size + 20;
   if (size < counts_off + 8 * order) return fail();
   std::vector<uint64_t> counts(order);
-  for (int i = 0; i < order; ++i) counts[i] = LoadU64(base + counts_off + 8 * i);
+  for (int i = 0; i < order; ++i) {
+    counts[i] = LoadU64(base + counts_off + 8 * i);
+    // sane ceiling: every stored n-gram occupies >= 8 bytes, so a count
+    // beyond size/8 cannot be real — reject before any section math can
+    // wrap (a crafted counts[] must fail loudly, not pass need() via
+    // uint64 overflow and read out of the mmap)
+    if (counts[i] == 0 || counts[i] > size / 8) return fail();
+  }
 
   auto* lm = new KenLmBinary();
   lm->base = base;
@@ -244,39 +268,58 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
   lm->fd = fd;
   lm->order = order;
   lm->unk_id = 0;
+  lm->vocab_bound = counts[0] + 1;
 
-  size_t off = Align8(counts_off + 8 * order);
-  auto need = [&](size_t bytes) {
-    if (off + bytes > size) return false;
-    return true;
+  uint64_t off = Align8(counts_off + 8 * order);
+  // overflow-checked "section of n entries x stride bytes fits at off"
+  auto need = [&](uint64_t entries, uint64_t stride) {
+    uint64_t bytes, end;
+    if (__builtin_mul_overflow(entries, stride, &bytes)) return false;
+    if (__builtin_add_overflow(off, bytes, &end)) return false;
+    return end <= size;
   };
 
   // Vocab: u64 bound header + probing table of counts[0] entries.
-  if (!need(8)) { delete lm; return nullptr; }
+  if (!need(1, 8)) { delete lm; return nullptr; }
+  const uint64_t str_bound = LoadU64(base + off);  // highest word id + 1
+  if (str_bound > counts[0] + 1) { delete lm; return nullptr; }
   off += 8;
-  lm->vocab_buckets = Buckets(counts[0], multiplier);
-  if (!need(lm->vocab_buckets * 12)) { delete lm; return nullptr; }
+  if (!BucketsChecked(counts[0], multiplier, size, &lm->vocab_buckets) ||
+      !need(lm->vocab_buckets, 12)) { delete lm; return nullptr; }
   lm->vocab_tab = base + off;
   off += lm->vocab_buckets * 12;
 
   // Unigram: counts[0] + 1 ProbBackoff rows.
-  if (!need((counts[0] + 1) * 8)) { delete lm; return nullptr; }
+  if (!need(counts[0] + 1, 8)) { delete lm; return nullptr; }
   lm->unigram = base + off;
   off += (counts[0] + 1) * 8;
 
   for (int n = 2; n < order; ++n) {
-    const uint64_t buckets = Buckets(counts[n - 1], multiplier);
-    if (!need(buckets * 16)) { delete lm; return nullptr; }
+    uint64_t buckets;
+    if (!BucketsChecked(counts[n - 1], multiplier, size, &buckets) ||
+        !need(buckets, 16)) { delete lm; return nullptr; }
     lm->middles.push_back(base + off);
     lm->middle_buckets.push_back(buckets);
     off += buckets * 16;
   }
   if (order > 1) {
-    lm->longest_buckets = Buckets(counts[order - 1], multiplier);
-    if (!need(lm->longest_buckets * 12)) { delete lm; return nullptr; }
+    if (!BucketsChecked(counts[order - 1], multiplier, size,
+                        &lm->longest_buckets) ||
+        !need(lm->longest_buckets, 12)) { delete lm; return nullptr; }
     lm->longest = base + off;
     off += lm->longest_buckets * 12;
   }
   if (!has_vocab && off != size) { delete lm; return nullptr; }
+  // has_vocab: the tail must plausibly hold the `str_bound`
+  // NUL-terminated vocab strings (one NUL per word at minimum). A tail
+  // with fewer NULs means the section layout under-ran into the string
+  // area — a real layout shortfall must fail loudly, not be absorbed.
+  if (has_vocab && off < size) {
+    const uint8_t* tail = base + off;
+    const uint64_t tail_len = size - off;
+    uint64_t nuls = 0;
+    for (uint64_t i = 0; i < tail_len; ++i) nuls += (tail[i] == 0);
+    if (nuls < str_bound) { delete lm; return nullptr; }
+  }
   return static_cast<Lm*>(lm);
 }

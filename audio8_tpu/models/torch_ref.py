@@ -81,29 +81,25 @@ def make_fairseq_state(rng, d: int = 64, h: int = 4, l: int = 2,
     return s
 
 
-def forward(state: Dict[str, np.ndarray], x: np.ndarray, prefix: str = "",
-            num_heads: int = 4, fx=None,
-            taps: Optional[List[Tuple[str, np.ndarray]]] = None):
-    """Eval-mode replica of the fairseq wav2vec2 encoder forward.
-
-    Returns (features_after_layernorm, final_hidden); when ``taps`` is a
-    list it is filled with (name, activation) pairs including every
-    transformer layer output.
-    """
+def forward_t(g, xt, num_heads: int = 4, fx=None, d: int = None,
+              l: int = None, taps=None):
+    """Differentiable torch-tensor replica of the fairseq wav2vec2
+    encoder forward. ``g(name)`` returns the parameter tensor for a
+    fairseq key (prefix already applied); ``xt`` is a (B, T) float
+    tensor. Returns (features_after_layernorm, final_hidden) as tensors —
+    the trainable core shared by the numpy-facing ``forward`` and the
+    training-dynamics parity test (tests/test_train_dynamics.py)."""
     import torch
     import torch.nn.functional as F
 
     fx = fx if fx is not None else CONV_FEATURES[16]
-    dims = infer_dims(state, prefix)
-    d, l = dims["d_model"], dims["num_layers"]
     c0 = fx[0][0]
-    g = lambda n: torch.from_numpy(np.asarray(state[prefix + n]))
 
     def tap(name, val):
         if taps is not None:
             taps.append((name, val.detach().numpy()))
 
-    xt = torch.from_numpy(x).unsqueeze(1)  # (B, 1, T)
+    xt = xt.unsqueeze(1)  # (B, 1, T)
     for i, (c, k, st) in enumerate(fx):
         xt = F.conv1d(xt, g(f"feature_extractor.conv_layers.{i}.0.weight"), stride=st)
         if i == 0:
@@ -146,6 +142,26 @@ def forward(state: Dict[str, np.ndarray], x: np.ndarray, prefix: str = "",
         h = F.layer_norm(h + ff, (d,), g(f"{b}.final_layer_norm.weight"),
                          g(f"{b}.final_layer_norm.bias"), eps=1e-5)
         tap(f"layer_{i}", h)
+    return feat, h
+
+
+def forward(state: Dict[str, np.ndarray], x: np.ndarray, prefix: str = "",
+            num_heads: int = 4, fx=None,
+            taps: Optional[List[Tuple[str, np.ndarray]]] = None):
+    """Eval-mode replica of the fairseq wav2vec2 encoder forward.
+
+    Returns (features_after_layernorm, final_hidden) as numpy; when
+    ``taps`` is a list it is filled with (name, activation) pairs
+    including every transformer layer output.
+    """
+    import torch
+
+    dims = infer_dims(state, prefix)
+    g = lambda n: torch.from_numpy(np.asarray(state[prefix + n]))
+    with torch.no_grad():
+        feat, h = forward_t(g, torch.from_numpy(x), num_heads=num_heads,
+                            fx=fx, d=dims["d_model"], l=dims["num_layers"],
+                            taps=taps)
     return feat.numpy(), h.numpy()
 
 

@@ -139,45 +139,85 @@ class KenLMBinaryLM:
         buf = np.memmap(path, dtype=np.uint8, mode="r")
         raw = memoryview(buf)
         if len(raw) < _SANITY.size or bytes(raw[:len(MAGIC)]) != MAGIC:
-            head = bytes(raw[:32])
+            head = bytes(raw[:len(MAGIC)])
+            if head == MAGIC[:len(head)]:  # v5 magic, file just ends
+                raise ValueError(
+                    f"{path}: KenLM binary truncated ({len(raw)} bytes "
+                    "is smaller than the fixed header); " + _CONVERT_HINT)
             if head.startswith(b"mmap lm"):
                 raise ValueError(
                     f"{path}: KenLM binary with unsupported format "
                     "version (only 'format version 5' is supported); "
                     + _CONVERT_HINT)
             raise ValueError(f"{path} is not a KenLM binary model")
-        magic, zero_f, one_f, minus_half_f, one_w, max_w, one_u64 = \
-            _SANITY.unpack_from(raw, 0)
-        if (zero_f, one_f, minus_half_f, one_w, max_w, one_u64) != \
-                (0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1):
+        size = len(raw)
+        # a truncated header must raise the same actionable ValueError as
+        # every other structural problem, not struct.error/OverflowError
+        if size < _SANITY.size + _FIXED.size + 8:
             raise ValueError(
-                f"{path}: KenLM sanity header mismatch (file written on "
-                "an incompatible platform or layout drift); " + _CONVERT_HINT)
-        order, multiplier, model_type, has_vocab, search_version = \
-            _FIXED.unpack_from(raw, _SANITY.size)
-        if model_type != MODEL_PROBING:
-            name = _MODEL_NAMES.get(model_type, str(model_type))
+                f"{path}: KenLM binary truncated ({size} bytes is smaller "
+                "than the fixed header); " + _CONVERT_HINT)
+        try:
+            magic, zero_f, one_f, minus_half_f, one_w, max_w, one_u64 = \
+                _SANITY.unpack_from(raw, 0)
+            if (zero_f, one_f, minus_half_f, one_w, max_w, one_u64) != \
+                    (0.0, 1.0, -0.5, 1, 0xFFFFFFFF, 1):
+                raise ValueError(
+                    f"{path}: KenLM sanity header mismatch (file written on "
+                    "an incompatible platform or layout drift); " + _CONVERT_HINT)
+            order, multiplier, model_type, has_vocab, search_version = \
+                _FIXED.unpack_from(raw, _SANITY.size)
+            if model_type != MODEL_PROBING:
+                name = _MODEL_NAMES.get(model_type, str(model_type))
+                raise ValueError(
+                    f"{path}: KenLM binary search type {name} is not "
+                    "supported (PROBING only, i.e. build_binary's default "
+                    "without the 'trie' argument); " + _CONVERT_HINT)
+            if order < 1:
+                raise ValueError(f"{path}: invalid order {order}")
+            if not (1.0 < multiplier < 1e6):
+                raise ValueError(
+                    f"{path}: implausible probing multiplier {multiplier}; "
+                    + _CONVERT_HINT)
+            counts_off = _SANITY.size + _FIXED.size
+            counts = struct.unpack_from("<" + "Q" * order, raw, counts_off)
+        except (struct.error, OverflowError) as e:
             raise ValueError(
-                f"{path}: KenLM binary search type {name} is not "
-                "supported (PROBING only, i.e. build_binary's default "
-                "without the 'trie' argument); " + _CONVERT_HINT)
-        if order < 1:
-            raise ValueError(f"{path}: invalid order {order}")
-        counts_off = _SANITY.size + _FIXED.size
-        counts = struct.unpack_from("<" + "Q" * order, raw, counts_off)
+                f"{path}: KenLM binary truncated or corrupt header "
+                f"({e}); " + _CONVERT_HINT) from e
+        # every stored n-gram occupies >= 8 bytes: counts beyond size/8
+        # are corrupt and would otherwise blow up the bucket arithmetic
+        for i, c in enumerate(counts):
+            if c == 0 or c > size // 8:
+                raise ValueError(
+                    f"{path}: implausible {i + 1}-gram count {c} for a "
+                    f"{size}-byte file; " + _CONVERT_HINT)
         self.order = order
         self.counts = list(counts)
         off = _align8(counts_off + 8 * order)
 
+        def need(bytes_, what):
+            if off + bytes_ > size:
+                raise ValueError(
+                    f"{path}: {what} section ({bytes_} bytes at offset "
+                    f"{off}) runs past end of file ({size} bytes); "
+                    + _CONVERT_HINT)
+
         # --- vocabulary: u64 header (bound) + probing table ---
         (self.bound,) = struct.unpack_from("<Q", raw, off)
         off += 8
+        if self.bound > counts[0] + 1:
+            raise ValueError(
+                f"{path}: vocab bound {self.bound} exceeds unigram count "
+                f"{counts[0]}; " + _CONVERT_HINT)
         vb = _buckets(counts[0], multiplier)
+        need(vb * _VOCAB_ENTRY.itemsize, "vocab hash")
         self._vocab = np.frombuffer(raw, dtype=_VOCAB_ENTRY, count=vb,
                                     offset=off)
         off += vb * _VOCAB_ENTRY.itemsize
 
         # --- unigram: (counts[0]+1) ProbBackoff, indexed by word id ---
+        need(8 * (counts[0] + 1), "unigram")
         self._unigram = np.frombuffer(
             raw, dtype="<f4", count=2 * (counts[0] + 1),
             offset=off).reshape(-1, 2)
@@ -187,32 +227,48 @@ class KenLMBinaryLM:
         self._middles: List[np.ndarray] = []
         for n in range(2, order):
             mb = _buckets(counts[n - 1], multiplier)
+            need(mb * _MIDDLE_ENTRY.itemsize, f"{n}-gram hash")
             self._middles.append(np.frombuffer(
                 raw, dtype=_MIDDLE_ENTRY, count=mb, offset=off))
             off += mb * _MIDDLE_ENTRY.itemsize
         self._longest: Optional[np.ndarray] = None
         if order > 1:
             lb = _buckets(counts[order - 1], multiplier)
+            need(lb * _LONGEST_ENTRY.itemsize, f"{order}-gram hash")
             self._longest = np.frombuffer(
                 raw, dtype=_LONGEST_ENTRY, count=lb, offset=off)
             off += lb * _LONGEST_ENTRY.itemsize
 
-        size = len(raw)
-        if (has_vocab and off > size) or (not has_vocab and off != size):
+        if not has_vocab and off != size:
             raise ValueError(
                 f"{path}: section layout inconsistent with file size "
                 f"(expected body end {off}, file is {size} bytes) — "
                 "refusing to mis-score; " + _CONVERT_HINT)
         self.words: Optional[List[str]] = None
         if has_vocab and off < size:
+            # the trailing string section must hold exactly the `bound`
+            # NUL-terminated words: a shortfall in the table layout would
+            # otherwise be silently absorbed as garbage "vocab strings"
             tail = bytes(raw[off:])
             words = tail.split(b"\x00")
             if words and words[-1] == b"":
                 words.pop()
-            if len(words) >= self.bound:
-                self.words = [w.decode("utf-8", "replace")
-                              for w in words[:self.bound]]
+            if len(words) != self.bound:
+                raise ValueError(
+                    f"{path}: vocab string section holds {len(words)} "
+                    f"words, expected {self.bound} — section layout "
+                    "inconsistent, refusing to mis-score; " + _CONVERT_HINT)
+            self.words = [w.decode("utf-8", "replace") for w in words]
         self._id_cache: Dict[str, int] = {"<unk>": 0, "<UNK>": 0}
+        if self.words is not None and self.bound > 1:
+            # spot-check: the strings round-trip through the hash table
+            for wid in {1, self.bound // 2, self.bound - 1}:
+                if wid >= 1 and self.index(self.words[wid]) != wid:
+                    raise ValueError(
+                        f"{path}: vocab string {self.words[wid]!r} does "
+                        f"not hash back to id {wid} — section layout "
+                        "inconsistent, refusing to mis-score; "
+                        + _CONVERT_HINT)
 
     # -- lookups ---------------------------------------------------------
     def index(self, word: str) -> int:
@@ -229,6 +285,8 @@ class KenLMBinaryLM:
             k = int(tab["key"][i])
             if k == key:
                 wid = int(tab["val"][i])
+                if wid >= len(self._unigram):  # corrupt table: treat as OOV
+                    wid = 0
                 break
             if k == 0:
                 break
@@ -352,13 +410,26 @@ def write_kenlm_binary(arpa_path: str, out_path: str,
     def ids_of(gram: Tuple[str, ...]) -> Tuple[int, ...]:
         return tuple(word_ids.get(w, 0) for w in gram)
 
+    def checked_key(gram: Tuple[str, ...]) -> int:
+        key = ngram_key(ids_of(gram))
+        if key == 0:
+            # astronomically rare, but a key-0 entry is indistinguishable
+            # from an empty bucket: unreadable, and later probe inserts
+            # could overwrite it. Refuse rather than emit a table that
+            # silently drops/mis-scores this n-gram.
+            raise ValueError(
+                f"n-gram {gram!r} hash-chains to the reserved "
+                "empty-bucket key 0; cannot be stored in a PROBING "
+                "binary — drop it from the ARPA or use the ARPA directly")
+        return key
+
     # --- middle tables ---
     middles = []
     for n in range(2, order):
         mb = _buckets(counts[n - 1], probing_multiplier)
         tab = np.zeros(mb, dtype=_MIDDLE_ENTRY)
         for gram, p10, b10 in by_order[n - 1]:
-            key = ngram_key(ids_of(gram))
+            key = checked_key(gram)
             def put(i, key=key, p10=p10, b10=b10, tab=tab):
                 tab["key"][i] = key
                 tab["prob"][i] = p10
@@ -372,7 +443,7 @@ def write_kenlm_binary(arpa_path: str, out_path: str,
         lb = _buckets(counts[order - 1], probing_multiplier)
         longest = np.zeros(lb, dtype=_LONGEST_ENTRY)
         for gram, p10, _ in by_order[order - 1]:
-            key = ngram_key(ids_of(gram))
+            key = checked_key(gram)
             def put(i, key=key, p10=p10):
                 longest["key"][i] = key
                 longest["prob"][i] = p10

@@ -352,3 +352,62 @@ def test_native_beam_search_consumes_binary_lm_in_process(tmp_path):
                                 lm_file=str(arpa))
     assert pbs_bin.run(lp, n_best=3, return_ids=True) == \
         pbs_arpa.run(lp, n_best=3, return_ids=True)
+
+def test_corrupt_counts_and_short_headers_fail_actionably(tmp_path):
+    """Hardening (ADVICE r3): crafted counts[] and truncated headers must
+    raise the actionable ValueError, not struct.error/SIGFPE/OOB reads."""
+    arpa = tmp_path / "h.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "h.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    blob = bytearray(binp.read_bytes())
+
+    # counts[0] -> absurd value far past file_size/8
+    huge = bytearray(blob)
+    struct.pack_into("<Q", huge, 112, 1 << 60)  # counts_off = 88+20+4pad
+    huge_path = tmp_path / "huge.bin"
+    huge_path.write_bytes(bytes(huge))
+    with pytest.raises(ValueError, match="implausible"):
+        KenLMBinaryLM(str(huge_path))
+
+    # magic intact but file ends mid-header
+    short = tmp_path / "short.bin"
+    short.write_bytes(bytes(blob[:60]))
+    with pytest.raises(ValueError, match="truncated"):
+        KenLMBinaryLM(str(short))
+
+    # native loader: same crafted files must return load failure, never
+    # crash the process
+    try:
+        native = _native_or_skip()
+    except Exception:
+        return
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(huge_path))
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(short))
+
+
+def test_vocab_string_shortfall_fails_loudly(tmp_path):
+    """A has_vocab file whose trailing string section does not hold
+    exactly `bound` words is refused (section-layout shortfall would
+    otherwise be absorbed as garbage vocab)."""
+    arpa = tmp_path / "v.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "v.bin"
+    write_kenlm_binary(str(arpa), str(binp))
+    blob = bytearray(binp.read_bytes())
+
+    # chop one trailing vocab string off
+    cut_at = bytes(blob).rfind(b"\x00", 0, len(blob) - 1)
+    shortv = tmp_path / "shortv.bin"
+    shortv.write_bytes(bytes(blob[:cut_at + 1]))
+    with pytest.raises(ValueError, match="vocab string section"):
+        KenLMBinaryLM(str(shortv))
+
+    try:
+        native = _native_or_skip()
+    except Exception:
+        return
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(shortv))
