@@ -348,9 +348,14 @@ class KenLMBinaryLM:
 
 _CONVERT_HINT = (
     "use the original ARPA text (it loads directly, .gz accepted), "
-    "rebuild the binary as PROBING (kenlm build_binary without the "
-    "'trie' argument, or a8t-build-binary), or re-estimate in-package: "
-    "a8t-train-ngram --input corpus.txt --output lm.arpa --order <n>")
+    "rebuild the binary as PROBING — on any machine with kenlm: "
+    "`build_binary lm.arpa lm.bin` (no 'trie' argument), or from ARPA "
+    "in-package: `a8t-build-binary lm.arpa lm.bin` — or re-estimate: "
+    "`a8t-train-ngram --input corpus.txt --output lm.arpa --order <n>`. "
+    "TRIE/quantized subtypes are deliberately not parsed in-process: "
+    "their bit-packed layout cannot be validated without real kenlm "
+    "artifacts, and a guessed parse risks silent mis-scoring "
+    "(docs/PARITY.md 'KenLM binary models')")
 
 
 def write_kenlm_binary(arpa_path: str, out_path: str,
