@@ -680,18 +680,34 @@ def _select_negatives(sims: jnp.ndarray, neg_idx: jnp.ndarray,
 _NEG_LOOKUP_ENV = os.environ.get("A8T_NEG_LOOKUP")
 
 
+_NEG_LOOKUP_LOGGED = False
+
+
 def _default_neg_lookup() -> str:
     """onehot on TPU (where the lane-axis gather serializes — see
     _select_negatives), gather elsewhere: on CPU/GPU take_along_axis is a
     native gather and the dense (B, M, N, M) contraction would do O(M)
-    times the work."""
-    if _NEG_LOOKUP_ENV is not None:
-        return _NEG_LOOKUP_ENV
+    times the work. Logs the selected mode once (and bench.py asserts
+    'onehot' on TPU hardware) so a silent hot-path flip — a ~10%
+    regression — is loud."""
+    global _NEG_LOOKUP_LOGGED
     dev = jax.devices()[0]
-    # platform is "tpu" natively but e.g. "axon" through the TPU relay;
-    # device_kind ("TPU v5 lite") identifies the hardware either way
-    is_tpu = "tpu" in f"{dev.platform} {dev.device_kind}".lower()
-    return "onehot" if is_tpu else "gather"
+    if _NEG_LOOKUP_ENV is not None:
+        mode = _NEG_LOOKUP_ENV
+    else:
+        # platform is "tpu" natively but e.g. "axon" through the TPU
+        # relay; device_kind ("TPU v5 lite") identifies the hardware
+        is_tpu = "tpu" in f"{dev.platform} {dev.device_kind}".lower()
+        mode = "onehot" if is_tpu else "gather"
+    if not _NEG_LOOKUP_LOGGED:
+        _NEG_LOOKUP_LOGGED = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "InfoNCE neg_lookup mode: %s (platform=%s, device_kind=%s%s)",
+            mode, dev.platform, dev.device_kind,
+            ", from A8T_NEG_LOOKUP" if _NEG_LOOKUP_ENV is not None else "")
+    return mode
 
 
 def _l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
