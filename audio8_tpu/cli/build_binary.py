@@ -1,14 +1,16 @@
-"""`a8t-build-binary`: compile an ARPA LM to KenLM PROBING binary.
+"""`a8t-build-binary`: compile an ARPA LM to a KenLM binary model.
 
-kenlm ``build_binary`` equivalent for the default (probing) search
-type — the artifact the reference's decode path consumes through
-ctcdecode (/root/reference/audio8/ctc.py:22-30). The output loads via
-``audio8_tpu.ops.kenlm_bin.KenLMBinaryLM`` (PrefixBeamSearch routes
-there automatically) and follows kenlm's published format-version-5
-layout, so kenlm itself should also accept it:
+kenlm ``build_binary`` equivalent for the probing (default) and trie
+search types — the artifacts the reference's decode path consumes
+through ctcdecode (/root/reference/audio8/ctc.py:22-30). The output
+loads via ``audio8_tpu.ops.kenlm_bin.KenLMBinaryLM`` / the native
+C++ reader (PrefixBeamSearch routes there automatically) and follows
+kenlm's published format-version-5 layouts, so kenlm itself should
+also accept it:
 
   a8t-train-ngram --input train.wrd --output lm.arpa --order 3
   a8t-build-binary lm.arpa lm.bin
+  a8t-build-binary lm.arpa lm.trie --trie --quantize   # build_binary trie -q
   a8t-test ... --beam 8 --lm lm.bin --alpha 0.7
 """
 from __future__ import annotations
@@ -27,7 +29,19 @@ def parse_args(argv=None):
     p.add_argument("output", help="binary model file to write")
     p.add_argument("-p", "--probing_multiplier", type=float, default=1.5,
                    help="hash-table space multiplier (kenlm -p; >1.0, "
-                        "larger = fewer probe collisions, bigger file)")
+                        "larger = fewer probe collisions, bigger file; "
+                        "probing layout only)")
+    p.add_argument("--trie", action="store_true",
+                   help="write the sorted bit-packed TRIE layout "
+                        "(kenlm `build_binary trie`): smaller file, "
+                        "binary-search lookups")
+    p.add_argument("-q", "--quantize", action="store_true",
+                   help="with --trie: store probs/backoffs as quantized "
+                        "table indices (kenlm `build_binary trie -q`)")
+    p.add_argument("--prob_bits", type=int, default=8,
+                   help="quantization bits for probabilities (kenlm -q N)")
+    p.add_argument("--backoff_bits", type=int, default=8,
+                   help="quantization bits for backoffs (kenlm -b N)")
     p.add_argument("--no_vocab_strings", action="store_true",
                    help="omit the trailing id-ordered vocabulary strings")
     return p.parse_args(argv)
@@ -39,12 +53,22 @@ def main(argv=None):
     args = parse_args(argv)
     if args.probing_multiplier <= 1.0:
         raise ValueError("--probing_multiplier must be > 1.0")
+    if args.quantize and not args.trie:
+        raise ValueError("--quantize requires --trie (kenlm quantizes "
+                         "the trie layout only)")
     info = write_kenlm_binary(
         args.arpa, args.output,
         probing_multiplier=args.probing_multiplier,
-        write_vocab_strings=not args.no_vocab_strings)
-    logger.info("wrote %s: order %d, counts %s, %d words",
-                args.output, info["order"], info["counts"], info["bound"])
+        write_vocab_strings=not args.no_vocab_strings,
+        search="trie" if args.trie else "probing",
+        quantize=args.quantize,
+        prob_bits=args.prob_bits,
+        backoff_bits=args.backoff_bits)
+    logger.info("wrote %s: %s, order %d, counts %s, %d words",
+                args.output,
+                "TRIE -q" if args.quantize else
+                ("TRIE" if args.trie else "PROBING"),
+                info["order"], info["counts"], info["bound"])
     return 0
 
 

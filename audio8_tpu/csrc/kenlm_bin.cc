@@ -1,14 +1,18 @@
-// KenLM PROBING binary model reader for the native LM-fused prefix beam
-// search. C++ twin of audio8_tpu/ops/kenlm_bin.py (same published
-// format-version-5 layout, differential-tested against it); completes
-// the reference's ctcdecode+KenLM-binary decode path natively
+// KenLM binary model readers (PROBING + TRIE/QUANT_TRIE) for the
+// native LM-fused prefix beam search. C++ twin of
+// audio8_tpu/ops/kenlm_bin.py (same published format-version-5
+// layouts, differential-tested against it); completes the reference's
+// ctcdecode+KenLM-binary decode path natively
 // (/root/reference/audio8/ctc.py:22-30). The file is mmap'd and scored
-// in place: murmur-hashed vocab probing table, direct-indexed unigram
-// ProbBackoff array, CombineWordHash-keyed linear-probing tables for
-// the middle orders and the longest order.
+// in place. PROBING: murmur-hashed vocab probing table, direct-indexed
+// unigram ProbBackoff array, CombineWordHash-keyed linear-probing
+// tables for the middle orders and the longest order. TRIE
+// (lm/search_trie.cc, lm/trie.hh): hash-sorted vocab, reversed-n-gram
+// bit-packed per-order sorted arrays walked predicted-word-first, with
+// optional SeparatelyQuantize center tables (lm/quantize.hh).
 //
 // On any structural mismatch (bad magic, sanity reference values,
-// non-PROBING model type, section layout inconsistent with the file
+// unsupported model type, section layout inconsistent with the file
 // size) the loader returns nullptr — callers fall back to the Python
 // reader, whose errors name the fix (ops/kenlm_bin.py).
 #include <fcntl.h>
@@ -16,6 +20,7 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -109,11 +114,46 @@ inline bool BucketsChecked(uint64_t entries, float multiplier,
   return *out > 0 && *out <= limit;
 }
 
-struct KenLmBinary : public Lm {
+// Shared skeleton: owns the mmap and implements kenlm's backoff chain
+// over a format-specific exact-n-gram lookup.
+struct BackoffBinaryLm : public Lm {
   const uint8_t* base = nullptr;
   size_t size = 0;
   int fd = -1;
 
+  ~BackoffBinaryLm() override {
+    if (base != nullptr) munmap(const_cast<uint8_t*>(base), size);
+    if (fd >= 0) close(fd);
+  }
+
+  // (prob10, backoff10) of the exact n-gram ctx+word, or false.
+  // ctx_len == 0 (unigram) must always succeed: rows exist for every
+  // id either reader hands out.
+  virtual bool Find(const int32_t* ctx, int ctx_len, int32_t word,
+                    float* p, float* b) const = 0;
+
+  float LogP(int32_t word, const int32_t* ctx, int ctx_len) const override {
+    if (word < 0) word = 0;  // OOV -> <unk>, kenlm semantics
+    if (ctx_len > order - 1) {
+      ctx += ctx_len - (order - 1);
+      ctx_len = order - 1;
+    }
+    double acc = 0.0;
+    float p, b;
+    while (true) {
+      if (Find(ctx, ctx_len, word, &p, &b)) return (acc + p) * kLn10;
+      // ctx_len == 0 always resolves above (unigram is an array), so
+      // reaching here implies ctx_len >= 1: add the backoff weight of
+      // the context n-gram ctx[0..ctx_len) itself (its last word
+      // conditioned on the preceding ones), then drop the oldest word.
+      if (Find(ctx, ctx_len - 1, ctx[ctx_len - 1], &p, &b)) acc += b;
+      ++ctx;
+      --ctx_len;
+    }
+  }
+};
+
+struct KenLmBinary : public BackoffBinaryLm {
   const uint8_t* vocab_tab = nullptr;  // 12-byte (u64 key, u32 id) entries
   uint64_t vocab_buckets = 0;
   uint64_t vocab_bound = 0;            // counts[0] + 1 (unigram rows)
@@ -122,11 +162,6 @@ struct KenLmBinary : public Lm {
   std::vector<uint64_t> middle_buckets;
   const uint8_t* longest = nullptr;    // 12-byte (u64 key, f32 prob) entries
   uint64_t longest_buckets = 0;
-
-  ~KenLmBinary() override {
-    if (base != nullptr) munmap(const_cast<uint8_t*>(base), size);
-    if (fd >= 0) close(fd);
-  }
 
   int32_t Lookup(const std::string& w) const override {
     const uint64_t key = Murmur64A(w.data(), w.size());
@@ -143,9 +178,8 @@ struct KenLmBinary : public Lm {
     }
   }
 
-  // (prob10, backoff10) of the exact n-gram ctx+word, or false.
   bool Find(const int32_t* ctx, int ctx_len, int32_t word, float* p,
-            float* b) const {
+            float* b) const override {
     if (ctx_len == 0) {  // unigram rows exist for every id structurally
       *p = LoadF32(unigram + word * 8);
       *b = LoadF32(unigram + word * 8 + 4);
@@ -185,25 +219,133 @@ struct KenLmBinary : public Lm {
       i = (i + 1) % buckets;
     }
   }
+};
 
-  float LogP(int32_t word, const int32_t* ctx, int ctx_len) const override {
-    if (word < 0) word = 0;  // OOV -> <unk>, kenlm semantics
-    if (ctx_len > order - 1) {
-      ctx += ctx_len - (order - 1);
-      ctx_len = order - 1;
+// --- TRIE / QUANT_TRIE -----------------------------------------------
+
+// util/bit_packing.hh ReadInt57 semantics on little-endian: shift the
+// 64-bit window at byte (bit >> 3) right by (bit & 7). Every bit-packed
+// section carries kenlm's +8 tail slack, so the window never runs past
+// its section.
+inline uint64_t ReadBits(const uint8_t* sec, uint64_t bit, uint8_t nbits) {
+  uint64_t window;
+  std::memcpy(&window, sec + (bit >> 3), 8);
+  return (window >> (bit & 7)) &
+         (nbits >= 64 ? ~0ull : ((1ull << nbits) - 1));
+}
+
+constexpr uint32_t kSignBit = 0x80000000u;
+
+inline float F32FromBits(uint32_t u) {
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+inline uint8_t RequiredBits(uint64_t max_value) {
+  uint8_t ret = 0;
+  while (max_value) {
+    ++ret;
+    max_value >>= 1;
+  }
+  return ret;
+}
+
+struct TrieLevel {
+  const uint8_t* sec = nullptr;
+  uint64_t count = 0;
+  uint32_t total_bits = 0;
+  uint8_t word_bits = 0;
+  // Unquantized: prob is a sign-stripped float31, backoff a float32.
+  // Quantized: prob/backoff are center-table indices.
+  const float* prob_table = nullptr;     // null -> float31
+  uint8_t prob_bits = 31;
+  const float* backoff_table = nullptr;  // null -> float32
+  uint8_t backoff_bits = 32;
+  bool has_backoff = true;               // longest level has none
+  uint32_t next_off = 0;                 // bit offset of the child ptr
+  uint8_t next_bits = 0;
+
+  uint64_t Word(uint64_t idx) const {
+    return ReadBits(sec, idx * total_bits, word_bits);
+  }
+  uint64_t Next(uint64_t idx) const {
+    return ReadBits(sec, idx * total_bits + next_off, next_bits);
+  }
+  void Values(uint64_t idx, float* p, float* b) const {
+    uint64_t bit = idx * total_bits + word_bits;
+    if (prob_table == nullptr) {
+      *p = F32FromBits(
+          static_cast<uint32_t>(ReadBits(sec, bit, 31)) | kSignBit);
+      bit += 31;
+    } else {
+      *p = prob_table[ReadBits(sec, bit, prob_bits)];
+      bit += prob_bits;
     }
-    double acc = 0.0;
-    float p, b;
-    while (true) {
-      if (Find(ctx, ctx_len, word, &p, &b)) return (acc + p) * kLn10;
-      // ctx_len == 0 always resolves above (unigram is an array), so
-      // reaching here implies ctx_len >= 1: add the backoff weight of
-      // the context n-gram ctx[0..ctx_len) itself (its last word
-      // conditioned on the preceding ones), then drop the oldest word.
-      if (Find(ctx, ctx_len - 1, ctx[ctx_len - 1], &p, &b)) acc += b;
-      ++ctx;
-      --ctx_len;
+    if (!has_backoff) {
+      *b = 0.0f;
+    } else if (backoff_table == nullptr) {
+      *b = F32FromBits(static_cast<uint32_t>(ReadBits(sec, bit, 32)));
+    } else {
+      *b = backoff_table[ReadBits(sec, bit, backoff_bits)];
     }
+  }
+};
+
+struct TrieKenLm : public BackoffBinaryLm {
+  const uint64_t* vocab_hashes = nullptr;  // sorted, ids are pos + 1
+  uint64_t n_vocab = 0;
+  const uint8_t* unigram = nullptr;  // 16-byte (f32, f32, u64 next) rows
+  std::vector<TrieLevel> levels;     // orders 2..N (last = longest)
+
+  int32_t Lookup(const std::string& w) const override {
+    const uint64_t key = Murmur64A(w.data(), w.size());
+    const uint64_t* end = vocab_hashes + n_vocab;
+    const uint64_t* it = std::lower_bound(vocab_hashes, end, key);
+    if (it != end && *it == key)
+      return static_cast<int32_t>(it - vocab_hashes) + 1;
+    return -1;  // OOV; callers substitute unk_id (= 0)
+  }
+
+  // Walk the reversed path: unigram of the newest word, then context
+  // words newest to oldest (lm/model.cc ScoreExceptBackoff order).
+  bool Find(const int32_t* ctx, int ctx_len, int32_t word, float* p,
+            float* b) const override {
+    const uint8_t* row = unigram + static_cast<uint64_t>(word) * 16;
+    if (ctx_len == 0) {
+      *p = LoadF32(row);
+      *b = LoadF32(row + 4);
+      return true;
+    }
+    uint64_t begin = LoadU64(row + 8);
+    uint64_t end = LoadU64(row + 24);
+    for (int depth = 0; depth < ctx_len; ++depth) {
+      const TrieLevel& t = levels[depth];
+      const uint64_t want = static_cast<uint64_t>(
+          static_cast<uint32_t>(ctx[ctx_len - 1 - depth]));
+      // binary search `want` in the word-sorted range [begin, end)
+      uint64_t lo = begin, hi = end, at = ~0ull;
+      while (lo < hi) {
+        const uint64_t mid = lo + (hi - lo) / 2;
+        const uint64_t wv = t.Word(mid);
+        if (wv < want) {
+          lo = mid + 1;
+        } else if (wv > want) {
+          hi = mid;
+        } else {
+          at = mid;
+          break;
+        }
+      }
+      if (at == ~0ull) return false;
+      if (depth == ctx_len - 1) {
+        t.Values(at, p, b);
+        return true;
+      }
+      begin = t.Next(at);
+      end = t.Next(at + 1);
+    }
+    return false;  // unreachable
   }
 };
 
@@ -247,28 +389,31 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
   const float multiplier = LoadF32(fx + 4);
   const int32_t model_type = static_cast<int32_t>(LoadU32(fx + 8));
   const bool has_vocab = fx[12] != 0;
-  if (model_type != 0 /* PROBING */ || order < 1 ||
-      !(multiplier > 1.0f) || !(multiplier < 1e6f))
+  const uint32_t search_version = LoadU32(fx + 16);
+  const bool is_probing = model_type == 0;
+  const bool is_trie = model_type == 2 || model_type == 3;
+  if (!(is_probing || is_trie) || order < 1 || (is_trie && order < 2))
+    return fail();
+  // kenlm bumps the per-search layout version on change: HashedSearch
+  // kVersion 0, TrieSearch kVersion 1 — an unknown version means an
+  // unknown layout, refuse rather than guess.
+  if (search_version != (is_probing ? 0u : 1u)) return fail();
+  if (is_probing && (!(multiplier > 1.0f) || !(multiplier < 1e6f)))
     return fail();
   const size_t counts_off = sanity_size + 20;
   if (size < counts_off + 8 * order) return fail();
   std::vector<uint64_t> counts(order);
+  // sane ceiling before any section math can wrap (a crafted counts[]
+  // must fail loudly, not pass need() via uint64 overflow and read out
+  // of the mmap): a PROBING entry occupies >= 8 bytes; a (quantized)
+  // trie entry can be as small as ~2 bits, so allow 4 entries/byte
+  // there. The per-section need() checks do the exact validation.
+  const uint64_t count_limit =
+      is_probing ? size / 8 : static_cast<uint64_t>(size) * 4;
   for (int i = 0; i < order; ++i) {
     counts[i] = LoadU64(base + counts_off + 8 * i);
-    // sane ceiling: every stored n-gram occupies >= 8 bytes, so a count
-    // beyond size/8 cannot be real — reject before any section math can
-    // wrap (a crafted counts[] must fail loudly, not pass need() via
-    // uint64 overflow and read out of the mmap)
-    if (counts[i] == 0 || counts[i] > size / 8) return fail();
+    if (counts[i] == 0 || counts[i] > count_limit) return fail();
   }
-
-  auto* lm = new KenLmBinary();
-  lm->base = base;
-  lm->size = size;
-  lm->fd = fd;
-  lm->order = order;
-  lm->unk_id = 0;
-  lm->vocab_bound = counts[0] + 1;
 
   uint64_t off = Align8(counts_off + 8 * order);
   // overflow-checked "section of n entries x stride bytes fits at off"
@@ -278,6 +423,114 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
     if (__builtin_add_overflow(off, bytes, &end)) return false;
     return end <= size;
   };
+
+  if (is_trie) {
+    auto* lm = new TrieKenLm();
+    lm->base = base;
+    lm->size = size;
+    lm->fd = fd;
+    lm->order = order;
+    lm->unk_id = 0;
+    auto drop = [&]() -> void* {
+      delete lm;  // unmaps + closes
+      return nullptr;
+    };
+    // SortedVocabulary: u64 entry count (excl. <unk>), then counts[0]
+    // hash slots (the last is zero slack when <unk> is in the ARPA).
+    if (!need(1, 8) || !need(counts[0] + 1, 8)) return drop();
+    lm->n_vocab = LoadU64(base + off);
+    if (lm->n_vocab + 1 < counts[0] || lm->n_vocab > counts[0])
+      return drop();
+    lm->vocab_hashes = reinterpret_cast<const uint64_t*>(base + off + 8);
+    for (uint64_t i = 1; i < lm->n_vocab; ++i)
+      if (lm->vocab_hashes[i - 1] >= lm->vocab_hashes[i]) return drop();
+    off += 8 + 8 * counts[0];
+    const uint64_t str_bound = lm->n_vocab + 1;
+
+    // Quant center tables (QUANT_TRIE): u8 prob_bits, u8 backoff_bits,
+    // 6 pad, then per middle order a prob + backoff f32 table and the
+    // longest order's prob table (lm/quantize.hh SeparatelyQuantize).
+    uint8_t prob_bits = 31, backoff_bits = 32;
+    std::vector<std::pair<const float*, const float*>> mid_tabs;
+    const float* long_tab = nullptr;
+    if (model_type == 3) {
+      if (!need(1, 8)) return drop();
+      prob_bits = base[off];
+      backoff_bits = base[off + 1];
+      if (prob_bits < 1 || prob_bits > 25 || backoff_bits < 1 ||
+          backoff_bits > 25)
+        return drop();
+      off += 8;
+      for (int m = 2; m < order; ++m) {
+        if (!need(1ull << prob_bits, 4) ) return drop();
+        const float* pt = reinterpret_cast<const float*>(base + off);
+        off += 4ull << prob_bits;
+        if (!need(1ull << backoff_bits, 4)) return drop();
+        const float* bt = reinterpret_cast<const float*>(base + off);
+        off += 4ull << backoff_bits;
+        mid_tabs.emplace_back(pt, bt);
+      }
+      if (!need(1ull << prob_bits, 4)) return drop();
+      long_tab = reinterpret_cast<const float*>(base + off);
+      off += 4ull << prob_bits;
+    }
+
+    // Unigram: (f32 prob, f32 backoff, u64 next) x (counts[0] + 2).
+    if (!need(counts[0] + 2, 16)) return drop();
+    lm->unigram = base + off;
+    off += (counts[0] + 2) * 16;
+    if (LoadU64(lm->unigram + str_bound * 16 + 8) > counts[1])
+      return drop();
+
+    // Bit-packed middle arrays (orders 2..N-1) and the longest array.
+    const uint8_t word_bits = RequiredBits(counts[0]);
+    for (int m = 2; m <= order; ++m) {
+      TrieLevel t;
+      t.count = counts[m - 1];
+      t.word_bits = word_bits;
+      const bool longest = m == order;
+      if (model_type == 3) {
+        t.prob_table = longest ? long_tab : mid_tabs[m - 2].first;
+        t.prob_bits = prob_bits;
+        t.backoff_table = longest ? nullptr : mid_tabs[m - 2].second;
+        t.backoff_bits = backoff_bits;
+      }
+      const uint32_t qw = longest
+          ? (model_type == 3 ? prob_bits : 31)
+          : (model_type == 3 ? uint32_t(prob_bits) + backoff_bits : 63u);
+      t.has_backoff = !longest;
+      t.next_bits = longest ? 0 : RequiredBits(counts[m]);
+      t.next_off = word_bits + qw;
+      t.total_bits = word_bits + qw + t.next_bits;
+      const uint64_t nbytes =
+          ((t.count + 1) * t.total_bits + 7) / 8 + 8;
+      if (!need(nbytes, 1)) return drop();
+      t.sec = base + off;
+      off += nbytes;
+      lm->levels.push_back(t);
+    }
+    // Every level's end pointer must stay within the next level.
+    for (int m = 2; m < order; ++m) {
+      const TrieLevel& t = lm->levels[m - 2];
+      if (t.Next(t.count) > counts[m]) return drop();
+    }
+    if (!has_vocab && off != size) return drop();
+    if (has_vocab && off < size) {
+      const uint8_t* tail = base + off;
+      uint64_t nuls = 0;
+      for (uint64_t i = 0; i < size - off; ++i) nuls += (tail[i] == 0);
+      if (nuls < str_bound) return drop();
+    }
+    return static_cast<Lm*>(lm);
+  }
+
+  auto* lm = new KenLmBinary();
+  lm->base = base;
+  lm->size = size;
+  lm->fd = fd;
+  lm->order = order;
+  lm->unk_id = 0;
+  lm->vocab_bound = counts[0] + 1;
 
   // Vocab: u64 bound header + probing table of counts[0] entries.
   if (!need(1, 8)) { delete lm; return nullptr; }

@@ -135,10 +135,11 @@ class NativeArpaLM(NativeLM):
 
 
 class NativeKenLM(NativeLM):
-    """C++ mmap'd KenLM PROBING binary LM (csrc/kenlm_bin.cc). Raises
-    IOError for any file the strict structural checks reject (trie or
-    quantized binaries, truncated files) — callers fall back to the
-    Python reader whose errors name the conversion recipe."""
+    """C++ mmap'd KenLM binary LM — PROBING, TRIE and QUANT_TRIE
+    (csrc/kenlm_bin.cc). Raises IOError for any file the strict
+    structural checks reject (REST_PROBING/array-trie binaries,
+    truncated files) — callers fall back to the Python reader whose
+    errors name the conversion recipe."""
 
     def __init__(self, path: str):
         self._h = _lib.a8t_lm_load_kenlm(path.encode())

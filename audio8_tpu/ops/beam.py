@@ -66,14 +66,15 @@ def _load_lm(lm_file: str):
     """Route by format: ARPA text (optionally gzipped) always loads
     through our own readers — native C++ first, pure-Python fallback —
     even when kenlm is installed (kenlm's stricter parser rejects files
-    ours accept, e.g. gzipped ARPA). KenLM *binary* models load through
-    our own mmap'd C++ PROBING reader first (csrc/kenlm_bin.cc — the
-    fast path, and the one the native LM-fused beam search consumes
-    in-process), then kenlm itself when installed (bit-exact), then the
-    pure-Python PROBING reader (ops/kenlm_bin.py); unsupported binary
-    subtypes (trie/quantized) fail with the ARPA-conversion recipe
+    ours accept, e.g. gzipped ARPA). KenLM *binary* models (PROBING,
+    TRIE and QUANT_TRIE) load through our own mmap'd C++ reader first
+    (csrc/kenlm_bin.cc — the fast path, and the one the native
+    LM-fused beam search consumes in-process), then kenlm itself when
+    installed (bit-exact), then the pure-Python readers
+    (ops/kenlm_bin.py); unsupported binary subtypes (REST_PROBING and
+    the -a array-trie variants) fail with the ARPA-conversion recipe
     instead of garbled-parsing as ARPA text — the reference consumes
-    them via ctcdecode's bundled kenlm
+    all subtypes via ctcdecode's bundled kenlm
     (/root/reference/audio8/ctc.py:22-30)."""
     from audio8_tpu.ops.lm import ensure_arpa
 

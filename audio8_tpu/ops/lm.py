@@ -36,13 +36,15 @@ def ensure_arpa(path: str) -> None:
         return  # let the real reader produce its own error
     if head == KENLM_BINARY_MAGIC:
         raise ValueError(
-            f"{path} is a KenLM binary model, not ARPA text. PROBING "
-            "binaries load via audio8_tpu.ops.kenlm_bin.KenLMBinaryLM "
-            "(PrefixBeamSearch routes there automatically); trie/"
-            "quantized binaries need the original ARPA (lmplz emits it; "
-            "ARPA may be gzipped), a rebuild without the 'trie' "
-            "argument, or in-package estimation: a8t-train-ngram "
-            "--input corpus.txt --output lm.arpa --order <order>")
+            f"{path} is a KenLM binary model, not ARPA text. PROBING, "
+            "TRIE and QUANT_TRIE binaries load via "
+            "audio8_tpu.ops.kenlm_bin.KenLMBinaryLM / the native C++ "
+            "reader (PrefixBeamSearch routes there automatically); "
+            "REST_PROBING and -a array-trie binaries need the original "
+            "ARPA (lmplz emits it; ARPA may be gzipped), a rebuild as a "
+            "supported subtype, or in-package estimation: "
+            "a8t-train-ngram --input corpus.txt --output lm.arpa "
+            "--order <order>")
 
 
 class ArpaLM:

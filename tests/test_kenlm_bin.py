@@ -184,7 +184,7 @@ def test_beam_search_binary_lm_matches_arpa_lm(tmp_path):
         assert isinstance(lm, KenLMBinaryLM)
 
 
-def test_trie_and_corrupt_binaries_fail_actionably(tmp_path, pair):
+def test_unsupported_and_corrupt_binaries_fail_actionably(tmp_path, pair):
     _, _, _ = pair
     good = tmp_path / "lm.arpa"
     good.write_text(ARPA)
@@ -192,14 +192,25 @@ def test_trie_and_corrupt_binaries_fail_actionably(tmp_path, pair):
     write_kenlm_binary(str(good), str(binp))
     blob = bytearray(binp.read_bytes())
 
-    # flip model_type to TRIE (2): offset = sanity(88) + 1B order + 3 pad + 4B mult
+    # flip model_type to ARRAY_TRIE (4, the -a bhiksha variant, still
+    # unsupported): offset = sanity(88) + 1B order + 3 pad + 4B mult
     sanity_size = 88
-    trie = bytearray(blob)
-    struct.pack_into("<i", trie, sanity_size + 8, 2)
-    trie_path = tmp_path / "trie.bin"
-    trie_path.write_bytes(bytes(trie))
-    with pytest.raises(ValueError, match="TRIE"):
-        KenLMBinaryLM(str(trie_path))
+    arr = bytearray(blob)
+    struct.pack_into("<i", arr, sanity_size + 8, 4)
+    arr_path = tmp_path / "arr.bin"
+    arr_path.write_bytes(bytes(arr))
+    with pytest.raises(ValueError, match="ARRAY_TRIE"):
+        KenLMBinaryLM(str(arr_path))
+
+    # a PROBING body relabeled TRIE trips the per-search layout-version
+    # guard (HashedSearch kVersion 0 != TrieSearch kVersion 1) before
+    # any trie parsing could mis-read the probing sections
+    relabel = bytearray(blob)
+    struct.pack_into("<i", relabel, sanity_size + 8, 2)
+    relabel_path = tmp_path / "relabel.bin"
+    relabel_path.write_bytes(bytes(relabel))
+    with pytest.raises(ValueError, match="layout version"):
+        KenLMBinaryLM(str(relabel_path))
 
     # truncated body -> section/size inconsistency, not silent mis-scoring
     cut = tmp_path / "cut.bin"
@@ -301,12 +312,19 @@ def test_native_kenlm_rejects_bad_files(tmp_path):
     write_kenlm_binary(str(arpa), str(binp))
     blob = bytearray(binp.read_bytes())
 
-    trie = bytearray(blob)
-    struct.pack_into("<i", trie, 88 + 8, 2)  # model_type -> TRIE
-    trie_path = tmp_path / "trie.bin"
-    trie_path.write_bytes(bytes(trie))
+    arr = bytearray(blob)
+    struct.pack_into("<i", arr, 88 + 8, 4)  # model_type -> ARRAY_TRIE
+    arr_path = tmp_path / "arr.bin"
+    arr_path.write_bytes(bytes(arr))
     with pytest.raises(IOError):
-        native.NativeKenLM(str(trie_path))
+        native.NativeKenLM(str(arr_path))
+    # a PROBING body relabeled TRIE trips the layout-version guard
+    relabel = bytearray(blob)
+    struct.pack_into("<i", relabel, 88 + 8, 2)
+    relabel_path = tmp_path / "relabel.bin"
+    relabel_path.write_bytes(bytes(relabel))
+    with pytest.raises(IOError):
+        native.NativeKenLM(str(relabel_path))
 
     cut = tmp_path / "cut.bin"
     cut.write_bytes(bytes(blob[: len(blob) // 2]))
@@ -318,10 +336,10 @@ def test_native_kenlm_rejects_bad_files(tmp_path):
     with pytest.raises(IOError):
         native.NativeKenLM(str(junk))
 
-    # the dispatch layer still fails actionably for trie files
+    # the dispatch layer still fails actionably for array-trie files
     from audio8_tpu.ops.beam import _load_lm
-    with pytest.raises(ValueError, match="TRIE"):
-        _load_lm(str(trie_path))
+    with pytest.raises(ValueError, match="ARRAY_TRIE"):
+        _load_lm(str(arr_path))
 
 
 def test_native_beam_search_consumes_binary_lm_in_process(tmp_path):
@@ -411,3 +429,244 @@ def test_vocab_string_shortfall_fails_loudly(tmp_path):
         return
     with pytest.raises(IOError):
         native.NativeKenLM(str(shortv))
+
+
+# ---------------------------------------------------------------------------
+# TRIE / QUANT_TRIE (build_binary trie [-q]): csrc/kenlm_bin.cc TrieKenLm
+# + ops/kenlm_bin.py _parse_trie. Reference consumer unchanged
+# (/root/reference/audio8/ctc.py:22-30 — ctcdecode's kenlm loads all
+# binary subtypes transparently).
+
+
+@pytest.fixture(params=["trie", "quant_trie"])
+def trie_pair(request, tmp_path):
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / f"lm.{request.param}"
+    info = write_kenlm_binary(str(arpa), str(binp), search="trie",
+                              quantize=request.param == "quant_trie")
+    return ArpaLM(str(arpa)), KenLMBinaryLM(str(binp)), info, str(binp)
+
+
+def test_trie_header_and_sorted_vocab(trie_pair):
+    from audio8_tpu.ops.kenlm_bin import MODEL_QUANT_TRIE, MODEL_TRIE
+
+    _, blm, info, _ = trie_pair
+    assert blm.order == 3
+    assert blm.counts == [7, 5, 3]
+    assert blm.model_type in (MODEL_TRIE, MODEL_QUANT_TRIE)
+    assert info["model_type"] == blm.model_type
+    assert blm.bound == 7
+    # ids are murmur-hash-sorted (SortedVocabulary), not ARPA order:
+    # strings must hash back to their own ids and cover the vocab
+    assert sorted(blm.words) == sorted(VOCAB)
+    assert blm.words[0] == "<unk>"
+    for wid, w in enumerate(blm.words):
+        assert blm.index(w) == wid
+
+
+def test_trie_logp_matches_arpa_everywhere(trie_pair):
+    """Full (word, context) cross product incl. OOV words, contexts up
+    to order-1: trie scoring == ARPA scoring (fp32 storage tolerance).
+    The small fixture's distinct prob/backoff values fit the 8-bit
+    quant tables, so QUANT_TRIE is exact here too."""
+    alm, blm, _, _ = trie_pair
+    probe = VOCAB + ["zzz"]
+    for w in probe:
+        for clen in range(3):
+            for ctx in itertools.product(probe, repeat=clen):
+                assert blm.logp(w, ctx) == pytest.approx(
+                    alm.logp(w, ctx), abs=2e-5), (w, ctx)
+
+
+def test_trie_native_matches_python(trie_pair):
+    native = _native_or_skip()
+    alm, blm, _, path = trie_pair
+    nlm = native.NativeKenLM(path)
+    probe = VOCAB + ["zzz"]
+    for w in probe:
+        for clen in range(3):
+            for ctx in itertools.product(probe, repeat=clen):
+                n = nlm.logp(w, ctx)
+                assert n == pytest.approx(blm.logp(w, ctx), abs=1e-6), \
+                    (w, ctx)
+                assert n == pytest.approx(alm.logp(w, ctx), abs=2e-5)
+
+
+def test_beam_search_trie_lm_matches_arpa_lm(tmp_path):
+    """PrefixBeamSearch with a TRIE binary decodes bit-identically to
+    the same model as ARPA text (same caveat as the PROBING twin: the
+    fixture's <unk> has no backoff weight)."""
+    from audio8_tpu.ops.beam import PrefixBeamSearch
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    trie = tmp_path / "lm.trie"
+    write_kenlm_binary(str(arpa), str(trie), search="trie")
+    qtrie = tmp_path / "lm.qtrie"
+    write_kenlm_binary(str(arpa), str(qtrie), search="trie", quantize=True)
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>", "|", "a", "b", "c", "d"]
+    sym = {p: i for i, p in enumerate(pieces)}
+    T, V = 12, len(pieces)
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(1, T, V)).astype(np.float32)
+    for t, ch in enumerate("ab|bc|ab"):
+        logits[0, t, sym[ch]] += 3.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    outs = []
+    for lm_file in (str(arpa), str(trie), str(qtrie)):
+        pbs = PrefixBeamSearch(pieces, alpha=0.8, beta=0.3, beam=8,
+                               lm_file=lm_file)
+        assert pbs.lm is not None
+        outs.append(pbs.run(lp, n_best=3, return_ids=True))
+    assert outs[0] == outs[1]
+    assert outs[0] == outs[2]
+
+
+def test_trie_quant_lossy_bins_stay_close(tmp_path):
+    """With table capacity below the distinct value count the quantizer
+    falls back to kenlm's equal-count bins: scores shift but stay
+    within the bin spread, and every query still resolves."""
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(11)]
+    probs = {w: -float(rng.uniform(0.2, 3.0)) for w in words}
+    bigrams = [(words[i], words[(i + 1) % 11]) for i in range(11)]
+    text = ["\\data\\", "ngram 1=12", f"ngram 2={len(bigrams)}", "",
+            "\\1-grams:", "-1.0\t<unk>"]
+    for w in words:
+        text.append(f"{probs[w]:.4f}\t{w}\t{-float(rng.uniform(0.1, 0.9)):.4f}")
+    text += ["", "\\2-grams:"]
+    for a, b in bigrams:
+        text.append(f"{-float(rng.uniform(0.2, 3.0)):.4f}\t{a} {b}")
+    text += ["", "\\end\\", ""]
+    arpa = tmp_path / "lossy.arpa"
+    arpa.write_text("\n".join(text))
+
+    binp = tmp_path / "lossy.qtrie"
+    write_kenlm_binary(str(arpa), str(binp), search="trie", quantize=True,
+                       prob_bits=2, backoff_bits=3)
+    alm, blm = ArpaLM(str(arpa)), KenLMBinaryLM(str(binp))
+    for w in words:
+        for ctx in [(), (words[0],), (words[3],)]:
+            # 2-bit prob bins over a ~2.8-decade spread: generous bound
+            assert blm.logp(w, ctx) == pytest.approx(
+                alm.logp(w, ctx), abs=3.0), (w, ctx)
+
+
+def test_trie_writer_guards(tmp_path):
+    # order-1 ARPA cannot be a trie
+    uni = tmp_path / "uni.arpa"
+    uni.write_text(
+        "\\data\\\nngram 1=2\n\n\\1-grams:\n-0.3\ta\n-0.6\tb\n\\end\\\n")
+    with pytest.raises(ValueError, match="order >= 2"):
+        write_kenlm_binary(str(uni), str(tmp_path / "x"), search="trie")
+    # pruned (non-suffix-closed) ARPA: 2-gram "a c" exists but its
+    # suffix unigram... use a 3-gram whose 2-gram suffix is missing
+    pruned = tmp_path / "pruned.arpa"
+    pruned.write_text(
+        "\\data\\\nngram 1=4\nngram 2=1\nngram 3=1\n\n"
+        "\\1-grams:\n-1.0\t<unk>\n-0.5\ta\t-0.1\n-0.5\tb\t-0.1\n"
+        "-0.5\tc\t-0.1\n\n"
+        "\\2-grams:\n-0.4\ta b\t-0.2\n\n"
+        "\\3-grams:\n-0.3\ta b c\n\n\\end\\\n")
+    with pytest.raises(ValueError, match="suffix-closed"):
+        write_kenlm_binary(str(pruned), str(tmp_path / "y"), search="trie")
+    # quantization is a trie-only switch
+    good = tmp_path / "g.arpa"
+    good.write_text(ARPA)
+    with pytest.raises(ValueError, match="trie layout only"):
+        write_kenlm_binary(str(good), str(tmp_path / "z"), quantize=True)
+
+
+def test_trie_corrupt_files_fail_loudly(tmp_path):
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "lm.trie"
+    write_kenlm_binary(str(arpa), str(binp), search="trie")
+    blob = bytearray(binp.read_bytes())
+
+    # truncation anywhere in the body -> loud failure, not mis-scoring
+    for frac in (0.3, 0.6, 0.9):
+        cut = tmp_path / f"cut{frac}.trie"
+        cut.write_bytes(bytes(blob[: int(len(blob) * frac)]))
+        with pytest.raises(ValueError):
+            KenLMBinaryLM(str(cut))
+
+    # unsorted vocab hashes -> refused (binary search would mis-resolve)
+    bad = bytearray(blob)
+    voc_off = 88 + 20 + 8 * 3
+    voc_off = (voc_off + 7) // 8 * 8 + 8  # skip counts pad + n header
+    bad[voc_off:voc_off + 8], bad[voc_off + 8:voc_off + 16] = \
+        bad[voc_off + 8:voc_off + 16], bad[voc_off:voc_off + 8]
+    badp = tmp_path / "bad.trie"
+    badp.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="strictly"):
+        KenLMBinaryLM(str(badp))
+
+    native = _native_or_skip()
+    for p in (tmp_path / "cut0.3.trie", badp):
+        if p.exists():
+            with pytest.raises(IOError):
+                native.NativeKenLM(str(p))
+
+
+def test_cli_build_binary_trie(tmp_path):
+    from audio8_tpu.cli.build_binary import main
+    from audio8_tpu.ops.kenlm_bin import MODEL_QUANT_TRIE, MODEL_TRIE
+
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    alm = ArpaLM(str(arpa))
+    out = tmp_path / "lm.trie"
+    assert main([str(arpa), str(out), "--trie"]) == 0
+    blm = KenLMBinaryLM(str(out))
+    assert blm.model_type == MODEL_TRIE
+    assert blm.logp("b", ("<s>", "a")) == pytest.approx(
+        alm.logp("b", ("<s>", "a")), abs=2e-5)
+    outq = tmp_path / "lm.qtrie"
+    assert main([str(arpa), str(outq), "--trie", "--quantize",
+                 "--prob_bits", "8", "--backoff_bits", "8"]) == 0
+    blmq = KenLMBinaryLM(str(outq))
+    assert blmq.model_type == MODEL_QUANT_TRIE
+    assert blmq.logp("c", ("a", "b")) == pytest.approx(
+        alm.logp("c", ("a", "b")), abs=2e-5)
+
+
+def test_trained_kn_trie_roundtrip(tmp_path):
+    """Realistic-size trie: a trained KN LM (hundreds of bigrams,
+    >1000 trigrams) builds and scores as TRIE and QUANT_TRIE.
+    Regression: the counts-plausibility ceiling assumed >= 8 bytes per
+    n-gram, which a legitimate QUANT_TRIE (a couple of *bits* per
+    entry) violates — caught driving the CLI end-to-end."""
+    from audio8_tpu.ops.ngram import train_kneser_ney
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)]
+    sents = [[vocab[j] for j in rng.integers(0, 30, size=rng.integers(3, 9))]
+             for _ in range(300)]
+    lm = train_kneser_ney(sents, order=3)
+    arpa = tmp_path / "kn.arpa"
+    lm.write_arpa(str(arpa))
+    alm = ArpaLM(str(arpa))
+    for name, q, tol in [("kn.trie", False, 1e-3), ("kn.qtrie", True, 0.5)]:
+        binp = tmp_path / name
+        info = write_kenlm_binary(str(arpa), str(binp), search="trie",
+                                  quantize=q)
+        assert info["counts"][2] > 1000  # the regression regime
+        blm = KenLMBinaryLM(str(binp))
+        for _ in range(30):
+            seq = [vocab[j] for j in rng.integers(0, 30, size=6)]
+            assert blm.score_sequence(seq) == pytest.approx(
+                alm.score_sequence(seq), abs=tol * len(seq)), (name, seq)
+    try:
+        native = _native_or_skip()
+    except Exception:
+        return
+    nlm = native.NativeKenLM(str(tmp_path / "kn.qtrie"))
+    blm = KenLMBinaryLM(str(tmp_path / "kn.qtrie"))
+    for _ in range(20):
+        w = vocab[int(rng.integers(0, 30))]
+        ctx = tuple(vocab[j] for j in rng.integers(0, 30, size=2))
+        assert nlm.logp(w, ctx) == pytest.approx(blm.logp(w, ctx), abs=1e-6)
