@@ -10,7 +10,12 @@ nothing on stdout; never again).
 
 Headline metric is the north-star from BASELINE.md: audio-sec/sec/chip
 (RTFx) for wav2vec2-base contrastive pretraining (full fwd+bwd+update,
-bf16 compute / fp32 params). ``vs_baseline`` is measured throughput
+bf16 compute / fp32 params) at the reference's ~1.4M samples/batch
+budget, batch geometry 16 x 82,000 samples (T'=256 — an operating point
+of the reference's own bucketing/min-crop batcher; round 4 changed this
+from 8 x 163,920, kept as the pretrain_long_clip extra — see
+bench_pretrain and docs/PERF.md "Batch geometry"). ``vs_baseline`` is
+measured throughput
 divided by an estimated fairseq-on-A100 reference of 650
 audio-sec/sec/chip, derived from the wav2vec 2.0 paper's published
 training budget (BASE: 64 V100s, 400k updates, ~1.6h-audio batches,
@@ -61,20 +66,26 @@ SAMPLE_RATE = 16_000
 def bench_pretrain(n_steps: int = 20, *, d_model: int = 768,
                    num_heads: int = 12, num_layers: int = 12,
                    d_ff: int = 3072, final_dim: int = 256,
-                   b: int = 8, t: int = 163_920) -> float:
+                   b: int = 16, t: int = 82_000) -> float:
     from audio8_tpu.config import PretrainConfig
     from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
     from audio8_tpu.train.optim import TrainState, create_lrs, create_optimizer
     from audio8_tpu.train.steps import make_pretrain_steps
 
-    # Default = wav2vec2-base; dense min-cropped pretraining batch like the
-    # reference (~1.4M samples/batch budget -> 8 x ~164k samples = 82
-    # audio-sec). Clip length is lane-aligned (config.lane_aligned_length):
-    # T'=512 = 4 MXU tiles, the default the pretrain CLI's --lane_align
-    # grid produces; measured +7% over the unaligned T'=546 crop
-    # (tools/exp_lane_align.py). The 'large' workload scales dims the way
-    # the reference would (--d_model 1024 --num_layers 24 ..., post-norm
-    # throughout; /root/reference/audio8/pretrain.py:39-42 same knobs).
+    # Default = wav2vec2-base; dense min-cropped pretraining batch at the
+    # reference's ~1.4M samples/batch budget. Geometry (round 4,
+    # tools/exp_batch_geom_r4.py + docs/PERF.md "Batch geometry"):
+    # 16 x 82,000 samples = 82 audio-sec/step, T'=256 (lane-aligned,
+    # 2 MXU tiles). This is an operating point of the reference's OWN
+    # pipeline at the same budget: its default bucket list includes
+    # 83,333 (-> B=16 at tokens_per_batch=1.4M,
+    # /root/reference/audio8/pretrain.py:56-60), and its default
+    # min-crop batcher (data.py:409-426) closes typical LibriSpeech
+    # batches at ~5-8 s clips. The long-clip 8 x 163,920 (T'=512) point
+    # benched through round 3 is kept as the pretrain_long_clip extra
+    # for cross-round continuity. The 'large' workload scales dims the
+    # way the reference would (--d_model 1024 --num_layers 24 ...,
+    # post-norm throughout; pretrain.py:39-42 same knobs).
     _note(f"pretrain d_model={d_model} L={num_layers}: build + compile")
     cfg = PretrainConfig(d_model=d_model, num_heads=num_heads,
                          num_layers=num_layers, d_ff=d_ff,
@@ -362,6 +373,7 @@ def _single(metric: str, value: float, extra: dict) -> None:
 # failure: transducer's 381 s compile + LARGE starting at +1221 s ran
 # straight into the driver's ~1300-1500 s kill window).
 _EXTRA_COSTS = {
+    "pretrain_long_clip_throughput": 110.0,
     "ctc_finetune_throughput": 140.0,
     "ctc_finetune_frozen_throughput": 110.0,
     "greedy_decode_rtfx": 90.0,
@@ -464,6 +476,12 @@ def main():
         # completed extras that beat their estimate shrink it
         warm_ratio = max(1.0, (time.perf_counter() - start) / 100.0)
         for key, fn in [
+            # long-clip geometry first: the round-1..3 headline point
+            # (8 x 163,920, T'=512), kept for cross-round continuity
+            # after the round-4 headline geometry change (see
+            # bench_pretrain comment / docs/PERF.md "Batch geometry")
+            ("pretrain_long_clip_throughput",
+             lambda: bench_pretrain(b=8, t=163_920)),
             ("ctc_finetune_throughput", lambda: bench_ctc(False)),
             ("ctc_finetune_frozen_throughput", lambda: bench_ctc(True)),
             ("greedy_decode_rtfx", bench_decode),

@@ -73,7 +73,9 @@ def measure(b: int, t: int, n_steps: int = 20, windows: int = 3) -> dict:
 
 def main():
     results = []
-    for b, t in [(8, 163_920), (16, 82_000), (32, 41_359)]:
+    # same ~1.31M-sample budget, lane-aligned T' (= 320*T' + 80):
+    # T' 512 / 256 / 128 / 64
+    for b, t in [(8, 163_920), (16, 82_000), (32, 41_040), (64, 20_560)]:
         results.append(measure(b, t))
         print(results[-1], flush=True)
     print("\nSUMMARY")
