@@ -29,7 +29,12 @@ os.makedirs("/tmp/a8t_xla_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/a8t_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from exp_attn_round3 import B, SAMPLE_RATE, T, VARIANTS
+from exp_attn_round3 import SAMPLE_RATE, VARIANTS
+from exp_attn_round3 import B as _B_DEFAULT, T as _T_DEFAULT
+
+# geometry override (round 4: profile the 16 x 82,000 T'=256 headline)
+B = int(os.environ.get("A8T_PROF_B", _B_DEFAULT))
+T = int(os.environ.get("A8T_PROF_T", _T_DEFAULT))
 
 
 def build(name: str):
