@@ -302,19 +302,21 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
                 data = self.rfile.read(n)
                 out = service.transcribe(
                     data, self.headers.get("Content-Type", ""))
-                self._send(200, out)
-                metrics.observe("/transcribe", 200,
-                                time.perf_counter() - t0,
-                                out.get("audio_seconds", 0.0))
+                code, payload = 200, out
+                audio_sec = out.get("audio_seconds", 0.0)
             except (ValueError, KeyError) as e:
-                self._send(400, {"error": str(e)})
-                metrics.observe("/transcribe", 400,
-                                time.perf_counter() - t0)
+                code, payload, audio_sec = 400, {"error": str(e)}, 0.0
             except Exception as e:  # noqa: BLE001 — keep the server alive
                 logger.exception("transcribe failed")
-                self._send(500, {"error": f"{type(e).__name__}: {e}"})
-                metrics.observe("/transcribe", 500,
-                                time.perf_counter() - t0)
+                code, payload, audio_sec = (
+                    500, {"error": f"{type(e).__name__}: {e}"}, 0.0)
+            # observe BEFORE writing the response: once a client has its
+            # response, a /metrics scrape must already include that
+            # request (the old after-send order let a scrape racing the
+            # handler thread under-report a completed request)
+            metrics.observe("/transcribe", code,
+                            time.perf_counter() - t0, audio_sec)
+            self._send(code, payload)
 
         def _body_blocks(self):
             """Yield request-body byte blocks, honoring chunked
