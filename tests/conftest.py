@@ -16,6 +16,21 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent XLA compile cache: most of the suite's wall-clock is XLA
+# recompiling the same fixed-shape tiny models run after run; the cache
+# key covers HLO + compile options + backend, so hits are exact. On the
+# 1-vCPU dev box this takes the `-m "not slow"` lane from 18:19 cold to
+# ~10:30-11:30 warm (docs/DESIGN.md "Testing tiers").
+# A8T_TEST_COMPILE_CACHE=off disables; any other value overrides the dir.
+_cache = os.environ.get(
+    "A8T_TEST_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "a8t_test_xla"))
+if _cache != "off":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -64,6 +64,7 @@ def test_timestamped_words_end_to_end():
     assert words[0]["confidence"] == pytest.approx(0.7, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_transcribe_cli_timestamps(tmp_path):
     """--timestamps drives the real CLI and yields schema-valid ndjson."""
     import jax

@@ -5,6 +5,7 @@ measured step throughput on v5e) must stay a small perturbation of the
 f32-softmax bf16 model: log-probs close and greedy argmax essentially
 unchanged. It must be a no-op for f32 models (parity path)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def _logprobs(bf16_softmax, dtype, params=None, x=None, lengths=None):
     return np.asarray(lp), params
 
 
+@pytest.mark.slow
 def test_bf16_softmax_close_to_f32_softmax(rng):
     x = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
     lengths = jnp.asarray([8000, 6000], jnp.int32)

@@ -75,6 +75,7 @@ def test_ctc_train_and_eval_cli(corpus, tmp_path):
     assert "wer" in metrics and metrics["wer"] >= 0
 
 
+@pytest.mark.slow
 def test_seq2seq_train_cli(corpus, tmp_path):
     from audio8_tpu.cli.train_seq2seq import train
 
@@ -120,6 +121,7 @@ def test_pretrain_cli(corpus, tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_paired_cli(corpus, tmp_path):
     from audio8_tpu.cli.pretrain_paired import train
 

@@ -492,6 +492,7 @@ def test_wavlm_preset():
         1024, 24, True, "layer", True, 320, 800)
 
 
+@pytest.mark.slow
 def test_wavlm_gate_grads_flow():
     """Training path: gradients reach the gate params and the shared
     bias table (the WavLM additions are trainable, not inference-only)."""
@@ -605,6 +606,7 @@ def test_hf_conformer_ctc_forward_parity(tmp_path, pos_type):
     assert (np.argmax(np.asarray(lp), -1) == np.argmax(want, -1)).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_hf_conformer_pad_mask_parity(tmp_path):
     """Conformer forward with per-row lengths matches HF's
     attention_mask path (relative positions interact with masking)."""
@@ -649,6 +651,7 @@ def test_hf_conformer_pad_mask_parity(tmp_path):
                                    want[i, :fl[i]], atol=5e-4)
 
 
+@pytest.mark.slow
 def test_conformer_preset_and_grads():
     from audio8_tpu.cli.train import parse_args
 

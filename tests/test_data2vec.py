@@ -103,6 +103,7 @@ def audio_corpus(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_pretrain_data2vec_cli(audio_corpus, tmp_path):
     from audio8_tpu.cli.pretrain_data2vec import train
 

@@ -52,6 +52,7 @@ def _export(setup, extra=()):
     return out
 
 
+@pytest.mark.slow
 def test_export_roundtrip_matches_live_forward(setup):
     """The artifact's forward == the live jitted forward on the same
     weights, including at a batch size never seen at export time."""
@@ -145,6 +146,7 @@ def test_exported_flag_validation(setup):
                     "--transducer", "true"])
 
 
+@pytest.mark.slow
 def test_export_quantized_int8(setup):
     """--quantize int8 bakes the quantized params + int8-MXU matmul path
     into the artifact; outputs match a live int8-quantized forward.

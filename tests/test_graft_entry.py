@@ -11,9 +11,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_contained():
     env = {k: v for k, v in os.environ.items()
            if k not in ("_A8T_DRYRUN_CHILD", "XLA_FLAGS", "JAX_PLATFORMS")}

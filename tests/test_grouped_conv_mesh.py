@@ -95,6 +95,7 @@ def test_grouped_conv1d_matches_lax_fwd_and_grad(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_positional_conv_wgrad_correct_on_mesh(rng):
     """End-to-end through the weight-normed PositionalConv module."""
     mesh = _mesh_4x2()

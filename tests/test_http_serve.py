@@ -286,12 +286,14 @@ def rnnt_server():
     srv.shutdown()
 
 
+@pytest.mark.slow
 def test_rnnt_healthz(rnnt_server):
     srv, *_ = rnnt_server
     status, body = request(srv, "/healthz")
     assert status == 200 and body["ok"] and body["model"] == "tiny-rnnt"
 
 
+@pytest.mark.slow
 def test_rnnt_transcribe_matches_direct(rnnt_server):
     srv, service, factory, i2v = rnnt_server
     wav = np.random.default_rng(3).normal(size=50_000).astype(np.float32) * .1
@@ -305,6 +307,7 @@ def test_rnnt_transcribe_matches_direct(rnnt_server):
                                                   abs=1e-3)
 
 
+@pytest.mark.slow
 def test_rnnt_stream_endpoint(rnnt_server):
     srv, service, factory, i2v = rnnt_server
     port = srv.server_address[1]

@@ -67,6 +67,7 @@ def test_hubert_loss_matches_numpy():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_hubert_model_shapes_and_grads():
     cfg = HubertPretrainConfig(num_clusters=12, final_dim=16, d_model=32,
                                num_heads=2, num_layers=1, d_ff=64,
@@ -193,6 +194,7 @@ def km_corpus(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_cluster_targets_and_pretrain_cli(km_corpus, tmp_path):
     """End-to-end: a8t-cluster-targets -> a8t-pretrain-hubert for a few
     steps; km labels align with the conv grid of each utterance."""

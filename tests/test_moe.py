@@ -6,6 +6,7 @@ parity, capacity enforcement, EP-sharded == replicated numerics, and the
 aux loss reaching the CTC/pretrain objectives through the factories."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from audio8_tpu.config import AcousticConfig
@@ -121,6 +122,7 @@ def test_moe_capacity_drops_overflow_tokens():
     assert nonzero_rows.sum() == 1, nonzero_rows
 
 
+@pytest.mark.slow
 def test_moe_acoustic_model_ep_sharding_matches_replicated():
     """A wav2vec2 CTC model with MoE layers: EP (expert axis over 'model')
     + TP sharded forward == replicated forward."""
@@ -159,6 +161,7 @@ def test_moe_acoustic_model_ep_sharding_matches_replicated():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_moe_pretrain_step_trains_and_reports_aux():
     """The contrastive-pretrain factory handles MoE: one fused train step
     runs with a MoE encoder, metrics report the aux loss, and it is >= 1
@@ -196,6 +199,7 @@ def _supervised_batch(rng, b=2, t=8000, u=6, v_lo=4, v_hi=12):
     }
 
 
+@pytest.mark.slow
 def test_moe_seq2seq_factory_trains():
     """--moe_experts 4 trains one step through make_seq2seq_steps, and the
     aux loss reaches the objective (loss differs between aux weights)."""
@@ -230,6 +234,7 @@ def test_moe_seq2seq_factory_trains():
     assert losses[0.1] > losses[0.0]
 
 
+@pytest.mark.slow
 def test_moe_transducer_factory_trains():
     from audio8_tpu.config import TransducerConfig
     from audio8_tpu.models.transducer import Transducer
@@ -321,6 +326,7 @@ def test_moe_data2vec_factory_trains():
     assert float(metrics["moe_aux"]) >= 1.0 - 1e-5
 
 
+@pytest.mark.slow
 def test_moe_paired_factory_trains():
     from audio8_tpu.config import PooledConfig, TextEncoderConfig
     from audio8_tpu.models.dual_encoder import (DualEncoderModel,
@@ -360,6 +366,7 @@ def test_moe_paired_factory_trains():
     assert int(state.step) == 1 and np.isfinite(float(gnorm))
 
 
+@pytest.mark.slow
 def test_moe_aux_loss_reaches_ctc_objective():
     """make_ctc_steps adds moe_aux_weight * aux * examples: the same batch
     with aux weight 0 vs >0 yields different losses, both finite, and one

@@ -4,6 +4,7 @@ reference has no pipeline story (pure DDP, train.py:261-268); this guards
 the TPU-native extension in parallel/pipeline.py."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from audio8_tpu.config import AcousticConfig
@@ -46,6 +47,7 @@ def test_pipeline_layers_match_sequential_stack():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_ctc_train_step_matches_plain_step():
     """One fully-fused PP train step (conv replicated, stack pipelined,
     GPipe microbatches) produces the same loss and updated params as the

@@ -94,6 +94,7 @@ def test_acoustic_model_int8_end_to_end(rng):
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow
 def test_quantized_apply_is_jittable(rng):
     cfg = AcousticConfig(num_labels=12, timestep_masking=0.0,
                          channel_masking=0.0, **SMALL)

@@ -39,6 +39,7 @@ def test_remat_parity(deterministic):
         np.testing.assert_allclose(u, v, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_through_model_config():
     """cfg.remat reaches the stack through Wav2Vec2 models."""
     from audio8_tpu.config import AcousticConfig
@@ -59,6 +60,7 @@ def test_remat_through_model_config():
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_remat_on_tp_mesh():
     """remat composes with Megatron TP sharding on the mesh (the
     jax.checkpoint replay must not break the partitioner)."""

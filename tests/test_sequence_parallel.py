@@ -4,6 +4,7 @@ replicated/single-device numerics exactly — XLA inserts the gather/scatter
 collectives around the head-sharded matmuls. No reference equivalent
 (pure DDP, /root/reference/audio8/train.py:266-268; SURVEY.md §2.6)."""
 import dataclasses
+import pytest
 
 import numpy as np
 import jax
@@ -66,6 +67,7 @@ def test_sp_forward_and_grads_match_replicated():
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sp_full_ctc_train_step_through_factory():
     """The driver path: make_ctc_steps(mesh=) on a sequence_parallel model
     over a ('data','model') mesh — one fused train step runs and matches

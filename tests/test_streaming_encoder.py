@@ -22,6 +22,7 @@ def _cfg(**kw):
     return EncoderConfig(**base)
 
 
+@pytest.mark.slow
 def test_prefix_equivalence(rng):
     """With chunk-causal attention, the encoder's output over a prefix
     matches the full run's prefix (outside the pos-conv/extractor
@@ -115,6 +116,7 @@ def test_left_context_cap(rng):
                         - np.asarray(out2[:, :8])).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_ctc_model_trains_with_causal_chunks(rng):
     """The acoustic model accepts the flag end-to-end (grads flow)."""
     cfg = AcousticConfig(

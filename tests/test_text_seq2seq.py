@@ -44,6 +44,7 @@ def test_subword_bpe(tmp_path):
     assert bpe.segment_word("lo") == ["lo"]
 
 
+@pytest.mark.slow
 def test_decoder_full_vs_step_consistency(rng):
     """KV-cached stepwise decode must equal the full forward pass."""
     v, b, t_src, t_dst = 20, 2, 7, 5

@@ -12,6 +12,7 @@ from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel, Wav2Vec2Model
 TOPO = dict(pre_norm=True, extractor_mode="layer", conv_bias=True)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("remat", [False, True])
 def test_prenorm_acoustic_grads_flow(remat):
     cfg = AcousticConfig(num_labels=8, d_model=64, num_heads=4, num_layers=2,
@@ -38,6 +39,7 @@ def test_prenorm_acoustic_grads_flow(remat):
     assert zero == [], zero
 
 
+@pytest.mark.slow
 def test_prenorm_pretrain_step():
     cfg = PretrainConfig(d_model=64, num_heads=4, num_layers=2, d_ff=128,
                          num_vq_vars=8, num_vq_groups=2, final_dim=16,
@@ -63,6 +65,7 @@ def test_prenorm_pretrain_step():
         assert np.all(np.isfinite(np.asarray(arr, np.float32)))
 
 
+@pytest.mark.slow
 def test_prenorm_tp_forward_matches_replicated():
     """Stable-LN topology under Megatron TP: the catch-all rule
     replicates the new params (per-block extractor LNs, stack ln_out,

@@ -154,6 +154,7 @@ def test_param_shardings_tp_rules():
     assert conv.spec == jax.sharding.PartitionSpec(None, None, None) or conv.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_pretrain_step_smoke():
     cfg = PretrainConfig(**SMALL, final_dim=32, num_vq_vars=16, num_vq_groups=2,
                          dropout=0.0)

@@ -160,6 +160,7 @@ def _tiny_cfg(vocab_size):
         pred_dropout=0.0, freeze_fx=False)
 
 
+@pytest.mark.slow
 def test_overfit_and_greedy_decode(rng):
     """A tiny transducer must overfit two utterances and greedy-decode
     their exact label sequences back."""
@@ -196,6 +197,7 @@ def test_overfit_and_greedy_decode(rng):
     assert toks[1, :2].tolist() == [8, 8] and lengths[1] == 2
 
 
+@pytest.mark.slow
 def test_step_sharded_dp(rng):
     """The transducer train step through an 8-device data mesh matches
     the single-device step."""

@@ -29,6 +29,7 @@ def _init(cfg, seed=0):
     return model, params
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_beam1_equals_greedy(seed):
     """A width-1 beam makes exactly greedy's argmax choice each round,
@@ -50,6 +51,7 @@ def test_beam1_equals_greedy(seed):
     assert np.all(np.isfinite(np.asarray(score)[:, 0]))
 
 
+@pytest.mark.slow
 def test_unpruned_beam_scores_are_exact_marginals():
     """On a 2-frame input with a beam wide enough to never prune, each
     returned sequence's beam score equals its true lattice marginal
@@ -129,6 +131,7 @@ def test_nbest_sorted_and_scores_bounded_by_marginals():
             f"beam score {s8[kk]} exceeds exact marginal {-nll} for {y}")
 
 
+@pytest.mark.slow
 def test_transcribe_cli_transducer_beam(tmp_path):
     """a8t-transcribe --transducer --beam 4 decodes through
     Transducer.decode_beam (1-best)."""
@@ -166,6 +169,7 @@ def test_transcribe_cli_transducer_beam(tmp_path):
         main(args + ["--beam", "4", "--chunk_seconds", "1.0"])
 
 
+@pytest.mark.slow
 def test_eval_driver_transducer(tmp_path):
     """a8t-test --transducer: manifest eval with WER/CER from the
     transducer search (greedy and beam agree on the metric keys)."""
@@ -255,6 +259,7 @@ def test_trainer_valid_beam(tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_timed_decode_matches_untimed_and_cli_timestamps(tmp_path):
     """decode(timed=True) returns identical tokens plus a sane
     alignment; the CLI emits word rows from it."""

@@ -147,6 +147,7 @@ def test_streamer_partials_and_lifecycle(stack):
     st.finish()  # short stream still flushes through the masked window
 
 
+@pytest.mark.slow
 def test_transcribe_cli_transducer_chunked(tmp_path):
     """a8t-transcribe --transducer --chunk_seconds: long audio decodes
     through the TransducerStreamer (fixed-shape chunked encoder +

@@ -128,6 +128,7 @@ def test_encoder_forward_and_padding(rng):
     assert np.asarray(pad_mask).sum(-1)[0] == t_frames
 
 
+@pytest.mark.slow
 def test_acoustic_model_logprobs_and_freeze(rng):
     cfg = AcousticConfig(num_labels=30, **SMALL)
     m = Wav2Vec2AcousticModel(config=cfg)
