@@ -670,3 +670,122 @@ def test_trained_kn_trie_roundtrip(tmp_path):
         w = vocab[int(rng.integers(0, 30))]
         ctx = tuple(vocab[j] for j in rng.integers(0, 30, size=2))
         assert nlm.logp(w, ctx) == pytest.approx(blm.logp(w, ctx), abs=1e-6)
+
+
+def test_fuzz_formats_match_arpa_and_each_other(tmp_path):
+    """Property fuzz over random trained LMs: for random orders (2..5),
+    vocab sizes, and unicode-heavy vocabularies, every binary format
+    (PROBING, TRIE, QUANT_TRIE-with-lossless-width) scores identically
+    to the ARPA oracle (fp32 tolerance) through BOTH the Python and the
+    native C++ readers, on random queries including OOV words and
+    over-long contexts."""
+    from audio8_tpu.ops.ngram import train_kneser_ney
+
+    try:
+        native = _native_or_skip()
+    except Exception:
+        native = None
+    rng = np.random.default_rng(20260820)
+    base_words = (["the", "a", "of", "café", "naïve", "日本語", "données",
+                   "a'postrophe", 'qu"ote', "x" * 60] +
+                  [f"w{i}" for i in range(40)])
+    for trial in range(3):
+        order = int(rng.integers(2, 6))
+        vsize = int(rng.integers(8, len(base_words)))
+        vocab = list(rng.choice(base_words, size=vsize, replace=False))
+        sents = [[vocab[j] for j in rng.integers(0, vsize,
+                                                 size=rng.integers(2, 9))]
+                 for _ in range(120)]
+        lm = train_kneser_ney(sents, order=order)
+        arpa = tmp_path / f"f{trial}.arpa"
+        lm.write_arpa(str(arpa))
+        alm = ArpaLM(str(arpa))
+
+        readers = []
+        for name, kw in [("probing", {}),
+                         ("trie", dict(search="trie")),
+                         ("qtrie", dict(search="trie", quantize=True,
+                                        prob_bits=16, backoff_bits=16))]:
+            p = tmp_path / f"f{trial}.{name}"
+            write_kenlm_binary(str(arpa), str(p), **kw)
+            readers.append((name, KenLMBinaryLM(str(p))))
+            if native is not None:
+                readers.append((name + "-native",
+                                native.NativeKenLM(str(p))))
+
+        probe = vocab + ["OOVWORD", "zzz"]
+        for _ in range(120):
+            w = probe[int(rng.integers(0, len(probe)))]
+            clen = int(rng.integers(0, order + 1))  # incl. over-long
+            ctx = tuple(probe[j] for j in rng.integers(0, len(probe),
+                                                       size=clen))
+            want = alm.logp(w, ctx)
+            for name, r in readers:
+                got = r.logp(w, ctx)
+                assert got == pytest.approx(want, abs=3e-5), \
+                    (trial, order, name, w, ctx, got, want)
+
+
+def test_fuzz_truncation_always_fails_loudly(tmp_path):
+    """The fail-loud contract, fuzzed over truncation points: a strict
+    truncation of a binary model either refuses to load (ValueError /
+    native IOError) or loads AND scores identically to the ARPA oracle.
+    No cut point may load and mis-score. (Cuts that load harmlessly do
+    exist: exactly at the scoring-body end — dropping the optional
+    vocab-string tail — and at size-1, which only drops the final
+    string NUL terminator.)"""
+    from audio8_tpu.ops.ngram import train_kneser_ney
+
+    try:
+        native = _native_or_skip()
+    except Exception:
+        native = None
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(20)]
+    sents = [[vocab[j] for j in rng.integers(0, 20,
+                                             size=rng.integers(3, 8))]
+             for _ in range(100)]
+    lm = train_kneser_ney(sents, order=3)
+    arpa = tmp_path / "t.arpa"
+    lm.write_arpa(str(arpa))
+    alm = ArpaLM(str(arpa))
+
+    for name, kw in [("probing", {}), ("trie", dict(search="trie")),
+                     ("qtrie", dict(search="trie", quantize=True))]:
+        p = tmp_path / f"t.{name}"
+        write_kenlm_binary(str(arpa), str(p), **kw)
+        blob = p.read_bytes()
+        # locate the scoring-body end: the start of the vocab-string
+        # tail, which begins with "<unk>\0"
+        body_end = blob.rfind(b"<unk>\x00")
+        assert 0 < body_end < len(blob)
+        cuts = sorted(set(
+            list(rng.integers(1, len(blob), size=30)) +
+            [body_end - 1, body_end, body_end + 1, len(blob) - 1]))
+        queries = [("w3", ()), ("w1", ("w2",)), ("zz", ("w4", "w5")),
+                   ("w8", ("w1", "w17"))]
+        tol = 0.5 if name == "qtrie" else 3e-5
+        for cut in cuts:
+            cp = tmp_path / f"cut.{name}"
+            cp.write_bytes(blob[:cut])
+            try:
+                r = KenLMBinaryLM(str(cp))
+            except ValueError:
+                if native is not None:
+                    with pytest.raises(IOError):
+                        native.NativeKenLM(str(cp))
+                continue
+            # it loaded: it must be a semantically identical model (the
+            # only benign cuts shave the optional string tail / its
+            # final NUL) — and the native reader must agree with it
+            for w, ctx in queries:
+                assert r.logp(w, ctx) == pytest.approx(
+                    alm.logp(w, ctx), abs=tol), (name, cut, w, ctx)
+            if native is not None:
+                try:
+                    n = native.NativeKenLM(str(cp))
+                except IOError:
+                    continue  # native may be stricter, never looser
+                for w, ctx in queries:
+                    assert n.logp(w, ctx) == pytest.approx(
+                        alm.logp(w, ctx), abs=tol), (name, cut, w, ctx)
