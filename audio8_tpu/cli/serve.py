@@ -207,7 +207,16 @@ def make_server(service: TranscribeService, host: str = "127.0.0.1",
     class Metrics:
         """Thread-safe request counters rendered in Prometheus text
         format at GET /metrics (production-serving observability the
-        reference has no equivalent of)."""
+        reference has no equivalent of).
+
+        Semantics: requests are observed BEFORE their response is
+        written, so by the time a client holds a response the counters
+        already include it (scrape-after-response is consistent).
+        Consequently ``a8t_request_seconds`` measures *service* time —
+        read + decode + transcribe — excluding the response
+        serialization/socket write (sub-ms for JSON transcripts); the
+        /stream route is the exception, where the response IS the work
+        and the duration covers the full stream."""
 
         def __init__(self):
             self._lock = threading.Lock()

@@ -479,8 +479,6 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
     if (!need(counts[0] + 2, 16)) return drop();
     lm->unigram = base + off;
     off += (counts[0] + 2) * 16;
-    if (LoadU64(lm->unigram + str_bound * 16 + 8) > counts[1])
-      return drop();
 
     // Bit-packed middle arrays (orders 2..N-1) and the longest array.
     const uint8_t word_bits = RequiredBits(counts[0]);
@@ -509,10 +507,55 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
       off += nbytes;
       lm->levels.push_back(t);
     }
-    // Every level's end pointer must stay within the next level.
-    for (int m = 2; m < order; ++m) {
+    // Load-time structural validation of everything the query walk
+    // will trust — a corrupt child pointer must refuse here, not read
+    // gigabytes past the mmap inside a binary search; a corrupt word
+    // ordering must refuse, not silently mis-score via a missed match.
+    {
+      uint64_t prev = LoadU64(lm->unigram + 8);
+      for (uint64_t id = 1; id <= str_bound; ++id) {
+        const uint64_t nx = LoadU64(lm->unigram + id * 16 + 8);
+        if (nx < prev) return drop();
+        prev = nx;
+      }
+      if (prev != counts[1]) return drop();
+    }
+    for (int m = 2; m <= order; ++m) {
       const TrieLevel& t = lm->levels[m - 2];
-      if (t.Next(t.count) > counts[m]) return drop();
+      if (t.next_bits) {  // child pointers: nondecreasing partition
+        uint64_t prev = t.Next(0);
+        for (uint64_t i = 1; i <= t.count; ++i) {
+          const uint64_t nx = t.Next(i);
+          if (nx < prev) return drop();
+          prev = nx;
+        }
+        if (prev != counts[m]) return drop();
+      }
+      // branching words: strictly ascending within each node's child
+      // range (the binary search's invariant), ids within the vocab
+      auto range_ok = [&](uint64_t begin, uint64_t end) {
+        if (begin > end || end > t.count) return false;
+        uint64_t prev_w = ~0ull;
+        for (uint64_t i = begin; i < end; ++i) {
+          const uint64_t w = t.Word(i);
+          if (w > counts[0]) return false;
+          if (prev_w != ~0ull && w <= prev_w) return false;
+          prev_w = w;
+        }
+        return true;
+      };
+      if (m == 2) {
+        for (uint64_t id = 0; id < str_bound; ++id) {
+          if (!range_ok(LoadU64(lm->unigram + id * 16 + 8),
+                        LoadU64(lm->unigram + (id + 1) * 16 + 8)))
+            return drop();
+        }
+      } else {
+        const TrieLevel& p = lm->levels[m - 3];
+        for (uint64_t i = 0; i < p.count; ++i) {
+          if (!range_ok(p.Next(i), p.Next(i + 1))) return drop();
+        }
+      }
     }
     if (!has_vocab && off != size) return drop();
     if (has_vocab && off < size) {

@@ -123,6 +123,18 @@ def _read_bits(buf, bit_off: int, nbits: int) -> int:
     return (window >> (bit_off & 7)) & ((1 << nbits) - 1)
 
 
+def _read_bits_vec(buf, bit_offs: np.ndarray, nbits: int) -> np.ndarray:
+    """Vectorized ``_read_bits`` over a uint64 array of bit offsets
+    (load-time structural validation reads every entry's field once)."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    byte = (bit_offs >> 3).astype(np.int64)
+    window = np.zeros(len(bit_offs), dtype=np.uint64)
+    for k in range((nbits + 14) // 8):  # covers shift (<8) + nbits
+        window |= data[byte + k].astype(np.uint64) << np.uint64(8 * k)
+    shift = (bit_offs & np.uint64(7)).astype(np.uint64)
+    return (window >> shift) & np.uint64((1 << nbits) - 1)
+
+
 def _write_bits(buf: bytearray, bit_off: int, nbits: int, value: int) -> None:
     byte = bit_off >> 3
     shift = bit_off & 7
@@ -432,11 +444,6 @@ class KenLMBinaryLM:
                                  ("next", "<u8")]),
             count=uni_rows, offset=off)
         off += 16 * uni_rows
-        limit = int(self._uni_trie["next"][self.bound])
-        if limit > (counts[1] if order > 1 else 0):
-            raise ValueError(
-                f"{path}: unigram end pointer {limit} exceeds bigram "
-                f"count {counts[1]}; " + _CONVERT_HINT)
 
         # --- bit-packed middle arrays (orders 2..N-1) and longest ---
         word_bits = _required_bits(counts[0])
@@ -478,15 +485,51 @@ class KenLMBinaryLM:
             "prob_off": word_bits, "next_off": None, "next_bits": 0,
         })
         off += nbytes
-        # cross-check every level's next pointers stay within the next
-        # level's entry count (fail loudly rather than read garbage)
-        for m in range(2, order):
+        # --- load-time structural validation of everything the query
+        # walk will trust (fail loudly rather than read out of bounds
+        # or silently mis-score): every level's child pointers must be
+        # nondecreasing and end exactly at the next level's entry
+        # count, and within each node's child range the branching words
+        # must be strictly ascending (the binary search's invariant) ---
+        parent_next = self._uni_trie["next"][:self.bound + 1]\
+            .astype(np.uint64)
+        if bool(np.any(parent_next[1:] < parent_next[:-1])) or \
+                int(parent_next[-1]) != counts[1]:
+            raise ValueError(
+                f"{path}: unigram child pointers are not a "
+                f"nondecreasing partition of the {counts[1]} bigrams; "
+                + _CONVERT_HINT)
+        for m in range(2, order + 1):
             t = self._tries[m - 2]
-            end = self._trie_next(t, t["count"])
-            if end > counts[m]:
+            n = t["count"]
+            if t["next_bits"]:
+                offs = (np.arange(n + 1, dtype=np.uint64)
+                        * np.uint64(t["total"]) + np.uint64(t["next_off"]))
+                nexts = _read_bits_vec(t["sec"], offs, t["next_bits"])
+                if bool(np.any(nexts[1:] < nexts[:-1])) or \
+                        int(nexts[-1]) != counts[m]:
+                    raise ValueError(
+                        f"{path}: {m}-gram child pointers are not a "
+                        f"nondecreasing partition of the {counts[m]} "
+                        f"{m + 1}-grams; " + _CONVERT_HINT)
+            else:
+                nexts = None
+            words = _read_bits_vec(
+                t["sec"], np.arange(n, dtype=np.uint64)
+                * np.uint64(t["total"]), t["word_bits"])
+            if int(words.max(initial=0)) > counts[0]:
                 raise ValueError(
-                    f"{path}: {m}-gram end pointer {end} exceeds "
-                    f"{m + 1}-gram count {counts[m]}; " + _CONVERT_HINT)
+                    f"{path}: {m}-gram word id exceeds the vocabulary; "
+                    + _CONVERT_HINT)
+            starts = np.zeros(n, dtype=bool)
+            b = parent_next[parent_next < n].astype(np.int64)
+            starts[b] = True
+            if n and bool(np.any((words[1:] <= words[:-1]) & ~starts[1:])):
+                raise ValueError(
+                    f"{path}: {m}-gram words are not sorted within a "
+                    "node's child range — the trie's binary-search "
+                    "invariant is broken; " + _CONVERT_HINT)
+            parent_next = nexts
         return off
 
     # -- trie field access -----------------------------------------------

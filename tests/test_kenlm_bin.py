@@ -789,3 +789,73 @@ def test_fuzz_truncation_always_fails_loudly(tmp_path):
                 for w, ctx in queries:
                     assert n.logp(w, ctx) == pytest.approx(
                         alm.logp(w, ctx), abs=tol), (name, cut, w, ctx)
+
+
+def test_trie_pointer_and_order_corruption_refused(tmp_path):
+    """Regression (round-4 review): a corrupt trie must refuse at load,
+    never crash or silently mis-score at query time. Corrupting one
+    unigram child-pointer pair used to pass every load check, then
+    SIGSEGV the native reader (binary search over [0, 2^34)) and
+    silently mis-score the Python one; unsorted words within a node
+    used to mis-score via a missed binary-search match."""
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text(ARPA)
+    binp = tmp_path / "lm.trie"
+    write_kenlm_binary(str(arpa), str(binp), search="trie")
+    blob = bytes(binp.read_bytes())
+    order = blob[88]
+    counts = struct.unpack_from("<QQQ", blob, 108)
+    uni_off = ((108 + 8 * order + 7) // 8 * 8) + 8 + 8 * counts[0]
+
+    # (a) non-monotone / out-of-bounds child pointers
+    bad = bytearray(blob)
+    struct.pack_into("<Q", bad, uni_off + 3 * 16 + 8, 0)
+    struct.pack_into("<Q", bad, uni_off + 4 * 16 + 8, 2 ** 34)
+    p = tmp_path / "bad_ptr.trie"
+    p.write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="nondecreasing"):
+        KenLMBinaryLM(str(p))
+
+    # (b) words unsorted within a node's child range: swap the first
+    # two bigram entries' word fields (same parent node). Middle entry
+    # layout: word_bits | prob31 | backoff32 | next_bits at bit i*total
+    word_bits = counts[0].bit_length()
+    next_bits = counts[2].bit_length()
+    total = word_bits + 63 + next_bits
+    mid_off = uni_off + (counts[0] + 2) * 16
+    sec = bytearray(blob)
+
+    def rdw(i):
+        bit = 8 * mid_off + i * total
+        window = int.from_bytes(sec[bit // 8: bit // 8 + 8], "little")
+        return (window >> (bit % 8)) & ((1 << word_bits) - 1)
+
+    def wrw(i, val):
+        bit = 8 * mid_off + i * total
+        byte, shift = bit // 8, bit % 8
+        cur = int.from_bytes(sec[byte:byte + 8], "little")
+        mask = ((1 << word_bits) - 1) << shift
+        cur = (cur & ~mask) | (val << shift)
+        sec[byte:byte + 8] = cur.to_bytes(8, "little")
+
+    # find a parent with >= 2 children via the unigram pointers
+    uni_next = [struct.unpack_from("<Q", blob, uni_off + i * 16 + 8)[0]
+                for i in range(counts[0] + 1)]
+    pair = next((b0 for b0, e in zip(uni_next, uni_next[1:]) if e - b0 >= 2),
+                None)
+    assert pair is not None
+    w0, w1 = rdw(pair), rdw(pair + 1)
+    wrw(pair, w1)
+    wrw(pair + 1, w0)
+    q = tmp_path / "bad_order.trie"
+    q.write_bytes(bytes(sec))
+    with pytest.raises(ValueError, match="sorted within"):
+        KenLMBinaryLM(str(q))
+
+    try:
+        native = _native_or_skip()
+    except Exception:
+        return
+    for f in (p, q):
+        with pytest.raises(IOError):
+            native.NativeKenLM(str(f))
