@@ -118,6 +118,8 @@ _ALLOWED = {
             storage, offset, size, stride)),
     ("torch._utils", "_rebuild_parameter"): (
         lambda data, requires_grad=True, hooks=None: data),
+    ("torch._utils", "_rebuild_parameter_with_state"): (
+        lambda data, requires_grad=True, hooks=None, state=None: data),
     ("torch.serialization", "_get_layout"): lambda name: None,
 }
 
@@ -197,9 +199,25 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
             f"{path}: expected a state dict or a {{'model': ...}} blob, "
             f"got {type(blob).__name__}")
     out = {}
+    stubbed = []
     for k, v in blob.items():
         if isinstance(v, np.ndarray):
             out[k] = v
+        elif isinstance(v, _Stub):
+            # a tensor-position entry whose rebuild helper is not in
+            # _ALLOWED got absorbed as an opaque stub — dropping it
+            # silently would leave those weights at random init after a
+            # warm start (torch.load would have returned them), so fail
+            # loudly instead (round-4 review)
+            stubbed.append(k)
+    if stubbed:
+        raise ValueError(
+            f"{path}: {len(stubbed)} state-dict entries use a tensor "
+            "rebuild helper this torch-free reader does not know "
+            f"(first: {stubbed[0]!r}). Re-save the checkpoint once with "
+            "torch.save(torch.load(p), p) on any machine with torch, "
+            "or install torch here (models/convert.py then loads it "
+            "via torch directly).")
     if not out:
         raise ValueError(f"{path}: no tensors found in checkpoint")
     return out

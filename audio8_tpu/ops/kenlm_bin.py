@@ -304,25 +304,36 @@ class KenLMBinaryLM:
                 f"(expected body end {off}, file is {size} bytes) — "
                 "refusing to mis-score; " + _CONVERT_HINT)
         self.words: Optional[List[str]] = None
+        raw_words: Optional[List[bytes]] = None
         if has_vocab and off < size:
             # the trailing string section must hold exactly the `bound`
             # NUL-terminated words: a shortfall in the table layout would
-            # otherwise be silently absorbed as garbage "vocab strings"
+            # otherwise be silently absorbed as garbage "vocab strings".
+            # Trailing zero padding after the last terminator is fine
+            # (and the C++ loader accepts it), so strip ALL trailing
+            # empties, not just one.
             tail = bytes(raw[off:])
             words = tail.split(b"\x00")
-            if words and words[-1] == b"":
+            while words and words[-1] == b"":
                 words.pop()
             if len(words) != self.bound:
                 raise ValueError(
                     f"{path}: vocab string section holds {len(words)} "
                     f"words, expected {self.bound} — section layout "
                     "inconsistent, refusing to mis-score; " + _CONVERT_HINT)
+            raw_words = words
             self.words = [w.decode("utf-8", "replace") for w in words]
         self._id_cache: Dict[str, int] = {"<unk>": 0, "<UNK>": 0}
-        if self.words is not None and self.bound > 1:
-            # spot-check: the strings round-trip through the hash table
+        if raw_words is not None and self.bound > 1:
+            # spot-check: the strings' RAW bytes round-trip through the
+            # id lookup. Hash the bytes directly — going through
+            # index() would re-encode a lossily-decoded non-UTF-8 word
+            # and falsely reject a valid file (vocab words are byte
+            # strings to kenlm, not necessarily UTF-8).
             for wid in {1, self.bound // 2, self.bound - 1}:
-                if wid >= 1 and self.index(self.words[wid]) != wid:
+                if wid >= 1 and \
+                        self._id_of_key(murmur_hash64a(raw_words[wid])) \
+                        != wid:
                     raise ValueError(
                         f"{path}: vocab string {self.words[wid]!r} does "
                         f"not hash back to id {wid} — section layout "
@@ -340,6 +351,7 @@ class KenLMBinaryLM:
     def _parse_probing(self, path, raw, off, size, counts,
                        multiplier) -> int:
         # --- vocabulary: u64 header (bound) + probing table ---
+        self._need(path, off, size, 8, "vocab header")
         (self.bound,) = struct.unpack_from("<Q", raw, off)
         off += 8
         if self.bound > counts[0] + 1:
@@ -596,34 +608,32 @@ class KenLMBinaryLM:
         raise AssertionError("unreachable")
 
     # -- lookups ---------------------------------------------------------
-    def index(self, word: str) -> int:
-        """Word id (murmur probing table, or binary search over the
-        trie's sorted hash list); OOV -> 0 (<unk>)."""
-        wid = self._id_cache.get(word)
-        if wid is not None:
-            return wid
-        key = murmur_hash64a(word.encode("utf-8"))
+    def _id_of_key(self, key: int) -> int:
+        """Word id of a murmur hash key (probing table, or binary
+        search over the trie's sorted hash list); absent -> 0."""
         if self.model_type != MODEL_PROBING:
             pos = int(np.searchsorted(self._vocab_sorted, np.uint64(key)))
-            wid = pos + 1 if (pos < len(self._vocab_sorted) and
-                              int(self._vocab_sorted[pos]) == key) else 0
-            self._id_cache[word] = wid
-            return wid
+            return pos + 1 if (pos < len(self._vocab_sorted) and
+                               int(self._vocab_sorted[pos]) == key) else 0
         tab = self._vocab
         n = len(tab)
         i = key % n
-        wid = 0
         while True:
             k = int(tab["key"][i])
             if k == key:
                 wid = int(tab["val"][i])
-                if wid >= len(self._unigram):  # corrupt table: treat as OOV
-                    wid = 0
-                break
+                # corrupt table: treat an id past the unigram as OOV
+                return wid if wid < len(self._unigram) else 0
             if k == 0:
-                break
+                return 0
             i = (i + 1) % n
-        self._id_cache[word] = wid
+
+    def index(self, word: str) -> int:
+        """Word id; OOV -> 0 (<unk>)."""
+        wid = self._id_cache.get(word)
+        if wid is None:
+            wid = self._id_of_key(murmur_hash64a(word.encode("utf-8")))
+            self._id_cache[word] = wid
         return wid
 
     def _find(self, ids: Tuple[int, ...]):

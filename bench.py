@@ -501,8 +501,21 @@ def main():
             try:
                 extra[key] = round(fn(), 2)
                 actual = time.perf_counter() - t0
-                warm_ratio = min(warm_ratio,
-                                 max(0.1, actual / _EXTRA_COSTS[key]))
+                ratio = actual / _EXTRA_COSTS[key]
+                if ratio > warm_ratio:
+                    # slower than believed (cold relay): adapt UP so the
+                    # next gate doesn't start something it can't afford
+                    warm_ratio = ratio
+                else:
+                    # warm evidence shrinks the gate, but bounded (x2
+                    # margin, floor 0.5): one compile-cache-hit extra
+                    # says nothing about the NEXT extra's uncached
+                    # compile, and an unbounded shrink re-enables the
+                    # round-3 overrun this gate exists to prevent
+                    # (worst case now: est = cost/2, so a fully cold
+                    # extra overshoots the budget by at most half its
+                    # own cost — still inside the driver kill window)
+                    warm_ratio = max(min(warm_ratio, ratio * 2.0), 0.5)
             except Exception as e:  # record, keep the headline alive
                 extra[key] = f"error:{type(e).__name__}"
             _emit(throughput, extra)

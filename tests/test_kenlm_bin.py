@@ -380,9 +380,15 @@ def test_corrupt_counts_and_short_headers_fail_actionably(tmp_path):
     write_kenlm_binary(str(arpa), str(binp))
     blob = bytearray(binp.read_bytes())
 
-    # counts[0] -> absurd value far past file_size/8
+    # counts[0] -> absurd value far past file_size/8. counts_off is
+    # sanity(88) + fixed(20) = 108 — '<'-prefixed structs carry no
+    # trailing pad; ALIGN8 applies after the counts array (a previous
+    # version of this test packed at 112, accidentally corrupting
+    # counts[1]'s low word instead of counts[0]).
+    assert KenLMBinaryLM(str(binp)).counts[0] == \
+        struct.unpack_from("<Q", blob, 108)[0]
     huge = bytearray(blob)
-    struct.pack_into("<Q", huge, 112, 1 << 60)  # counts_off = 88+20+4pad
+    struct.pack_into("<Q", huge, 108, 1 << 60)
     huge_path = tmp_path / "huge.bin"
     huge_path.write_bytes(bytes(huge))
     with pytest.raises(ValueError, match="implausible"):
@@ -393,6 +399,14 @@ def test_corrupt_counts_and_short_headers_fail_actionably(tmp_path):
     short.write_bytes(bytes(blob[:60]))
     with pytest.raises(ValueError, match="truncated"):
         KenLMBinaryLM(str(short))
+
+    # file ends exactly after the counts padding (136 bytes for order
+    # 3): the vocab-header u64 read must raise the actionable
+    # ValueError, not leak struct.error (round-4 review)
+    at_counts_end = tmp_path / "counts_end.bin"
+    at_counts_end.write_bytes(bytes(blob[:136]))
+    with pytest.raises(ValueError, match="vocab header"):
+        KenLMBinaryLM(str(at_counts_end))
 
     # native loader: same crafted files must return load failure, never
     # crash the process

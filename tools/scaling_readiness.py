@@ -15,6 +15,15 @@ What the design predicts (audio8_tpu/parallel/sharding.py):
   matmul partial sums in forward and backward;
 - DP: gradient reduction folded into the FSDP reduce-scatter.
 
+Evidence boundaries: the collective counts and the sharded per-device
+STATE bytes (params + optimizer moments — exact shape arithmetic) are
+backend-independent facts about the partitioned program. The memory
+analysis's ``temp_size_in_bytes`` is NOT: it comes from this XLA:CPU
+compile, whose fusion/layout/remat choices differ from XLA:TPU, so it
+is recorded as context only and nothing asserts a v5e activation fit
+from it. (Also: ReduceScatterCreator is a TPU/GPU pass, so FSDP
+gradient reduction shows as all-reduce here.)
+
 Asserted by tests/test_scaling_readiness.py; run standalone with
 ``python tools/scaling_readiness.py`` to regenerate the artifact at
 full wav2vec2-base dims.
