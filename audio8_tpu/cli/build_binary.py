@@ -27,10 +27,10 @@ def parse_args(argv=None):
     p = ArgumentParser(description=__doc__)
     p.add_argument("arpa", help="input ARPA file (optionally .gz)")
     p.add_argument("output", help="binary model file to write")
-    p.add_argument("-p", "--probing_multiplier", type=float, default=1.5,
+    p.add_argument("-p", "--probing_multiplier", type=float, default=None,
                    help="hash-table space multiplier (kenlm -p; >1.0, "
                         "larger = fewer probe collisions, bigger file; "
-                        "probing layout only)")
+                        "probing layout only; default 1.5)")
     p.add_argument("--trie", action="store_true",
                    help="write the sorted bit-packed TRIE layout "
                         "(kenlm `build_binary trie`): smaller file, "
@@ -38,10 +38,12 @@ def parse_args(argv=None):
     p.add_argument("-q", "--quantize", action="store_true",
                    help="with --trie: store probs/backoffs as quantized "
                         "table indices (kenlm `build_binary trie -q`)")
-    p.add_argument("--prob_bits", type=int, default=8,
-                   help="quantization bits for probabilities (kenlm -q N)")
-    p.add_argument("--backoff_bits", type=int, default=8,
-                   help="quantization bits for backoffs (kenlm -b N)")
+    p.add_argument("--prob_bits", type=int, default=None,
+                   help="quantization bits for probabilities "
+                        "(kenlm -q N; default 8, requires --quantize)")
+    p.add_argument("--backoff_bits", type=int, default=None,
+                   help="quantization bits for backoffs "
+                        "(kenlm -b N; default 8, requires --quantize)")
     p.add_argument("--no_vocab_strings", action="store_true",
                    help="omit the trailing id-ordered vocabulary strings")
     return p.parse_args(argv)
@@ -51,19 +53,32 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s %(name)s: %(message)s")
     args = parse_args(argv)
-    if args.probing_multiplier <= 1.0:
-        raise ValueError("--probing_multiplier must be > 1.0")
+    # a flag that would be silently ignored is an error, not a no-op:
+    # the user must not believe they produced e.g. a 4-bit model
     if args.quantize and not args.trie:
         raise ValueError("--quantize requires --trie (kenlm quantizes "
                          "the trie layout only)")
+    if not args.quantize and (args.prob_bits is not None or
+                              args.backoff_bits is not None):
+        raise ValueError("--prob_bits/--backoff_bits only apply with "
+                         "--quantize (they would be silently ignored)")
+    if args.trie and args.probing_multiplier is not None:
+        raise ValueError("--probing_multiplier applies to the probing "
+                         "layout only (it would be silently ignored "
+                         "with --trie)")
+    multiplier = 1.5 if args.probing_multiplier is None \
+        else args.probing_multiplier
+    if multiplier <= 1.0:
+        raise ValueError("--probing_multiplier must be > 1.0")
     info = write_kenlm_binary(
         args.arpa, args.output,
-        probing_multiplier=args.probing_multiplier,
+        probing_multiplier=multiplier,
         write_vocab_strings=not args.no_vocab_strings,
         search="trie" if args.trie else "probing",
         quantize=args.quantize,
-        prob_bits=args.prob_bits,
-        backoff_bits=args.backoff_bits)
+        prob_bits=8 if args.prob_bits is None else args.prob_bits,
+        backoff_bits=8 if args.backoff_bits is None
+        else args.backoff_bits)
     logger.info("wrote %s: %s, order %d, counts %s, %d words",
                 args.output,
                 "TRIE -q" if args.quantize else

@@ -842,7 +842,8 @@ def write_kenlm_binary(arpa_path: str, out_path: str,
             for w, wid in word_ids.items():
                 names[wid] = w
             f.write(b"".join(w.encode("utf-8") + b"\x00" for w in names))
-    return {"order": order, "counts": counts, "bound": bound}
+    return {"order": order, "counts": counts, "bound": bound,
+            "model_type": MODEL_PROBING}
 
 
 def _quant_table(values: Sequence[float], bits: int,
@@ -878,9 +879,24 @@ def _quant_table(values: Sequence[float], bits: int,
     return np.asarray(reserved + centers, dtype="<f4")
 
 
-def _quant_encode(table: np.ndarray, value: float) -> int:
-    return int(np.argmin(np.abs(table.astype(np.float64)
-                                - float(np.float32(value)))))
+def _quant_encoder(table: np.ndarray):
+    """Vectorized nearest-center encoder for one quant table: values ->
+    bin indices in one searchsorted pass (the per-entry argmin scan was
+    O(2^bits) per n-gram — hours on a real LM at prob_bits=16)."""
+    t64 = table.astype(np.float64)
+    order = np.argsort(t64, kind="stable")
+    sorted_t = t64[order]
+
+    def encode(values) -> np.ndarray:
+        v = np.asarray(values, dtype=np.float32).astype(np.float64)
+        pos = np.searchsorted(sorted_t, v)
+        lo = np.clip(pos - 1, 0, len(sorted_t) - 1)
+        hi = np.clip(pos, 0, len(sorted_t) - 1)
+        pick = np.where(np.abs(v - sorted_t[lo]) <= np.abs(v - sorted_t[hi]),
+                        lo, hi)
+        return order[pick]
+
+    return encode
 
 
 def _write_trie(out_path: str, order: int, by_order, write_vocab_strings,
@@ -994,15 +1010,18 @@ def _write_trie(out_path: str, order: int, by_order, write_vocab_strings,
         total = word_bits + qw + next_bits
         buf = bytearray(((counts[m - 1] + 1) * total + 7) // 8 + 8)
         child_parents = [e[3] for e in levels[m - 1]]
+        if quantize:
+            pt, bt = mid_tabs[m - 2]
+            p_idx = _quant_encoder(pt)([e[1] for e in levels[m - 2]])
+            b_idx = _quant_encoder(bt)([e[2] for e in levels[m - 2]])
         for j, (path, p10, b10, _) in enumerate(levels[m - 2]):
             bit = j * total
             _write_bits(buf, bit, word_bits, path[-1])
             if quantize:
-                pt, bt = mid_tabs[m - 2]
                 _write_bits(buf, bit + word_bits, prob_bits,
-                            _quant_encode(pt, p10))
+                            int(p_idx[j]))
                 _write_bits(buf, bit + word_bits + prob_bits,
-                            backoff_bits, _quant_encode(bt, b10))
+                            backoff_bits, int(b_idx[j]))
             else:
                 _write_bits(buf, bit + word_bits, 31,
                             _bits_from_f32(p10) & ~_SIGN_BIT)
@@ -1018,12 +1037,14 @@ def _write_trie(out_path: str, order: int, by_order, write_vocab_strings,
     qw = prob_bits if quantize else 31
     total = word_bits + qw
     buf = bytearray(((counts[order - 1] + 1) * total + 7) // 8 + 8)
+    if quantize:
+        p_idx = _quant_encoder(long_tab)(
+            [e[1] for e in levels[order - 2]])
     for j, (path, p10, _b, _) in enumerate(levels[order - 2]):
         bit = j * total
         _write_bits(buf, bit, word_bits, path[-1])
         if quantize:
-            _write_bits(buf, bit + word_bits, prob_bits,
-                        _quant_encode(long_tab, p10))
+            _write_bits(buf, bit + word_bits, prob_bits, int(p_idx[j]))
         else:
             _write_bits(buf, bit + word_bits, 31,
                         _bits_from_f32(p10) & ~_SIGN_BIT)

@@ -25,7 +25,7 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 _cache = os.environ.get(
     "A8T_TEST_COMPILE_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "a8t_test_xla"))
-if _cache != "off":
+if _cache and _cache != "off":  # empty string = unset (YAML env blocks)
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
