@@ -4,9 +4,13 @@ kenlm ``build_binary`` equivalent for the probing (default) and trie
 search types — the artifacts the reference's decode path consumes
 through ctcdecode (/root/reference/audio8/ctc.py:22-30). The output
 loads via ``audio8_tpu.ops.kenlm_bin.KenLMBinaryLM`` / the native
-C++ reader (PrefixBeamSearch routes there automatically) and follows
-kenlm's published format-version-5 layouts, so kenlm itself should
-also accept it:
+C++ reader (PrefixBeamSearch routes there automatically). The layouts
+follow kenlm's published format-version-5 source, but this environment
+has no kenlm build to differential-test against: treat these files as
+audio8_tpu-native artifacts. Round-tripping one through real kenlm is
+unverified (the probing layout is byte-replicated and most likely
+interoperable; the trie layout involves more writer judgment calls —
+verify against a kenlm build before relying on cross-tool reads):
 
   a8t-train-ngram --input train.wrd --output lm.arpa --order 3
   a8t-build-binary lm.arpa lm.bin

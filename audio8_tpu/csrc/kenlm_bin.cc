@@ -349,6 +349,41 @@ struct TrieKenLm : public BackoffBinaryLm {
   }
 };
 
+// Python-split semantics for the trailing vocab-string section
+// (ops/kenlm_bin.py KenLMBinaryLM.__init__): segments between NULs,
+// trailing empty segments (zero padding) dropped. Both readers must
+// agree on accept/refuse, and the native one is tried first.
+uint64_t CountVocabWords(const uint8_t* tail, uint64_t len) {
+  uint64_t last_nonzero = 0;
+  bool any = false;
+  for (uint64_t i = 0; i < len; ++i)
+    if (tail[i] != 0) { last_nonzero = i; any = true; }
+  if (!any) return 0;
+  // kept segments = NULs strictly before the last nonzero byte, plus
+  // the segment holding that byte itself
+  uint64_t n = 1;
+  for (uint64_t i = 0; i < last_nonzero; ++i) n += (tail[i] == 0);
+  return n;
+}
+
+// Byte range of NUL-separated segment `wid` of the id-ordered strings.
+bool VocabSegment(const uint8_t* tail, uint64_t len, uint64_t wid,
+                  const uint8_t** seg, uint64_t* seg_len) {
+  uint64_t idx = 0, start = 0;
+  for (uint64_t i = 0; i <= len; ++i) {
+    if (i == len || tail[i] == 0) {
+      if (idx == wid) {
+        *seg = tail + start;
+        *seg_len = i - start;
+        return true;
+      }
+      ++idx;
+      start = i + 1;
+    }
+  }
+  return false;
+}
+
 }  // namespace
 
 extern "C" void* a8t_lm_load_kenlm(const char* path) {
@@ -559,10 +594,28 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
     }
     if (!has_vocab && off != size) return drop();
     if (has_vocab && off < size) {
+      // Mirror the Python reader's exact checks (ops/kenlm_bin.py
+      // KenLMBinaryLM.__init__): exactly str_bound NUL-terminated
+      // words, and a hash round-trip spot-check — a section-layout
+      // shortfall absorbed into the string tail must refuse here too,
+      // not load natively while the Python reader refuses it.
       const uint8_t* tail = base + off;
-      uint64_t nuls = 0;
-      for (uint64_t i = 0; i < size - off; ++i) nuls += (tail[i] == 0);
-      if (nuls < str_bound) return drop();
+      const uint64_t tail_len = size - off;
+      if (CountVocabWords(tail, tail_len) != str_bound) return drop();
+      if (str_bound > 1) {
+        // trie word ids are assigned in sorted-hash order, so word
+        // wid's string must hash to vocab_hashes[wid - 1]
+        const uint64_t wids[3] = {1, str_bound / 2, str_bound - 1};
+        for (uint64_t wid : wids) {
+          if (wid < 1) continue;
+          const uint8_t* seg;
+          uint64_t seg_len;
+          if (!VocabSegment(tail, tail_len, wid, &seg, &seg_len))
+            return drop();
+          if (Murmur64A(seg, seg_len) != lm->vocab_hashes[wid - 1])
+            return drop();
+        }
+      }
     }
     return static_cast<Lm*>(lm);
   }
@@ -606,16 +659,36 @@ extern "C" void* a8t_lm_load_kenlm(const char* path) {
     off += lm->longest_buckets * 12;
   }
   if (!has_vocab && off != size) { delete lm; return nullptr; }
-  // has_vocab: the tail must plausibly hold the `str_bound`
-  // NUL-terminated vocab strings (one NUL per word at minimum). A tail
-  // with fewer NULs means the section layout under-ran into the string
-  // area — a real layout shortfall must fail loudly, not be absorbed.
+  // has_vocab: mirror the Python reader's exact checks (ops/kenlm_bin.py
+  // KenLMBinaryLM.__init__) — exactly str_bound NUL-terminated words
+  // plus a hash round-trip spot-check through the probing table. A
+  // section-layout shortfall under-running into the string area must
+  // fail loudly here too, for consistent accept/refuse semantics.
   if (has_vocab && off < size) {
     const uint8_t* tail = base + off;
     const uint64_t tail_len = size - off;
-    uint64_t nuls = 0;
-    for (uint64_t i = 0; i < tail_len; ++i) nuls += (tail[i] == 0);
-    if (nuls < str_bound) { delete lm; return nullptr; }
+    if (CountVocabWords(tail, tail_len) != str_bound) {
+      delete lm;
+      return nullptr;
+    }
+    if (str_bound > 1) {
+      const uint64_t wids[3] = {1, str_bound / 2, str_bound - 1};
+      for (uint64_t wid : wids) {
+        if (wid < 1) continue;
+        const uint8_t* seg;
+        uint64_t seg_len;
+        bool ok = VocabSegment(tail, tail_len, wid, &seg, &seg_len);
+        if (ok) {
+          const int32_t id = lm->Lookup(std::string(
+              reinterpret_cast<const char*>(seg), seg_len));
+          ok = id == static_cast<int32_t>(wid);
+        }
+        if (!ok) {
+          delete lm;
+          return nullptr;
+        }
+      }
+    }
   }
   return static_cast<Lm*>(lm);
 }

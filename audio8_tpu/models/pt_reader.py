@@ -198,12 +198,27 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         raise ValueError(
             f"{path}: expected a state dict or a {{'model': ...}} blob, "
             f"got {type(blob).__name__}")
+    def _has_stub(v, depth=0):
+        # a _Stub can hide inside a container produced by an unknown
+        # rebuild helper (list/tuple/dict value), not just at top level —
+        # scan containers too, bounded so a pathological deep structure
+        # cannot hang the loader (round-4 advisor)
+        if isinstance(v, _Stub):
+            return True
+        if depth >= 4:
+            return False
+        if isinstance(v, (list, tuple, set)):
+            return any(_has_stub(x, depth + 1) for x in v)
+        if isinstance(v, dict):
+            return any(_has_stub(x, depth + 1) for x in v.values())
+        return False
+
     out = {}
     stubbed = []
     for k, v in blob.items():
         if isinstance(v, np.ndarray):
             out[k] = v
-        elif isinstance(v, _Stub):
+        elif _has_stub(v):
             # a tensor-position entry whose rebuild helper is not in
             # _ALLOWED got absorbed as an opaque stub — dropping it
             # silently would leave those weights at random init after a

@@ -208,7 +208,8 @@ def _probe_insert(keys: np.ndarray, key: int, store) -> None:
 
 
 class KenLMBinaryLM:
-    """Scorer over a KenLM PROBING binary model file.
+    """Scorer over a KenLM binary model file — PROBING, TRIE, or
+    quantized TRIE (``build_binary``, ``build_binary trie [-q]``).
 
     Drop-in for ``ArpaLM`` in beam fusion: ``logp(word, context)`` in
     natural log. The file is memory-mapped; per-word id lookups are
