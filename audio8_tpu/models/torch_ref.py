@@ -82,13 +82,18 @@ def make_fairseq_state(rng, d: int = 64, h: int = 4, l: int = 2,
 
 
 def forward_t(g, xt, num_heads: int = 4, fx=None, d: int = None,
-              l: int = None, taps=None):
+              l: int = None, taps=None, time_mask=None):
     """Differentiable torch-tensor replica of the fairseq wav2vec2
     encoder forward. ``g(name)`` returns the parameter tensor for a
     fairseq key (prefix already applied); ``xt`` is a (B, T) float
     tensor. Returns (features_after_layernorm, final_hidden) as tensors —
     the trainable core shared by the numpy-facing ``forward`` and the
-    training-dynamics parity test (tests/test_train_dynamics.py)."""
+    training-dynamics parity tests (tests/test_train_dynamics.py).
+
+    ``time_mask``: optional (B, T') bool tensor — masked positions get
+    ``mask_emb`` substituted after post_extract_proj, replicating the
+    pretraining forward (models/wav2vec2.py Wav2Vec2Model.__call__;
+    reference wav2vec2.py:871-952) for the pretrain dynamics test."""
     import torch
     import torch.nn.functional as F
 
@@ -110,6 +115,8 @@ def forward_t(g, xt, num_heads: int = 4, fx=None, d: int = None,
     feat = F.layer_norm(feat, (c0,), g("layer_norm.weight"), g("layer_norm.bias"), eps=1e-5)
     tap("features", feat)
     h = F.linear(feat, g("post_extract_proj.weight"), g("post_extract_proj.bias"))
+    if time_mask is not None:
+        h = torch.where(time_mask[..., None], g("mask_emb").to(h.dtype), h)
 
     # pos conv with weight norm (dim=2)
     v = g("encoder.pos_conv.0.weight_v")

