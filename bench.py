@@ -22,9 +22,13 @@ training budget (BASE: 64 V100s, 400k updates, ~1.6h-audio batches,
 ~1.6 days -> ~260 audio-sec/sec/V100; A100 ~2.5x V100 bf16 -> ~650).
 The BASELINE.json target of ">=2x A100" is vs_baseline >= 2.0.
 
-``extra_metrics`` covers the CTC fine-tune recipe (train.py workload,
-docs/PERF.md §CTC): audio-sec/sec/chip with the encoder frozen and
-training. Select workloads with --workload {pretrain,ctc,all}.
+``extra_metrics`` covers the other workloads (CTC fine-tune, seq2seq,
+hubert, transducer, wav2vec2-large pretrain, greedy + chunked decode).
+In 'all' mode the extras run in ROTATION order — ascending
+last-certified round from the BENCH_r*.json artifacts in the cwd
+(never-certified first; see _last_certified) — under a cost-gated
+budget, so every workload gets an official number at least every other
+round. Select a single workload with --workload.
 """
 import argparse
 import json
@@ -359,6 +363,63 @@ def bench_decode(n_steps: int = 50) -> float:
     return (b * t / SAMPLE_RATE) * n_steps / elapsed / jax.device_count()
 
 
+def bench_chunked_decode(n_passes: int = 4, *, minutes: float = 8.0,
+                         batch: int = 4) -> float:
+    """Streaming/long-audio serving workload (a8t-serve /
+    ChunkedTranscriber): stitched-log-prob RTFx for one long waveform
+    decoded through the production chunked path — lane-aligned 30 s
+    windows (cli/serve.py defaults: chunk 480,000 -> lane_aligned_chunk,
+    context 2 s, batch 4), host-side exact stitching, greedy argmax.
+    Generalizes the reference's decode harness
+    (/root/reference/audio8/test.py:26-47) to unbounded audio."""
+    from audio8_tpu.config import (CONV_FEATURES, AcousticConfig,
+                                   lane_aligned_chunk)
+    from audio8_tpu.models.wav2vec2 import Wav2Vec2AcousticModel
+    from audio8_tpu.serve import ChunkedTranscriber
+    from audio8_tpu.utils import Offsets
+
+    Offsets.remap_fairseq_ctc()
+    cfg = AcousticConfig(num_labels=32, d_ff=3072, dropout=0.0,
+                         timestep_masking=0.0, channel_masking=0.0)
+    model = Wav2Vec2AcousticModel(config=cfg, dtype=jnp.bfloat16)
+    chunk = lane_aligned_chunk(480_000, CONV_FEATURES[16])  # T'=1536
+
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.normal(size=(1, 16000)).astype(np.float32)),
+        jnp.full((1,), 16000, jnp.int32))["params"]
+    params = jax.device_put(params)
+
+    # params as a jit argument, mirroring cli/transcribe.load_acoustic
+    # (closed-over params overflow the remote-compile relay at real sizes)
+    @jax.jit
+    def _forward(p, signal, lengths):
+        lp, mask = model.apply({"params": p}, signal, lengths)
+        return lp, jnp.sum(mask, axis=-1)
+
+    def forward(signal, lengths):
+        return _forward(params, signal, lengths)
+
+    ct = ChunkedTranscriber(forward, CONV_FEATURES[16],
+                            chunk_samples=chunk, context_samples=32_000,
+                            batch_size=batch)
+    wav = rng.normal(size=(int(minutes * 60 * SAMPLE_RATE),)) \
+        .astype(np.float32)
+
+    _note(f"chunked_decode: build + compile (chunk={chunk})")
+    lp = ct.log_probs(wav)  # compile + one full stitched pass
+    np.argmax(lp, axis=-1)
+    _note("chunked_decode: compiled, timing")
+
+    start = time.perf_counter()
+    for _ in range(n_passes):
+        lp = ct.log_probs(wav)
+        np.argmax(lp, axis=-1)  # greedy frames (host, as in serve)
+    elapsed = time.perf_counter() - start
+    return (len(wav) / SAMPLE_RATE) * n_passes / elapsed / jax.device_count()
+
+
 def _single(metric: str, value: float, extra: dict) -> None:
     print(json.dumps({
         "metric": metric, "value": value, "unit": "audio-sec/sec/chip",
@@ -367,11 +428,14 @@ def _single(metric: str, value: float, extra: dict) -> None:
 
 
 # Measured cold compile+run cost per extra workload through the TPU
-# relay (round-3 bench stderr timeline, BENCH_r03.json tail). An extra
-# only starts if the remaining budget covers its estimate — a slow
-# compile mid-workload can no longer blow past the budget (the round-3
-# failure: transducer's 381 s compile + LARGE starting at +1221 s ran
-# straight into the driver's ~1300-1500 s kill window).
+# relay (round-3 bench stderr timeline updated with round-5 standalone
+# runs: transducer 231 s, large ~350 s end-to-end in their own
+# processes — the old 440/700 s estimates dated from a slow-relay day
+# and starved both workloads through two rounds). An extra only starts
+# if the remaining budget covers its estimate — a slow compile
+# mid-workload can no longer blow past the budget (the round-3 failure:
+# transducer's 381 s compile + LARGE starting at +1221 s ran straight
+# into the driver's ~1300-1500 s kill window).
 _EXTRA_COSTS = {
     "pretrain_long_clip_throughput": 110.0,
     "ctc_finetune_throughput": 140.0,
@@ -379,9 +443,45 @@ _EXTRA_COSTS = {
     "greedy_decode_rtfx": 90.0,
     "seq2seq_finetune_throughput": 170.0,
     "hubert_pretrain_throughput": 140.0,
-    "transducer_finetune_throughput": 440.0,
-    "large_pretrain_throughput": 700.0,
+    "transducer_finetune_throughput": 260.0,
+    "large_pretrain_throughput": 420.0,
+    "chunked_decode_rtfx": 220.0,
 }
+
+
+# A metric introduced in round N can only be stale since N - 1: without
+# this floor a brand-new metric would jump the rotation queue ahead of
+# extras that were genuinely starved for several rounds.
+_INTRODUCED = {"chunked_decode_rtfx": 5}
+
+
+def _last_certified() -> dict:
+    """Rotation policy (VERDICT r4 #1): the last round each extra
+    appeared as a NUMBER in an official BENCH_r*.json artifact in the
+    cwd. Extras run in ascending order of that round (never-certified
+    first, cheapest first within a tie), so every workload gets an
+    official number at least every other round instead of the fixed
+    order starving the expensive tail."""
+    import glob
+    import re
+
+    last = {}
+    for path in sorted(glob.glob("BENCH_r[0-9]*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        for k, v in (parsed.get("extra_metrics") or {}).items():
+            if isinstance(v, (int, float)):
+                last[k] = max(last.get(k, -1), rnd)
+    for k, introduced in _INTRODUCED.items():
+        last[k] = max(last.get(k, -1), introduced - 1)
+    return last
 
 
 def _emit(throughput: float, extra: dict) -> None:
@@ -420,10 +520,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload",
                     choices=["pretrain", "large", "ctc", "seq2seq", "decode",
-                             "hubert", "transducer", "all"],
+                             "hubert", "transducer", "chunked", "all"],
                     default="all")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("A8T_BENCH_BUDGET", 900)),
+                    default=float(os.environ.get("A8T_BENCH_BUDGET", 1200)),
                     help="total wall-clock budget (s); extras in 'all' mode "
                          "only start when the remaining budget covers their "
                          "measured cold cost. The pretrain headline always "
@@ -452,6 +552,10 @@ def main():
         _single("wav2vec2_base_transducer_finetune_throughput",
                 round(bench_transducer(), 2), {})
         return
+    if args.workload == "chunked":
+        _single("wav2vec2_base_chunked_decode_rtfx",
+                round(bench_chunked_decode(), 2), {})
+        return
     if args.workload == "ctc":
         v = round(bench_ctc(False), 2)
         _single("wav2vec2_base_ctc_finetune_throughput", v,
@@ -472,24 +576,36 @@ def main():
     if args.workload == "all":
         # relay/cache speed factor: the headline's own cold cost was
         # ~100 s in round 3 but 522 s in a cold-cache round-4 run — seed
-        # the gate scale from the observed headline wall-clock, then let
-        # completed extras that beat their estimate shrink it
-        warm_ratio = max(1.0, (time.perf_counter() - start) / 100.0)
-        for key, fn in [
-            # long-clip geometry first: the round-1..3 headline point
+        # the gate scale from the observed headline wall-clock, CAPPED at
+        # 2x (the _EXTRA_COSTS are calibrated from round-5 standalone
+        # runs, and an uncapped seed inflated transducer/large past any
+        # budget in round 4; with the headline-first kill-proof emits an
+        # under-estimate only ever costs the in-flight extra). Completed
+        # extras still adapt the ratio in both directions.
+        warm_ratio = min(2.0, max(1.0, (time.perf_counter() - start) / 250.0))
+        fns = {
+            # pretrain_long_clip: the round-1..3 headline point
             # (8 x 163,920, T'=512), kept for cross-round continuity
             # after the round-4 headline geometry change (see
             # bench_pretrain comment / docs/PERF.md "Batch geometry")
-            ("pretrain_long_clip_throughput",
-             lambda: bench_pretrain(b=8, t=163_920)),
-            ("ctc_finetune_throughput", lambda: bench_ctc(False)),
-            ("ctc_finetune_frozen_throughput", lambda: bench_ctc(True)),
-            ("greedy_decode_rtfx", bench_decode),
-            ("seq2seq_finetune_throughput", bench_seq2seq),
-            ("hubert_pretrain_throughput", bench_hubert),
-            ("transducer_finetune_throughput", bench_transducer),
-            ("large_pretrain_throughput", bench_pretrain_large),
-        ]:
+            "pretrain_long_clip_throughput":
+                lambda: bench_pretrain(b=8, t=163_920),
+            "ctc_finetune_throughput": lambda: bench_ctc(False),
+            "ctc_finetune_frozen_throughput": lambda: bench_ctc(True),
+            "greedy_decode_rtfx": bench_decode,
+            "seq2seq_finetune_throughput": bench_seq2seq,
+            "hubert_pretrain_throughput": bench_hubert,
+            "transducer_finetune_throughput": bench_transducer,
+            "large_pretrain_throughput": bench_pretrain_large,
+            "chunked_decode_rtfx": bench_chunked_decode,
+        }
+        last = _last_certified()
+        order = sorted(fns, key=lambda k: (last.get(k, -1),
+                                           _EXTRA_COSTS[k]))
+        _note("extras rotation order: " + ", ".join(
+            f"{k}(r{last.get(k, -1)})" for k in order))
+        for key in order:
+            fn = fns[key]
             remaining = args.budget - (time.perf_counter() - start)
             est = _EXTRA_COSTS[key] * warm_ratio
             if remaining < est:
