@@ -43,12 +43,68 @@ def make_corpus(outdir: str, n: int, seconds: float = 12.0):
     return os.path.join(outdir, "train.tsv")
 
 
+def measure_serial_parts(tsv):
+    """The thread pool parallelizes ALL of materialize() (decode + pad +
+    stack run inside workers, datasets.py PrefetchLoader._parallel_iter);
+    the only serial components are batch_plans() on the consumer thread
+    and the result hand-off. Measure them alone (Amdahl ceiling for ANY
+    worker count — a single number that is valid beyond this 1-core box),
+    plus a zero-cost-decode materialize (assembly-only single-thread
+    rate: what one worker contributes when decode is free)."""
+    from audio8_tpu.data.datasets import AudioFileDataset
+
+    # 1) plans-only: the serial metadata path (AudioFileDataset plans
+    #    are (rows, crop_len) tuples; the stream is INFINITE — epoch
+    #    loop — so take a fixed count)
+    n_plans = 60
+    ds = AudioFileDataset(tsv, max_length=163_920,
+                          target_tokens_per_batch=163_920 * 8)
+    plans, audio_sec = [], 0.0
+    t0 = time.perf_counter()
+    for rows, t in ds.batch_plans():
+        plans.append((rows, t))
+        audio_sec += len(rows) * t / 16000.0
+        if len(plans) >= n_plans:
+            break
+    dt_plans = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "plans_only_serial",
+        "plans_per_sec": round(len(plans) / dt_plans, 1),
+        "audio_sec_per_sec": round(audio_sec / dt_plans, 1),
+        "note": "Amdahl ceiling: the only non-worker-parallel component",
+    }), flush=True)
+
+    # 2) zero-decode materialize: patch the reader to return a cached
+    #    waveform so the measured cost is padding/stacking/token assembly
+    cached = np.zeros(163_920, np.float32)
+
+    class _ZeroReader:
+        def read(self, path, max_len=-1):
+            return cached
+
+    ds.reader = _ZeroReader()
+    for repeat in range(2):  # second pass is the warm measurement
+        t0 = time.perf_counter()
+        audio_sec = 0.0
+        for plan in plans:
+            out = ds.materialize(plan)
+            audio_sec += float(np.prod(out.shape)) / 16000.0
+        dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "zero_decode_assembly_1thread",
+        "batches_per_sec": round(len(plans) / dt, 2),
+        "audio_sec_per_sec": round(audio_sec / dt, 1),
+        "note": "per-worker assembly rate when decode cost is zero",
+    }), flush=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     from audio8_tpu.data.datasets import AudioFileDataset, PrefetchLoader
 
     with tempfile.TemporaryDirectory() as d:
         tsv = make_corpus(d, n)
+        measure_serial_parts(tsv)
         for workers in (1, 2, 4, 8):
             ds = AudioFileDataset(tsv, max_length=163_920,
                                   target_tokens_per_batch=163_920 * 8)
@@ -70,6 +126,7 @@ def main():
                 sig = next(it)
                 audio_sec += float(np.prod(np.shape(sig))) / 16000.0
             dt = time.perf_counter() - t0
+            it.close()  # stop the producer before the tempdir vanishes
             rate = audio_sec / dt
             print(json.dumps({
                 "num_workers": workers,
