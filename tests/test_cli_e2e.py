@@ -122,6 +122,88 @@ def test_pretrain_cli(corpus, tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrain_then_finetune_cli(corpus, tmp_path):
+    """The reference's primary usage story — pretrain.py then train.py
+    --restart_from (/root/reference/audio8/train.py:215-252) — end to
+    end through the real CLIs on a synthetic corpus: SSL-pretrain a tiny
+    encoder, warm-start a CTC fine-tune from that checkpoint with the
+    encoder frozen, then eval. The frozen encoder's feature-extractor
+    weights in the FINE-TUNED checkpoint must equal the PRETRAIN
+    checkpoint's exactly: --restart_from really transferred the
+    pretrained weights (with sgd + zero grads under freeze, any
+    difference could only come from a broken warm start)."""
+    from audio8_tpu.cli.pretrain import train as pretrain
+    from audio8_tpu.cli.test import evaluate
+    from audio8_tpu.cli.train import train as finetune
+
+    pre_dir = str(tmp_path / "pre")
+    state = pretrain([
+        "--basedir", pre_dir,
+        "--manifest_dir", str(corpus),
+        "--train_manifest_file", "train.tsv",
+        "--valid_manifest_file", "valid.tsv",
+        "--d_model", "32", "--num_heads", "2", "--num_layers", "1",
+        "--d_ff", "64",
+        "--num_vq_vars", "8", "--num_vq_groups", "2",
+        "--tokens_per_batch", "16000",
+        "--max_sample_len", "12000",
+        "--train_steps", "2",
+        "--steps_per_checkpoint", "2",
+        "--valid_steps", "1",
+        "--warmup_steps", "2",
+        "--n_negatives", "10",
+        "--buckets", "4000", "8000", "12000",
+    ])
+    assert int(state.step) == 2
+
+    ft_dir = str(tmp_path / "ft")
+    state = finetune(SMALL_ARGS + [
+        "--basedir", ft_dir,
+        "--root_dir", str(corpus),
+        "--train_dataset", "train.tsv",
+        "--valid_dataset", "valid.tsv",
+        "--target_tokens_per_batch", "40000",
+        "--train_steps", "2",
+        "--grad_accum", "1",
+        "--steps_per_checkpoint", "2",
+        "--valid_steps", "1",
+        "--warmup_steps", "1",
+        "--restart_from", pre_dir,
+        "--restart_tt", "ignore",
+        "--unfreeze_enc_after_step", "100",  # frozen for all 2 steps
+        "--optim", "sgd",
+        "--dropout", "0.0",
+        "--timestep_masking", "0.0",
+        "--channel_masking", "0.0",
+    ])
+    assert int(state.step) == 2
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from audio8_tpu.train.checkpoint import find_latest_checkpoint
+
+    ck = ocp.StandardCheckpointer()
+    pre = ck.restore(find_latest_checkpoint(pre_dir)[0])
+    ft = ck.restore(find_latest_checkpoint(ft_dir)[0])
+    la, ta = jax.tree_util.tree_flatten(pre["params"]["feature_extractor"])
+    lb, tb = jax.tree_util.tree_flatten(
+        ft["params"]["encoder"]["feature_extractor"])
+    assert ta == tb
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    metrics = evaluate(SMALL_ARGS + [
+        "--basedir", ft_dir,
+        "--root_dir", str(corpus),
+        "--valid_dataset", "valid.tsv",
+        "--target_tokens_per_batch", "40000",
+        "--valid_steps", "3",
+    ])
+    assert "wer" in metrics and metrics["wer"] >= 0
+
+
+@pytest.mark.slow
 def test_paired_cli(corpus, tmp_path):
     from audio8_tpu.cli.pretrain_paired import train
 

@@ -96,6 +96,90 @@ def test_two_process_training_matches_single_process(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def _run_pair(snippet, basedir, corpus, timeout=900):
+    """Launch the snippet as two 4-device processes with a real
+    jax.distributed bootstrap; assert both exit 0."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        code = snippet.format(basedir=str(basedir), root=str(corpus))
+        extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                 "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+
+def _assert_params_match(dir_a, dir_b, step=3, rtol=1e-4):
+    import orbax.checkpoint as ocp
+    import jax
+
+    ckptr = ocp.StandardCheckpointer()
+    s1 = ckptr.restore(str(dir_a / f"checkpoint-step-{step}"))
+    s2 = ckptr.restore(str(dir_b / f"checkpoint-step-{step}"))
+    l1, t1 = jax.tree_util.tree_flatten(s1["params"])
+    l2, t2 = jax.tree_util.tree_flatten(s2["params"])
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_training_matches_single_process(tmp_path):
+    """--fsdp (ZeRO-3: parameters themselves shard over the data axis)
+    under REAL multi-host: two processes x 4 devices must produce the
+    same parameters as one process x 8 devices running the identical
+    FSDP config — the sharded-parameter all-gather/reduce-scatter data
+    contract across process boundaries, not just within one process
+    (VERDICT r4 #7).
+
+    sgd on purpose (like the DP test above): the comparison must be
+    well-conditioned. Early AdamW steps are sign-like (m_hat/sqrt(v_hat)
+    ~ sign(g)), so the few-ULP reduce-order differences between the two
+    topologies flip update signs at near-zero-gradient elements and
+    amplify to O(lr) param differences — measured: a different leaf
+    diverging each run at up to rel 5.6 under adamw, vs <1e-4
+    everywhere under sgd. AdamW + cross-process sharded moments are
+    covered by test_two_process_zero1_adamw_checkpoints below."""
+    corpus = make_corpus(tmp_path)
+    snippet = TRAIN_SNIPPET.replace(
+        '"--distributed", "true",',
+        '"--distributed", "true",\n    "--fsdp", "true",')
+
+    code = snippet.format(basedir=str(tmp_path / "single"), root=str(corpus))
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=_env(8),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    _run_pair(snippet, tmp_path / "multi", corpus)
+    _assert_params_match(tmp_path / "single", tmp_path / "multi")
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_matches_single_process(tmp_path):
+    """--tensor_parallel 2 under REAL multi-host: the (data=4, model=2)
+    mesh spans both processes, so Megatron-style column/row shards and
+    their psums cross the process boundary; parameters must equal the
+    single-process 8-device run of the identical TP config."""
+    corpus = make_corpus(tmp_path)
+    snippet = TRAIN_SNIPPET.replace(
+        '"--distributed", "true",',
+        '"--distributed", "true",\n    "--tensor_parallel", "2",')
+
+    code = snippet.format(basedir=str(tmp_path / "single"), root=str(corpus))
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=_env(8),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    _run_pair(snippet, tmp_path / "multi", corpus)
+    _assert_params_match(tmp_path / "single", tmp_path / "multi")
+
+
 @pytest.mark.slow
 def test_two_process_zero1_adamw_checkpoints(tmp_path):
     """--zero1 under REAL multi-host: AdamW moments shard across the two
