@@ -40,18 +40,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent XLA compilation cache: the extras' compile time (1-5 min
-# each through the remote-compile relay) dominates the bench budget;
-# with the cache warm (any earlier run of the same program this round)
-# all seven workloads fit easily.
-try:  # pragma: no cover - best effort, harmless if unsupported
-    _cache_dir = os.environ.get("A8T_COMPILE_CACHE",
-                                "/tmp/a8t_xla_cache")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+def _setup_compile_cache() -> None:
+    """Persistent XLA compilation cache: the extras' compile time (1-5
+    min each through the remote-compile relay) dominates the bench
+    budget; with the cache warm (any earlier run of the same program
+    this round) all workloads fit easily. Called from main(), NOT at
+    import time: an import-time config.update clobbered the test
+    conftest's cache dir when tests imported this module for the
+    rotation-policy tests, cold-compiling the whole fast lane."""
+    try:  # pragma: no cover - best effort, harmless if unsupported
+        cache_dir = os.environ.get("A8T_COMPILE_CACHE",
+                                   "/tmp/a8t_xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 _T0 = time.perf_counter()
@@ -530,6 +534,7 @@ def main():
                          "runs and its JSON line prints the moment it is "
                          "measured")
     args = ap.parse_args()
+    _setup_compile_cache()
     _check_neg_lookup()
 
     if args.workload == "large":
