@@ -27,6 +27,18 @@ def bench(monkeypatch):
     monkeypatch.setattr(bench_mod, "bench_transducer", lambda *a, **k: 1550.0)
     monkeypatch.setattr(bench_mod, "bench_pretrain_large",
                         lambda *a, **k: 900.0)
+    monkeypatch.setattr(bench_mod, "bench_chunked_decode",
+                        lambda *a, **k: 400.0)
+    # catch-all: any bench_* workload added later must NEVER run for
+    # real inside this test (the unstubbed chunked workload once ran the
+    # full CPU decode here and stalled the fast lane for ~30 minutes)
+    stubbed = {"bench_pretrain", "bench_ctc", "bench_decode",
+               "bench_seq2seq", "bench_hubert", "bench_transducer",
+               "bench_pretrain_large", "bench_chunked_decode"}
+    for name in dir(bench_mod):
+        if (name.startswith("bench_") and name not in stubbed
+                and callable(getattr(bench_mod, name))):
+            monkeypatch.setattr(bench_mod, name, lambda *a, **k: 123.0)
     monkeypatch.setattr(bench_mod, "_check_neg_lookup", lambda: None)
     return bench_mod
 
@@ -65,6 +77,7 @@ def test_all_mode_headline_and_extras(bench, capsys):
     assert e["hubert_pretrain_throughput"] == 1450.0
     assert e["transducer_finetune_throughput"] == 1550.0
     assert e["large_pretrain_throughput"] == 900.0
+    assert e["chunked_decode_rtfx"] == 400.0
     # re-emits only ever add extras, never remove
     for prev, cur in zip(recs, recs[1:]):
         assert set(prev["extra_metrics"]) <= set(cur["extra_metrics"])
@@ -132,7 +145,8 @@ def hang(*a, **k):
     time.sleep(600)
 
 for name in ("bench_ctc", "bench_decode", "bench_seq2seq", "bench_hubert",
-             "bench_transducer", "bench_pretrain_large"):
+             "bench_transducer", "bench_pretrain_large",
+             "bench_chunked_decode"):
     setattr(bench, name, hang)
 
 sys.argv = ["bench.py", "--budget", "900"]
