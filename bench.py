@@ -579,15 +579,18 @@ def main():
     extra = {}
     _emit(throughput, extra)  # the headline is now on stdout, kill-proof
     if args.workload == "all":
-        # relay/cache speed factor: the headline's own cold cost was
-        # ~100 s in round 3 but 522 s in a cold-cache round-4 run — seed
-        # the gate scale from the observed headline wall-clock, CAPPED at
-        # 2x (the _EXTRA_COSTS are calibrated from round-5 standalone
-        # runs, and an uncapped seed inflated transducer/large past any
-        # budget in round 4; with the headline-first kill-proof emits an
-        # under-estimate only ever costs the in-flight extra). Completed
-        # extras still adapt the ratio in both directions.
-        warm_ratio = min(2.0, max(1.0, (time.perf_counter() - start) / 250.0))
+        # Gate scale starts at 1.0: _EXTRA_COSTS are calibrated from
+        # round-5 standalone cold runs, and the headline's wall-clock is
+        # a poor predictor of the extras (r5 validation run: a 430 s
+        # cold-relay headline seeded the old heuristic to 1.7x while
+        # transducer then ran at 1.04x its base — the inflated estimate
+        # skipped large even though the remaining budget in fact covered
+        # it). The headline is already emitted by this point, so an
+        # optimistic estimate risks only the in-flight extra, while a
+        # pessimistic one silently starves the queue — the exact failure
+        # this rotation exists to prevent. Completed extras adapt the
+        # scale in both directions below.
+        warm_ratio = 1.0
         fns = {
             # pretrain_long_clip: the round-1..3 headline point
             # (8 x 163,920, T'=512), kept for cross-round continuity
@@ -628,15 +631,16 @@ def main():
                     # next gate doesn't start something it can't afford
                     warm_ratio = ratio
                 else:
-                    # warm evidence shrinks the gate, but bounded (x2
-                    # margin, floor 0.5): one compile-cache-hit extra
-                    # says nothing about the NEXT extra's uncached
-                    # compile, and an unbounded shrink re-enables the
-                    # round-3 overrun this gate exists to prevent
-                    # (worst case now: est = cost/2, so a fully cold
-                    # extra overshoots the budget by at most half its
-                    # own cost — still inside the driver kill window)
-                    warm_ratio = max(min(warm_ratio, ratio * 2.0), 0.5)
+                    # warm evidence shrinks the gate, bounded (x1.2
+                    # margin, floor 0.8): the base costs are calibrated
+                    # cold-run numbers, so a mild margin suffices, and
+                    # the floor keeps one cache-hit fluke from halving
+                    # every later estimate (worst case: est = 0.8x cost,
+                    # a fully cold extra overshoots the budget by at
+                    # most a quarter of its own cost — well inside the
+                    # driver kill window, and only the in-flight extra
+                    # is at stake once the headline is out)
+                    warm_ratio = max(min(warm_ratio, ratio * 1.2), 0.8)
             except Exception as e:  # record, keep the headline alive
                 extra[key] = f"error:{type(e).__name__}"
             _emit(throughput, extra)
