@@ -166,7 +166,11 @@ struct KenLmBinary : public BackoffBinaryLm {
   int32_t Lookup(const std::string& w) const override {
     const uint64_t key = Murmur64A(w.data(), w.size());
     uint64_t i = key % vocab_buckets;
-    while (true) {
+    // probe count bounded by the table size: a corrupt table saturated
+    // with nonzero non-matching keys must resolve as OOV, not hang the
+    // linear probe forever (reachable at load time via the vocab
+    // spot-check)
+    for (uint64_t n = 0; n < vocab_buckets; ++n) {
       const uint64_t k = LoadU64(vocab_tab + i * 12);
       if (k == key) {
         const uint32_t id = LoadU32(vocab_tab + i * 12 + 8);
@@ -176,6 +180,7 @@ struct KenLmBinary : public BackoffBinaryLm {
       if (k == 0) return -1;  // OOV; callers substitute unk_id (= 0)
       i = (i + 1) % vocab_buckets;
     }
+    return -1;
   }
 
   bool Find(const int32_t* ctx, int ctx_len, int32_t word, float* p,
@@ -208,7 +213,9 @@ struct KenLmBinary : public BackoffBinaryLm {
       has_backoff = true;
     }
     uint64_t i = key % buckets;
-    while (true) {
+    // bounded like Lookup: a saturated corrupt table means not-found,
+    // never an infinite probe
+    for (uint64_t n = 0; n < buckets; ++n) {
       const uint64_t k = LoadU64(tab + i * stride);
       if (k == key) {
         *p = LoadF32(tab + i * stride + prob_off);
@@ -218,6 +225,7 @@ struct KenLmBinary : public BackoffBinaryLm {
       if (k == 0) return false;
       i = (i + 1) % buckets;
     }
+    return false;
   }
 };
 

@@ -202,15 +202,17 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
         # a _Stub can hide inside a container produced by an unknown
         # rebuild helper (list/tuple/dict value), not just at top level —
         # scan containers too, bounded so a pathological deep structure
-        # cannot hang the loader (round-4 advisor)
+        # cannot hang the loader (round-4 advisor). A container at the
+        # depth bound is treated as POSSIBLY stubbed: the whole point of
+        # this check is to fail loudly rather than silently drop a
+        # weight, so "too deep to verify" must not become a silent pass.
         if isinstance(v, _Stub):
             return True
-        if depth >= 4:
-            return False
         if isinstance(v, (list, tuple, set)):
-            return any(_has_stub(x, depth + 1) for x in v)
+            return depth >= 4 or any(_has_stub(x, depth + 1) for x in v)
         if isinstance(v, dict):
-            return any(_has_stub(x, depth + 1) for x in v.values())
+            return depth >= 4 or any(_has_stub(x, depth + 1)
+                                     for x in v.values())
         return False
 
     out = {}

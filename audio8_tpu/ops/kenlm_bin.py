@@ -619,7 +619,10 @@ class KenLMBinaryLM:
         tab = self._vocab
         n = len(tab)
         i = key % n
-        while True:
+        # probe count bounded by the table size: a corrupt table
+        # saturated with nonzero non-matching keys resolves as OOV
+        # instead of spinning forever (mirrors the native reader)
+        for _ in range(n):
             k = int(tab["key"][i])
             if k == key:
                 wid = int(tab["val"][i])
@@ -628,6 +631,7 @@ class KenLMBinaryLM:
             if k == 0:
                 return 0
             i = (i + 1) % n
+        return 0
 
     def index(self, word: str) -> int:
         """Word id; OOV -> 0 (<unk>)."""
@@ -653,7 +657,9 @@ class KenLMBinaryLM:
         tab = self._longest if n == self.order else self._middles[n - 2]
         nb = len(tab)
         i = key % nb
-        while True:
+        # bounded probe (see _id_of_key): corrupt saturated table means
+        # not-found, never an infinite loop
+        for _ in range(nb):
             k = int(tab["key"][i])
             if k == key:
                 if n == self.order:
@@ -662,6 +668,7 @@ class KenLMBinaryLM:
             if k == 0:
                 return None
             i = (i + 1) % nb
+        return None
 
     def logp(self, word: str, context: Tuple[str, ...]) -> float:
         """ln P(word | context), kenlm backoff semantics: longest match

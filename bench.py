@@ -49,6 +49,10 @@ def _setup_compile_cache() -> None:
     conftest's cache dir when tests imported this module for the
     rotation-policy tests, cold-compiling the whole fast lane."""
     try:  # pragma: no cover - best effort, harmless if unsupported
+        if jax.config.jax_compilation_cache_dir:
+            # already configured (e.g. the test conftest's cache when a
+            # test drives main() in-process) — never replace it
+            return
         cache_dir = os.environ.get("A8T_COMPILE_CACHE",
                                    "/tmp/a8t_xla_cache")
         os.makedirs(cache_dir, exist_ok=True)
@@ -424,6 +428,29 @@ def bench_chunked_decode(n_passes: int = 4, *, minutes: float = 8.0,
     return (len(wav) / SAMPLE_RATE) * n_passes / elapsed / jax.device_count()
 
 
+def _extra_workloads() -> dict:
+    """The 'all'-mode extras registry: metric key -> zero-arg callable.
+    Looked up from module globals at CALL time so test monkeypatching of
+    the bench_* functions takes effect; every key here must have an
+    _EXTRA_COSTS entry (tests/test_bench_rotation.py pins that)."""
+    return {
+        # pretrain_long_clip: the round-1..3 headline point
+        # (8 x 163,920, T'=512), kept for cross-round continuity
+        # after the round-4 headline geometry change (see
+        # bench_pretrain comment / docs/PERF.md "Batch geometry")
+        "pretrain_long_clip_throughput":
+            lambda: bench_pretrain(b=8, t=163_920),
+        "ctc_finetune_throughput": lambda: bench_ctc(False),
+        "ctc_finetune_frozen_throughput": lambda: bench_ctc(True),
+        "greedy_decode_rtfx": bench_decode,
+        "seq2seq_finetune_throughput": bench_seq2seq,
+        "hubert_pretrain_throughput": bench_hubert,
+        "transducer_finetune_throughput": bench_transducer,
+        "large_pretrain_throughput": bench_pretrain_large,
+        "chunked_decode_rtfx": bench_chunked_decode,
+    }
+
+
 def _single(metric: str, value: float, extra: dict) -> None:
     print(json.dumps({
         "metric": metric, "value": value, "unit": "audio-sec/sec/chip",
@@ -571,9 +598,11 @@ def main():
 
     # 'all'/'pretrain': the headline runs FIRST and its JSON line prints
     # the moment it exists — a driver timeout anywhere in the extras can
-    # only lose extras, never the headline. Extras run cheapest/most-
-    # certain first under a cost-gated budget; each completion re-emits
-    # the (now richer) line, and any failure is recorded, not fatal.
+    # only lose extras, never the headline. Extras run in STALENESS
+    # rotation order (least-recently-certified first — often the most
+    # expensive ones, since those are what the old fixed order starved)
+    # under a cost-gated budget; each completion re-emits the (now
+    # richer) line, and any failure is recorded, not fatal.
     start = time.perf_counter()
     throughput = bench_pretrain()
     extra = {}
@@ -591,22 +620,7 @@ def main():
         # this rotation exists to prevent. Completed extras adapt the
         # scale in both directions below.
         warm_ratio = 1.0
-        fns = {
-            # pretrain_long_clip: the round-1..3 headline point
-            # (8 x 163,920, T'=512), kept for cross-round continuity
-            # after the round-4 headline geometry change (see
-            # bench_pretrain comment / docs/PERF.md "Batch geometry")
-            "pretrain_long_clip_throughput":
-                lambda: bench_pretrain(b=8, t=163_920),
-            "ctc_finetune_throughput": lambda: bench_ctc(False),
-            "ctc_finetune_frozen_throughput": lambda: bench_ctc(True),
-            "greedy_decode_rtfx": bench_decode,
-            "seq2seq_finetune_throughput": bench_seq2seq,
-            "hubert_pretrain_throughput": bench_hubert,
-            "transducer_finetune_throughput": bench_transducer,
-            "large_pretrain_throughput": bench_pretrain_large,
-            "chunked_decode_rtfx": bench_chunked_decode,
-        }
+        fns = _extra_workloads()
         last = _last_certified()
         order = sorted(fns, key=lambda k: (last.get(k, -1),
                                            _EXTRA_COSTS[k]))

@@ -51,17 +51,14 @@ def test_rotation_handles_missing_and_corrupt_artifacts(tmp_path,
 
 
 def test_extra_costs_cover_all_extras():
-    """Every extra bench 'all' mode can run must have a cost estimate
-    (a missing key would KeyError inside the driver's official run)."""
+    """Every extra bench 'all' mode can run must have a cost estimate —
+    checked against the ACTUAL registry main() iterates, so a workload
+    added to _extra_workloads without a cost can't KeyError inside the
+    driver's official run while this test stays green."""
     import bench
 
-    expected = {
-        "pretrain_long_clip_throughput", "ctc_finetune_throughput",
-        "ctc_finetune_frozen_throughput", "greedy_decode_rtfx",
-        "seq2seq_finetune_throughput", "hubert_pretrain_throughput",
-        "transducer_finetune_throughput", "large_pretrain_throughput",
-        "chunked_decode_rtfx",
-    }
-    assert expected <= set(bench._EXTRA_COSTS)
+    registry = set(bench._extra_workloads())
+    assert registry <= set(bench._EXTRA_COSTS), \
+        registry - set(bench._EXTRA_COSTS)
     for k in bench._INTRODUCED:
-        assert k in bench._EXTRA_COSTS
+        assert k in registry

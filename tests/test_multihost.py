@@ -65,52 +65,34 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
 
     # two processes x 4 devices, real jax.distributed bootstrap
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    procs = []
-    for pid in range(2):
-        code = TRAIN_SNIPPET.format(basedir=str(tmp_path / "multi"), root=str(corpus))
-        extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-                 "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
-
-    import orbax.checkpoint as ocp
-    import jax
-
-    ckptr = ocp.StandardCheckpointer()
-    s1 = ckptr.restore(str(tmp_path / "single" / "checkpoint-step-3"))
-    s2 = ckptr.restore(str(tmp_path / "multi" / "checkpoint-step-3"))
-    l1, t1 = jax.tree_util.tree_flatten(s1["params"])
-    l2, t2 = jax.tree_util.tree_flatten(s2["params"])
-    assert t1 == t2
-    for a, b in zip(l1, l2):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    _run_pair(TRAIN_SNIPPET, tmp_path / "multi", corpus)
+    _assert_params_match(tmp_path / "single", tmp_path / "multi")
 
 
 def _run_pair(snippet, basedir, corpus, timeout=900):
     """Launch the snippet as two 4-device processes with a real
-    jax.distributed bootstrap; assert both exit 0."""
+    jax.distributed bootstrap; assert both exit 0. Both children are
+    killed if either hangs (a coordinator-bootstrap deadlock must not
+    orphan two training processes on the 1-vCPU box and starve every
+    later slow-lane test)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     procs = []
-    for pid in range(2):
-        code = snippet.format(basedir=str(basedir), root=str(corpus))
-        extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-                 "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        for pid in range(2):
+            code = snippet.format(basedir=str(basedir), root=str(corpus))
+            extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                     "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
@@ -189,23 +171,7 @@ def test_two_process_zero1_adamw_checkpoints(tmp_path):
     corpus = make_corpus(tmp_path)
     snippet = TRAIN_SNIPPET.replace('"--optim", "sgd",',
                                     '"--optim", "adamw",\n    "--zero1", "true",')
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    procs = []
-    for pid in range(2):
-        code = snippet.format(basedir=str(tmp_path / "z1"), root=str(corpus))
-        extra = {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
-                 "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid)}
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", code], cwd=REPO, env=_env(4, extra),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+    _run_pair(snippet, tmp_path / "z1", corpus)
 
     import orbax.checkpoint as ocp
 
