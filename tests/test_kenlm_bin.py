@@ -225,6 +225,49 @@ def test_unsupported_and_corrupt_binaries_fail_actionably(tmp_path, pair):
         KenLMBinaryLM(str(junk))
 
 
+def test_saturated_probe_tables_resolve_bounded(pair):
+    """A hash table saturated with nonzero non-matching keys (corrupt
+    file) must resolve lookups as OOV/not-found in at most table-size
+    probes — never spin the linear probe forever (the pre-fix behavior,
+    reachable at load time via the vocab spot-check)."""
+    _, blm, _ = pair
+    sat = np.zeros(len(blm._vocab), dtype=blm._vocab.dtype)
+    sat["key"] = 12345  # every slot nonzero, none matches any real hash
+    blm._vocab = sat
+    blm._id_cache.clear()
+    assert blm.index("zz-not-in-vocab") == 0  # bounded -> OOV
+
+    # n-gram table probe has the same bound: a saturated middle table
+    # means not-found -> backoff, not an infinite loop
+    mid = np.zeros(len(blm._middles[0]), dtype=blm._middles[0].dtype)
+    mid["key"] = 12345
+    blm._middles[0] = mid
+    assert math.isfinite(blm.logp("c", ("b",)))
+
+
+def test_saturated_vocab_table_file_refused_both_readers(tmp_path, pair):
+    """On-disk variant: saturate the vocab table bytes of a valid
+    PROBING file. Both readers' load-time hash spot-check must REFUSE
+    (bounded probe -> id mismatch), with identical accept/refuse
+    semantics — and must not hang."""
+    from audio8_tpu.csrc.native import NativeKenLM
+
+    _, blm, _ = pair
+    binp = tmp_path / "lm.bin"
+    data = bytearray(binp.read_bytes())
+    tab = blm._vocab.tobytes()
+    off = bytes(data).index(tab)
+    sat = np.zeros(len(blm._vocab), dtype=blm._vocab.dtype)
+    sat["key"] = 0xDEADBEEF
+    data[off:off + len(tab)] = sat.tobytes()
+    bad = tmp_path / "sat.bin"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        KenLMBinaryLM(str(bad))
+    with pytest.raises((IOError, OSError, ValueError)):
+        NativeKenLM(str(bad))
+
+
 def test_cli_build_binary(tmp_path):
     from audio8_tpu.cli.build_binary import main
 
