@@ -556,3 +556,131 @@ def test_seq2seq_decoder_dynamics_parity():
     np.testing.assert_allclose(o_gnorm, t_gnorm, rtol=5e-3)
     assert t_loss[-1] < t_loss[0] * 0.9  # training moved the loss
     np.testing.assert_allclose(o_loss[0], t_loss[0], rtol=1e-4)
+
+
+# ------------------------------------------------------------------ paired
+# Fourth objective: the paired CLIP recipe (reference
+# pretrain_paired.py:203,250-254 — symmetric InfoNCE with the LEARNABLE
+# temperature living in the optimizer via the loss module). At the
+# production freeze_audio/freeze_text phase both towers' pooled outputs
+# are stop-gradient constants, so the differential isolates the CLIP
+# loss + projection + temperature dynamics — including the
+# temperature-in-the-train-state subtlety this port handles by making
+# logit_scale a loss-module parameter.
+
+PAIRED_LR, OUT_DIM = 2e-3, 16
+
+
+@pytest.mark.slow
+def test_paired_clip_dynamics_parity():
+    import torch
+
+    from audio8_tpu.config import PooledConfig, TextEncoderConfig
+    from audio8_tpu.models.dual_encoder import (DualEncoderModel,
+                                                SymmetricCLIPLoss)
+    from audio8_tpu.train.steps import make_paired_steps
+
+    Offsets.remap_fairseq_ctc()
+    rng = np.random.default_rng(31)
+    signal = rng.normal(size=(2, 4000)).astype(np.float32)
+    ids = rng.integers(4, V, size=(2, 6)).astype(np.int32)
+    batch = {
+        "signal": jnp.asarray(signal),
+        "signal_lengths": jnp.full((2,), signal.shape[1], jnp.int32),
+        "token_ids": jnp.asarray(ids),
+        "token_lengths": jnp.full((2,), ids.shape[1], jnp.int32),
+    }
+
+    a_cfg = PooledConfig(d_model=D, num_heads=H, num_layers=L,
+                         custom_conv_features=FX, dropout=0.0,
+                         timestep_masking=0.0, channel_masking=0.0,
+                         reduction_type="mean")
+    t_cfg = TextEncoderConfig(vocab_size=V, d_model=24, encoder_type="bow",
+                              reduction_type="mean", dropout=0.0)
+    model = DualEncoderModel(audio_config=a_cfg, text_config=t_cfg,
+                             stacking_layers=(), output_dim=OUT_DIM)
+    loss_module = SymmetricCLIPLoss(init_temperature=0.07,
+                                    learn_temperature=True)
+
+    mp = model.init(jax.random.PRNGKey(3), batch["signal"],
+                    batch["signal_lengths"], batch["token_ids"],
+                    batch["token_lengths"])["params"]
+    dummy = jnp.zeros((2, OUT_DIM), jnp.float32)
+    lp = loss_module.init(jax.random.PRNGKey(1), dummy, dummy)["params"]
+    params = {"model": mp, "loss": lp}
+
+    # frozen pooled towers: constants of the objective under
+    # freeze_audio=freeze_text=True (stop_gradient before the
+    # projections; reduction 'mean'/BoW have no params)
+    a_pool = np.array(model.apply(
+        {"params": mp}, batch["signal"], batch["signal_lengths"], True,
+        True, method=lambda m, x, xl, tr, fr: m.audio_encoder(x, xl, tr, fr)))
+    t_pool = np.array(model.apply(
+        {"params": mp}, batch["token_ids"], batch["token_lengths"], True,
+        True, method=lambda m, i, il, tr, fr: m.text_encoder(i, il, tr, fr)))
+    # snapshot trainable weights before the donating update loop
+    snap = jax.tree_util.tree_map(np.asarray, {
+        "ak": mp["audio_proj"]["out"]["kernel"],
+        "ab": mp["audio_proj"]["out"]["bias"],
+        "tk": mp["text_proj"]["out"]["kernel"],
+        "tb": mp["text_proj"]["out"]["bias"],
+        "ls": lp["logit_scale"],
+    })
+
+    tx = create_optimizer(create_lrs(PAIRED_LR, N_STEPS,
+                                     sched_type="constant", warmup_steps=0),
+                          weight_decay=0.0)
+    state = TrainState.create(params, tx)
+    grad_fn, update_fn, _ = make_paired_steps(model, loss_module, tx,
+                                              clip=CLIP)
+    key = jax.random.PRNGKey(0)
+    o_loss, o_gnorm = [], []
+    for _ in range(N_STEPS):
+        loss, _, grads, bsz, _ = grad_fn(state.params, batch, key,
+                                         freeze_audio=True,
+                                         freeze_text=True)
+        gnorm = float(jax.tree_util.tree_reduce(
+            lambda a, g: a + np.sum(np.square(np.asarray(g, np.float64))),
+            grads, 0.0)) ** 0.5 / float(bsz)
+        state, _ = update_fn(state, grads, bsz)
+        o_loss.append(float(loss))
+        o_gnorm.append(gnorm)
+    o_loss, o_gnorm = np.array(o_loss), np.array(o_gnorm)
+
+    # torch loop: projections + logit_scale from the same weights on the
+    # same pooled constants (CLIP semantics of SymmetricCLIPLoss:
+    # clamp-min 1e-8 normalization, all rows valid)
+    p = {k: torch.nn.Parameter(torch.from_numpy(np.array(v)))
+         for k, v in snap.items()}
+    opt = torch.optim.AdamW(p.values(), lr=PAIRED_LR, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.0)
+    ap = torch.from_numpy(a_pool)
+    tp = torch.from_numpy(t_pool)
+    b = signal.shape[0]
+    t_loss, t_gnorm = [], []
+    for _ in range(N_STEPS):
+        opt.zero_grad()
+        a = ap @ p["ak"] + p["ab"]
+        t = tp @ p["tk"] + p["tb"]
+        a = a / torch.clamp(a.norm(dim=-1, keepdim=True), min=1e-8)
+        t = t / torch.clamp(t.norm(dim=-1, keepdim=True), min=1e-8)
+        logits = torch.exp(p["ls"]) * (a @ t.T)
+        diag = torch.diagonal(logits)
+        loss_a = (torch.logsumexp(logits, dim=-1) - diag).mean()
+        loss_t = (torch.logsumexp(logits, dim=0) - diag).mean()
+        loss = 0.5 * (loss_a + loss_t)
+        loss.backward()
+        for prm in p.values():
+            if prm.grad is not None:
+                prm.grad /= b
+        gnorm = torch.nn.utils.clip_grad_norm_(p.values(), CLIP)
+        opt.step()
+        t_loss.append(float(loss.detach()))
+        t_gnorm.append(float(gnorm))
+    t_loss, t_gnorm = np.array(t_loss), np.array(t_gnorm)
+
+    # glued (measured headroom: loss rel <= 4e-7, gnorm <= 6e-6/step)
+    np.testing.assert_allclose(o_loss, t_loss, rtol=1e-3)
+    np.testing.assert_allclose(o_gnorm, t_gnorm, rtol=5e-3)
+    assert t_loss[-1] < t_loss[0] * 0.9  # the CLIP objective trains
+    np.testing.assert_allclose(o_loss[0], t_loss[0], rtol=1e-4)
