@@ -131,6 +131,9 @@ def test_single_workload_modes(bench, capsys):
     rec = _run(bench, capsys, ["--workload", "transducer"])[-1]
     assert rec["metric"] == "wav2vec2_base_transducer_finetune_throughput"
     assert rec["value"] == 1550.0
+    rec = _run(bench, capsys, ["--workload", "chunked"])[-1]
+    assert rec["metric"] == "wav2vec2_base_chunked_decode_rtfx"
+    assert rec["value"] == 400.0
 
 
 _KILL_DRIVER = """\
